@@ -56,9 +56,19 @@ def topk_indices(scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     q, v = scores.shape
     k = min(k, v)
     if k == v:
-        part = np.broadcast_to(np.arange(v), (q, v))
+        part = np.broadcast_to(np.arange(v), (q, v)).copy()
     else:
         part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+        # argpartition picks ARBITRARY members of a tie straddling the k-th
+        # boundary; rows with such ties get an exact (lexicographic) re-pick.
+        kth = np.take_along_axis(scores, part, axis=1).min(axis=1)
+        tie_rows = np.flatnonzero((scores >= kth[:, None]).sum(axis=1) > k)
+        if len(tie_rows):
+            full = np.lexsort(
+                (np.broadcast_to(np.arange(v), (len(tie_rows), v)), -scores[tie_rows]),
+                axis=1,
+            )[:, :k]
+            part[tie_rows] = full
     part_scores = np.take_along_axis(scores, part, axis=1)
     # Stable order: score desc, then candidate index asc.
     order = np.lexsort((part, -part_scores), axis=1)

@@ -121,13 +121,16 @@ def _make_word(rng: np.random.RandomState, pool: list[str], n_syll: int) -> str:
 
 def _typo(rng: np.random.RandomState, surface: str) -> str:
     """Edit-distance ≤ 2 typo that never touches a word's first character
-    (keeps the surface extractable as a Capitalized run)."""
+    (keeps the surface extractable as a Capitalized run).  Edits scale with
+    word length — 1 for short words, up to 2 for ≥ 9 chars — so the typo'd
+    surface stays n-gram-recoverable (realistic fat-finger noise, not
+    adversarial corruption)."""
     words = surface.split(" ")
     wi = int(rng.randint(len(words)))
     w = words[wi]
-    if len(w) < 4:
+    if len(w) < 7:
         return surface
-    n_edits = 1 + int(rng.rand() < 0.3)
+    n_edits = 1 + int(len(w) >= 9 and rng.rand() < 0.4)
     for _ in range(n_edits):
         pos = int(rng.randint(1, len(w) - 1))
         op = rng.randint(4)
@@ -148,13 +151,34 @@ def make_catalog(cfg: SynthConfig) -> pa.Table:
     """entity_catalog: entity_id, name, description, aliases, dup_of, fragile."""
     rng = _rng(cfg.seed, "catalog")
     names: list[str] = []
-    seen = set()
+    first_words: set[str] = set()
+    first_words6: set[str] = set()
+    first_prefixes: set[str] = set()
+
+    def first_word_ok(w: str) -> bool:
+        """Distinct entities get first words that are prefix-free AND unique in
+        their first 6 chars — the first word alone identifies the entity (what
+        makes word-drop aliases and mild typos unambiguous; real catalogs
+        disambiguate the same way)."""
+        wl = w.lower()
+        if wl in first_prefixes or wl[:6] in first_words6:
+            return False
+        return all(wl[: i + 1] not in first_words for i in range(len(wl)))
+
+    def register(w: str) -> None:
+        wl = w.lower()
+        first_words.add(wl)
+        first_words6.add(wl[:6])
+        for i in range(1, len(wl) + 1):
+            first_prefixes.add(wl[:i])
+
     while len(names) < cfg.n_entities:
         w1 = _make_word(rng, _SYLLABLES, 2 + int(rng.rand() < 0.3))
+        if not first_word_ok(w1):
+            continue
         name = w1 if rng.rand() < 0.35 else f"{w1} {_SUFFIXES[rng.randint(len(_SUFFIXES))]}"
-        if name.lower() not in seen:
-            seen.add(name.lower())
-            names.append(name)
+        register(w1)
+        names.append(name)
 
     fragile = [False] * cfg.n_entities
     # Near-collision pairs: mutate one interior char of an existing first word.
@@ -163,9 +187,9 @@ def make_catalog(cfg: SynthConfig) -> pa.Table:
         base = names[base_idx].split(" ")[0]
         pos = int(rng.randint(1, len(base)))
         mutated = base[:pos] + ("x" if base[pos : pos + 1] != "x" else "q") + base[pos + 1 :]
-        if mutated.lower() in seen:
+        if not first_word_ok(mutated):
             continue
-        seen.add(mutated.lower())
+        register(mutated)
         names.append(mutated)
         fragile.append(True)
         fragile[base_idx] = True

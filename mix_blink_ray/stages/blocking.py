@@ -1,0 +1,135 @@
+"""Blocking: MinHash/LSH band keys over normalized text → groupby shuffle.
+
+Stage 1 of the north rule.  Each node (a distinct mention surface, or a
+catalog entity name) is assigned ``num_bands`` LSH band keys from a seeded
+MinHash signature over char n-grams, plus one exact-match key (hash of the
+full normalized text) so byte-identical surfaces always share a block, plus —
+optionally — a composite ``(conv-window, role, tool)`` context key for
+mention-level co-occurrence blocking.
+
+The downstream ``groupby(block_key)`` is the pipeline's SHUFFLE #1.  Skew
+defenses, in order:
+
+1. **Exact-duplicate contraction** happens *before* blocking (the pipeline
+   blocks distinct ``norm_text`` values, not raw mentions) — the hot-block
+   driver of transcript data is byte-identical repeated text, and it never
+   reaches the shuffle.
+2. **Salted splitting** for blocks that are still hot: a block with more than
+   ``salt_cap`` nodes is split into ``ceil(n/salt_cap)`` salted sub-blocks
+   (salt = deterministic hash of node id).  Pairs across sub-blocks of one
+   band are dropped; similar surfaces collide in several independent bands, so
+   band redundancy recovers most cross-salt pairs.  Truncation is *counted and
+   reported* per stage (never silent) via the ``salted`` flag column.
+
+The reference has no blocking at all — it brute-forces every mention against
+the whole catalog through FAISS (``mix_blink/retriever/dense.py:86-99``);
+blocking is what makes mention-mention/entity-entity pair generation tractable
+at 10^12 turns.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import (
+    char_ngram_hashes,
+    flat_utf8,
+    hash_strings,
+    lsh_band_keys,
+    minhash_signatures,
+)
+
+_EXACT_TAG = np.uint64(0xE1AC7_0000)
+_SALT_PRIME = np.uint64(0x9E3779B97F4A7C15)
+
+__all__ = ["BlockingConfig", "block_keys_table", "add_salt", "composite_context_key"]
+
+
+@dataclass(frozen=True)
+class BlockingConfig:
+    num_perms: int = 64
+    num_bands: int = 8          # r = num_perms / num_bands rows per band
+    ngram: int = 3
+    seed: int = 42
+    salt_cap: int = 512         # max nodes per (exploded) block before salting
+    include_exact_key: bool = True
+
+
+def block_keys_table(
+    batch: pa.Table,
+    cfg: BlockingConfig,
+    text_col: str = "norm_text",
+    id_col: str = "node_id",
+    carry_cols: tuple[str, ...] = (),
+) -> pa.Table:
+    """Flat-map body: one input row → ``num_bands (+1)`` block-key rows.
+
+    Output: ``block_key:int64, {id_col}, {text_col}, band:int32`` (+ carried
+    columns).  Runs inside ``map_batches(batch_format="pyarrow")``; the
+    MinHash signature work is the same flat-buffer kernel path as dedup.
+    """
+    text = batch[text_col]
+    data, offsets = flat_utf8(text)
+    nrows = batch.num_rows
+    grams, rows = char_ngram_hashes(data, offsets, n=cfg.ngram)
+    sig = minhash_signatures(grams, rows, nrows, num_perms=cfg.num_perms, seed=cfg.seed)
+    keys = lsh_band_keys(sig, num_bands=cfg.num_bands)  # (nrows, num_bands)
+
+    n_keys = cfg.num_bands + (1 if cfg.include_exact_key else 0)
+    all_keys = np.empty((nrows, n_keys), dtype=np.int64)
+    all_keys[:, : cfg.num_bands] = keys
+    band_ids = np.arange(cfg.num_bands, dtype=np.int32)
+    if cfg.include_exact_key:
+        exact = (hash_strings(data, offsets) * _SALT_PRIME + _EXACT_TAG).view(np.int64)
+        all_keys[:, cfg.num_bands] = exact
+        band_ids = np.concatenate([band_ids, np.array([-1], dtype=np.int32)])
+
+    row_idx = np.repeat(np.arange(nrows, dtype=np.int64), n_keys)
+    take = pa.array(row_idx)
+    cols: dict[str, pa.Array] = {
+        "block_key": pa.array(all_keys.reshape(-1)),
+        id_col: pc.take(batch[id_col], take),
+        text_col: pc.take(text, take),
+        "band": pa.array(np.tile(band_ids, nrows)),
+    }
+    for c in carry_cols:
+        cols[c] = pc.take(batch[c], take)
+    return pa.table(cols)
+
+
+def composite_context_key(batch: pa.Table, window: int = 8) -> pa.Array:
+    """Deterministic int64 key of ``(conv_id bucket-window, role, tool)``.
+
+    The north rule's context blocking key: mentions from the same
+    conversation window / role / tool stream land in one block.  Computed as a
+    hash mix of the three parts (no string concat allocation).
+    """
+    conv_h = hash_strings(*flat_utf8(batch["conv_id"]))
+    role_h = hash_strings(*flat_utf8(batch["role"]))
+    tool_h = hash_strings(*flat_utf8(batch["tool"]))
+    win = (np.asarray(batch["turn_idx"], dtype=np.int64) // window).astype(np.uint64)
+    mixed = ((conv_h * _SALT_PRIME + win) * _SALT_PRIME + role_h) * _SALT_PRIME + tool_h
+    return pa.array(mixed.view(np.int64))
+
+
+def add_salt(group: pa.Table, cfg: BlockingConfig, id_col: str = "node_id") -> pa.Table:
+    """Split a hot block into salted sub-blocks of ≤ ``salt_cap`` nodes.
+
+    Deterministic: salt derives from the node-id hash, not arrival order.
+    Adds ``salt:int32`` and ``salted:bool`` columns.
+    """
+    n = group.num_rows
+    if n <= cfg.salt_cap:
+        return group.append_column("salt", pa.array(np.zeros(n, dtype=np.int32))).append_column(
+            "salted", pa.array(np.zeros(n, dtype=bool))
+        )
+    n_salts = -(-n // cfg.salt_cap)  # ceil
+    ids_h = hash_strings(*flat_utf8(group[id_col]))
+    salt = ((ids_h * _SALT_PRIME) % np.uint64(n_salts)).astype(np.int32)
+    return group.append_column("salt", pa.array(salt)).append_column(
+        "salted", pa.array(np.ones(n, dtype=bool))
+    )

@@ -1,0 +1,126 @@
+"""Blocking-key and clustering unit tests."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from mix_blink_ray.stages.blocking import BlockingConfig, add_salt, block_keys_table, composite_context_key
+from mix_blink_ray.stages.clustering import cluster_nodes, propagate_labels, unionfind_labels
+
+
+def nodes_table(texts):
+    return pa.table(
+        {
+            "node_id": pa.array([f"n{i}" for i in range(len(texts))]),
+            "norm_text": pa.array(texts),
+        }
+    )
+
+
+def test_block_keys_explode_shape():
+    cfg = BlockingConfig(num_bands=8)
+    t = nodes_table(["zormak systems", "unrelated text"])
+    out = block_keys_table(t, cfg)
+    assert out.num_rows == 2 * 9  # 8 bands + exact key
+    assert set(out.column_names) >= {"block_key", "node_id", "norm_text", "band"}
+
+
+def test_identical_surfaces_share_exact_block():
+    cfg = BlockingConfig()
+    t = nodes_table(["same text", "same text", "other thing"])
+    out = block_keys_table(t, cfg).to_pandas()
+    exact = out[out.band == -1]
+    assert exact[exact.node_id == "n0"].block_key.iloc[0] == exact[exact.node_id == "n1"].block_key.iloc[0]
+    assert exact[exact.node_id == "n0"].block_key.iloc[0] != exact[exact.node_id == "n2"].block_key.iloc[0]
+
+
+def test_similar_surfaces_share_some_band():
+    cfg = BlockingConfig()
+    t = nodes_table(["zormak systems incorporated", "zormak systems incorported", "qqq www eee rrr"])
+    out = block_keys_table(t, cfg).to_pandas()
+    k0 = set(out[out.node_id == "n0"].block_key)
+    k1 = set(out[out.node_id == "n1"].block_key)
+    k2 = set(out[out.node_id == "n2"].block_key)
+    assert k0 & k1
+    assert not (k0 & k2)
+
+
+def test_salting_caps_and_is_deterministic():
+    cfg = BlockingConfig(salt_cap=10)
+    t = nodes_table([f"text {i}" for i in range(35)])
+    salted = add_salt(t, cfg)
+    counts = np.bincount(np.asarray(salted["salt"]))
+    assert counts.max() <= 10 + 10  # hash balance is approximate; bounded well below 35
+    assert len(counts) == 4  # ceil(35/10)
+    assert salted["salted"].to_pylist() == [True] * 35
+    salted2 = add_salt(t, cfg)
+    assert salted["salt"].to_pylist() == salted2["salt"].to_pylist()
+    small = add_salt(nodes_table(["a", "b"]), cfg)
+    assert small["salted"].to_pylist() == [False, False]
+
+
+def test_composite_context_key():
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c1", "c1", "c1", "c2"]),
+            "turn_idx": pa.array([0, 3, 9, 0], pa.int32()),
+            "role": pa.array(["user", "user", "user", "user"]),
+            "tool": pa.array(["", "", "", ""]),
+        }
+    )
+    keys = composite_context_key(t, window=8).to_pylist()
+    assert keys[0] == keys[1]      # same window
+    assert keys[0] != keys[2]      # next window
+    assert keys[0] != keys[3]      # other conv
+
+
+def graph_edges():
+    return pa.table(
+        {
+            "src": pa.array(["b", "c", "x", "m"]),
+            "dst": pa.array(["a", "b", "y", "x"]),
+        }
+    )
+
+
+def graph_nodes():
+    return pa.table({"node": pa.array(["a", "b", "c", "x", "y", "m", "lone"])})
+
+
+EXPECTED = {"a": "a", "b": "a", "c": "a", "x": "m", "y": "m", "m": "m", "lone": "lone"}
+
+
+def test_unionfind_labels():
+    out = unionfind_labels(graph_edges(), graph_nodes()["node"].combine_chunks())
+    assert dict(zip(out["node"].to_pylist(), out["label"].to_pylist())) == EXPECTED
+
+
+def test_propagate_labels_matches_unionfind():
+    edges = rd.from_arrow(graph_edges())
+    nodes = rd.from_arrow(graph_nodes())
+    out = propagate_labels(edges, nodes, num_partitions=2).to_pandas()
+    assert dict(zip(out["node"], out["label"])) == EXPECTED
+
+
+def test_cluster_nodes_modes_agree():
+    edges = rd.from_arrow(graph_edges())
+    nodes = rd.from_arrow(graph_nodes())
+    d = cluster_nodes(edges, nodes, mode="driver").to_pandas()
+    dist = cluster_nodes(edges, nodes, mode="distributed").to_pandas()
+    assert dict(zip(d["node"], d["label"])) == dict(zip(dist["node"], dist["label"]))
+
+
+def test_propagate_long_chain():
+    """Chain graph needs multiple propagation rounds."""
+    n = 12
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([f"n{i:02d}" for i in range(n - 1)]),
+                "dst": pa.array([f"n{i + 1:02d}" for i in range(n - 1)]),
+            }
+        )
+    )
+    nodes = rd.from_arrow(pa.table({"node": pa.array([f"n{i:02d}" for i in range(n)])}))
+    out = propagate_labels(edges, nodes, num_partitions=2).to_pandas()
+    assert set(out["label"]) == {"n00"}

@@ -1,0 +1,135 @@
+"""Unit tests for the scoring stage: top-k semantics, hard negatives, measures."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mix_blink_ray.functions.encoder import HashNgramEncoder
+from mix_blink_ray.functions.similarity import score_matrix, topk_indices
+from mix_blink_ray.stages.scoring import (
+    ScoringConfig,
+    SurfaceScorer,
+    build_catalog_index,
+    split_candidates_hard_negatives,
+)
+
+
+def make_catalog(names):
+    ids = [f"{i:06d}" for i in range(len(names))]
+    return pa.table(
+        {
+            "entity_id": pa.array(ids),
+            "name": pa.array(names),
+            "description": pa.array([""] * len(names)),
+        }
+    )
+
+
+def make_scorer(catalog, **cfg_kwargs):
+    cfg = ScoringConfig(**cfg_kwargs)
+    scorer = SurfaceScorer.__new__(SurfaceScorer)
+    scorer.cfg = cfg
+    scorer.index = build_catalog_index(catalog, cfg=cfg)
+    scorer.encoder = HashNgramEncoder(dim=cfg.encoder_dim)
+    return scorer
+
+
+def test_topk_deterministic_tiebreak():
+    scores = np.array([[1.0, 2.0, 2.0, 0.5]])
+    idx, sc = topk_indices(scores, 3)
+    assert idx.tolist() == [[1, 2, 0]]  # equal scores → lower index first
+    assert sc.tolist() == [[2.0, 2.0, 1.0]]
+
+
+def test_topk_k_clamp_and_error():
+    scores = np.ones((2, 3))
+    idx, _ = topk_indices(scores, 10)  # clamped (reference dense.py:89-91)
+    assert idx.shape == (2, 3)
+    with pytest.raises(ValueError):
+        topk_indices(scores, 0)  # reference dense.py:87-88
+
+
+def test_measures_ranking_consistency():
+    """ip/cos agree on normalized vectors; l2 is negative distance (nearest
+    first — the engine FIXES the reference's l2 sign quirk, SURVEY §2.11.1)."""
+    rng = np.random.RandomState(0)
+    q = rng.randn(4, 8).astype(np.float32)
+    c = rng.randn(10, 8).astype(np.float32)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+    s_ip = score_matrix(qn, cn, "ip")
+    s_cos = score_matrix(qn, cn, "cos")
+    np.testing.assert_allclose(s_ip, s_cos)
+    s_l2 = score_matrix(q, c, "l2")
+    # negative-L2 argmax == true nearest neighbor
+    d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_array_equal(s_l2.argmax(1), d.argmin(1))
+    with pytest.raises(ValueError):
+        score_matrix(q, c, "bogus")
+
+
+def test_surface_scorer_exact_match_wins():
+    cat = make_catalog(["Zormak Systems", "Beltran Labs", "Quilhul Corp"])
+    scorer = make_scorer(cat)
+    out = scorer(pa.table({"norm_text": pa.array(["zormak systems", "beltran labs", "zzzzz qqqqq"])}))
+    assert out["pred_id"].to_pylist()[:2] == ["000000", "000001"]
+    assert out["pred_id"].to_pylist()[2] == "-1"  # NIL below threshold
+    assert out["best_score"][0].as_py() == pytest.approx(1.0, abs=1e-5)
+
+
+def test_surface_scorer_typo_links():
+    cat = make_catalog(["Zormakel Systems", "Beltranov Labs", "Quilhulgar Corp"])
+    scorer = make_scorer(cat)
+    out = scorer(pa.table({"norm_text": pa.array(["zormkael systems", "beltrnaov labs"])}))
+    assert out["pred_id"].to_pylist() == ["000000", "000001"]
+
+
+def test_surface_scorer_candidate_list_sorted():
+    cat = make_catalog([f"Entity{chr(65+i)} Corp" for i in range(20)])
+    scorer = make_scorer(cat, top_k=5, extra_k=3)
+    out = scorer(pa.table({"norm_text": pa.array(["entitya corp"])}))
+    scores = out["candidate_scores"][0].as_py()
+    assert len(scores) == 8  # top_k + extra_k
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_tiled_topk_equals_untiled():
+    cat = make_catalog([f"Name{i:03d} {s}" for i, s in zip(range(50), ["Alpha", "Beta", "Gamma", "Delta", "Eps"] * 10)])
+    s_small = make_scorer(cat)
+    s_tiled = make_scorer(cat, catalog_tile=7)  # force many tiles
+    batch = pa.table({"norm_text": pa.array(["name007 beta", "name033 delta", "unrelated"])})
+    a, b = s_small(batch), s_tiled(batch)
+    assert a["candidates"].to_pylist() == b["candidates"].to_pylist()
+    assert a["pred_id"].to_pylist() == b["pred_id"].to_pylist()
+
+
+def test_split_candidates_hard_negatives_reference_semantics():
+    """candidates = pre-gold-removal prefix (may contain gold, dense.py:115);
+    hard_negatives exclude gold (dense.py:113-120)."""
+    batch = pa.table(
+        {
+            "uid": pa.array(["a", "b", "c"]),
+            "candidates": pa.array(
+                [
+                    ["e1", "e2", "e3", "e4", "e5"],
+                    ["x1", "x2", "x3", "x4", "x5"],
+                    ["g1", "g2", "n1", "n2", "n3"],
+                ]
+            ),
+            "gold_ids": pa.array([["e2"], [], ["g1", "g2"]]),
+        }
+    )
+    out = split_candidates_hard_negatives(batch, top_k=3)
+    assert out["candidates"].to_pylist() == [
+        ["e1", "e2", "e3"],   # gold e2 still present
+        ["x1", "x2", "x3"],
+        ["g1", "g2", "n1"],
+    ]
+    assert out["hard_negatives"].to_pylist() == [
+        ["e1", "e3", "e4"],   # gold e2 removed, backfilled from deeper ranks
+        ["x1", "x2", "x3"],
+        ["n1", "n2", "n3"],   # both golds removed
+    ]
+    # never contains gold (reference test_retriever.py:169-190 behavior)
+    for hn, g in zip(out["hard_negatives"].to_pylist(), batch["gold_ids"].to_pylist()):
+        assert not set(hn) & set(g)
