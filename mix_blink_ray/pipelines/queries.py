@@ -1,0 +1,575 @@
+"""Driver-facing query catalog: every operator from SURVEY.md §2 (plus the
+training-data-pipeline suite) as a named pipeline over the testdata tables,
+each with a DuckDB oracle SQL string where the semantics are SQL-expressible.
+
+Contract (``__ray_entry__.py``): each callable takes ``sf_dir`` and returns a
+Dataset / pandas DataFrame / pyarrow Table; column NAMES (and value rounding)
+match the oracle SQL exactly — the driver compares row count + schema +
+order-insensitive value hash.
+
+Float discipline: aggregates that sum floats are rounded (both sides) because
+distributed summation order differs from DuckDB's; ANN results return integer
+ranks only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..stages.ann import AnnConfig, knn_bruteforce, knn_lsh
+from ..stages.dedup import (
+    DedupConfig,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_near_dup_pairs,
+    simhash_fingerprints,
+)
+from ..stages.text_analysis import LangId, fingerprint_md5, quality_scores, token_stats
+
+__all__ = ["QUERIES", "ORACLE_SQL"]
+
+
+def _t(sf_dir: str, name: str, columns: list[str] | None = None):
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _round_col(col: pa.Array | pa.ChunkedArray, nd: int) -> pa.Array:
+    """DuckDB-bit-identical rounding: scale → integer round (half away from
+    zero, DuckDB's mode) → divide.  ``pc.round(x, nd)`` itself can return a
+    different f64 than DuckDB for the same logical decimal (e.g.
+    83.46000000000001 vs 83.46); integer/constant division is deterministic
+    on both sides.  SQL counterpart: ``CAST(round(expr * 10^nd) AS BIGINT) / 10^nd.0``."""
+    mult = float(10 ** nd)
+    scaled = pc.round(
+        pc.multiply(pc.cast(col, pa.float64()), pa.scalar(mult)),
+        round_mode="half_towards_infinity",
+    )
+    return pc.divide(pc.cast(scaled, pa.int64()), pa.scalar(mult))
+
+
+def _round(tbl: pa.Table, cols: dict[str, int]) -> pa.Table:
+    for c, nd in cols.items():
+        tbl = tbl.set_column(tbl.schema.get_field_index(c), c, _round_col(tbl[c], nd))
+    return tbl
+
+
+def _cents(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """2-decimal money column → exact integer cents.  Integer sums are exact
+    and order-independent in f64/int64, so distributed aggregation matches
+    DuckDB bit-for-bit — no rounding games (see module docstring)."""
+    return pc.cast(pc.round(pc.multiply(pc.cast(col, pa.float64()), pa.scalar(100.0))), pa.int64())
+
+
+# ── TPC-H-style relational operators (groupby/join/sort/limit) ──────────────
+
+
+def q1_pricing_summary(sf_dir: str):
+    """Grouped aggregate with exact integer-scaled money math (G1 analog)."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us"))))
+        price_c = _cents(b["l_extendedprice"])                      # cents, exact
+        disc_c = _cents(b["l_discount"])                            # discount in 1/100
+        disc_price = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "l_quantity": b["l_quantity"],
+                "price_c": price_c,
+                "disc_price_c4": disc_price,                        # price·(1-disc) in 10^-4
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("price_c", alias_name="base_c"),
+            Sum("disc_price_c4", alias_name="disc_c4"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "l_returnflag": b["l_returnflag"],
+                    "l_linestatus": b["l_linestatus"],
+                    "sum_qty": b["sum_qty"],
+                    "sum_base_price": pc.divide(pc.cast(b["base_c"], pa.float64()), pa.scalar(100.0)),
+                    "sum_disc_price": pc.divide(pc.cast(b["disc_c4"], pa.float64()), pa.scalar(10000.0)),
+                    "avg_qty": _round_col(b["avg_qty"], 4),
+                    "count_order": b["count_order"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def q3_top_orders(sf_dir: str):
+    """3-way join + grouped revenue + sort + limit (J/T operators)."""
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    cust_b = cust.map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING")), batch_format="pyarrow"
+    )
+    j1 = orders.join(cust_b, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
+    j2 = li.join(j1, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
+    rev = j2.map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "rev_c4": pc.multiply(
+                    _cents(b["l_extendedprice"]),
+                    pc.subtract(pa.scalar(100, pa.int64()), _cents(b["l_discount"])),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    agg = rev.groupby("l_orderkey").aggregate(Sum("rev_c4", alias_name="rev_c4"))
+    top = agg.sort(["rev_c4", "l_orderkey"], descending=[True, False]).limit(10)
+    return top.map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "revenue": pc.divide(pc.cast(b["rev_c4"], pa.float64()), pa.scalar(10000.0)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def nation_customer_stats(sf_dir: str):
+    """Broadcast dimension join (small side via driver lookup, J1 analog)."""
+    import ray
+
+    nation = _t(sf_dir, "nation").to_pandas()
+    lookup_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        import ray as _r
+
+        lut = _r.get(lookup_ref)
+        names = pa.array([lut[k] for k in batch["c_nationkey"].to_pylist()], pa.string())
+        return batch.append_column("n_name", names)
+
+    def enrich2(batch: pa.Table) -> pa.Table:
+        return enrich(batch).append_column("acct_c", _cents(batch["c_acctbal"]))
+
+    out = (
+        cust.map_batches(enrich2, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_customers"), Sum("acct_c", alias_name="acct_c"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "n_name": b["n_name"],
+                    "n_customers": b["n_customers"],
+                    "total_acctbal": pc.divide(pc.cast(b["acct_c"], pa.float64()), pa.scalar(100.0)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def orders_top10_value(sf_dir: str):
+    out = (
+        _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def supplier_nation_counts(sf_dir: str):
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"])
+    j = supp.join(nation, join_type="inner", num_partitions=4, on=("s_nationkey",), right_on=("n_nationkey",))
+    out = j.groupby("n_name").aggregate(Count(alias_name="n_suppliers"))
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def customer_segments(sf_dir: str):
+    ds = _t(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+    out = (
+        ds.map_batches(
+            lambda b: pa.table({"c_mktsegment": b["c_mktsegment"], "acct_c": _cents(b["c_acctbal"])}),
+            batch_format="pyarrow",
+        )
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n"), Sum("acct_c", alias_name="acct_c"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "c_mktsegment": b["c_mktsegment"],
+                    "n": b["n"],
+                    # exact integer cents / (100·n): identical f64 on both sides
+                    "avg_acctbal": _round_col(
+                        pc.divide(
+                            pc.cast(b["acct_c"], pa.float64()),
+                            pc.multiply(pc.cast(b["n"], pa.float64()), pa.scalar(100.0)),
+                        ),
+                        4,
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+# ── events: stream-shaped table (windowed aggregate, union, filters) ────────
+
+
+def events_by_type(sf_dir: str):
+    out = (
+        _t(sf_dir, "events", ["event_type", "value"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"), Max("value", alias_name="max_value"))
+    )
+    return _round(pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"total_value": 2, "max_value": 6})
+
+
+def events_hourly_window(sf_dir: str):
+    """Tumbling 1-hour event-time window per type (engine's window bucketing;
+    the reference has no time functions — north-rule addition)."""
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+    ds = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b["event_type"],
+                "hour": pc.floor_temporal(b["ts"], unit="hour"),
+                "value": b["value"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = ds.groupby(["event_type", "hour"]).aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
+    return _round(pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"total_value": 2})
+
+
+def events_union_extremes(sf_dir: str):
+    ds = _t(sf_dir, "events", ["event_id", "value"])
+    hi = ds.map_batches(lambda b: b.filter(pc.greater(b["value"], 99.0)), batch_format="pyarrow")
+    lo = ds.map_batches(lambda b: b.filter(pc.less(b["value"], 1.0)), batch_format="pyarrow")
+    return pa.Table.from_pandas(hi.union(lo).to_pandas(), preserve_index=False)
+
+
+def events_user_sessions(sf_dir: str):
+    """Per-user ordered window stat: event count + span seconds per user
+    (sorted within group — the groupby(key).map_groups streaming-window shape)."""
+    import pandas as pd
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def span(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        us = (g["ts"].iloc[-1].value - g["ts"].iloc[0].value) // 1000  # ns → µs, exact int
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "span_us": [int(us)],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(span, batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+# ── documents: text operators ───────────────────────────────────────────────
+
+
+def docs_normalize(sf_dir: str):
+    from ..functions.text import normalize
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "norm_text": pc.cast(normalize(b["text"]), pa.string())}),
+        batch_format="pyarrow",
+    )
+
+
+def docs_token_stats(sf_dir: str):
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: token_stats(b).drop_columns(["n_bpe_tokens"]), batch_format="pyarrow"
+    )
+
+
+def docs_tokens(sf_dir: str):
+    """Flat-map explode: one row per whitespace token (M1 flat-map analog)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.less(b["doc_id"], 20))
+        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(keep["text"]))
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        counts = pc.list_value_length(toks)
+        ids = pc.list_parent_indices(toks)
+        return pa.table(
+            {
+                "doc_id": pc.take(keep["doc_id"], ids),
+                "token": pc.cast(toks.flatten(), pa.string()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def docs_exact_dedup(sf_dir: str):
+    """Exact dedup keyed by full text (group → min id + copy count)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def docs_distinct_sources(sf_dir: str):
+    ds = _t(sf_dir, "documents", ["source"])
+    vals = sorted(ds.unique("source"))
+    return pa.table({"source": pa.array(vals, pa.string())})
+
+
+def docs_top_sources(sf_dir: str):
+    out = (
+        _t(sf_dir, "documents", ["source"])
+        .groupby("source")
+        .aggregate(Count(alias_name="n_docs"))
+        .sort(["n_docs", "source"], descending=[True, False])
+        .limit(5)
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def docs_filter_long(sf_dir: str):
+    ds = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+    return ds.map_batches(lambda b: b.filter(pc.greater(b["n_chars"], 300)), batch_format="pyarrow")
+
+
+def docs_fingerprint(sf_dir: str):
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(fingerprint_md5, batch_format="pyarrow")
+
+
+def docs_lang_id(sf_dir: str):
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2), batch_size=1024)
+
+
+def docs_quality(sf_dir: str):
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(quality_scores, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: _round(b, {"punct_ratio": 6, "stopword_ratio": 6, "mean_word_len": 6, "quality_score": 6}),
+        batch_format="pyarrow",
+    )
+
+
+def docs_minhash_near_dup(sf_dir: str):
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = minhash_near_dup_pairs(ds, DedupConfig(jaccard_threshold=0.5))
+    return _round(pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"est_jaccard": 6})
+
+
+def docs_simhash(sf_dir: str):
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_fingerprints(ds).select_columns(["doc_id", "simhash_hex"])
+
+
+# ── embeddings: similarity search ───────────────────────────────────────────
+
+
+def emb_knn_top5(sf_dir: str):
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_bruteforce(ds, query_ids=[0, 1, 2, 3, 4], cfg=AnnConfig(k=5))
+
+
+def emb_knn_lsh_top5(sf_dir: str):
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_lsh(ds, query_ids=[0, 1, 2, 3, 4], cfg=AnnConfig(k=5))
+
+
+def emb_norms(sf_dir: str):
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def norms(b: pa.Table) -> pa.Table:
+        from ..stages.ann import vectors_from_batch
+
+        v = vectors_from_batch(b["embedding"])
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "l2_norm": _round_col(pa.array(np.sqrt((v * v).sum(axis=1))), 4),
+            }
+        )
+
+    return ds.map_batches(norms, batch_format="pyarrow")
+
+
+def emb_near_dup(sf_dir: str):
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_near_dup_pairs(ds, DedupConfig(cosine_threshold=0.95)).to_pandas()
+    if out.empty:  # zero-block datasets lose their schema through to_pandas
+        return pa.table(
+            {
+                "a_id": pa.array([], pa.int64()),
+                "b_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    return _round(pa.Table.from_pandas(out, preserve_index=False), {"cosine": 6})
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "nation_customer_stats": nation_customer_stats,
+    "orders_top10_value": orders_top10_value,
+    "supplier_nation_counts": supplier_nation_counts,
+    "customer_segments": customer_segments,
+    "events_by_type": events_by_type,
+    "events_hourly_window": events_hourly_window,
+    "events_union_extremes": events_union_extremes,
+    "events_user_sessions": events_user_sessions,
+    "docs_normalize": docs_normalize,
+    "docs_token_stats": docs_token_stats,
+    "docs_tokens": docs_tokens,
+    "docs_exact_dedup": docs_exact_dedup,
+    "docs_distinct_sources": docs_distinct_sources,
+    "docs_top_sources": docs_top_sources,
+    "docs_filter_long": docs_filter_long,
+    "docs_fingerprint": docs_fingerprint,
+    "docs_lang_id": docs_lang_id,
+    "docs_quality": docs_quality,
+    "docs_minhash_near_dup": docs_minhash_near_dup,
+    "docs_simhash": docs_simhash,
+    "emb_knn_top5": emb_knn_top5,
+    "emb_knn_lsh_top5": emb_knn_lsh_top5,
+    "emb_norms": emb_norms,
+    "emb_near_dup": emb_near_dup,
+}
+
+
+ORACLE_SQL = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS sum_disc_price,
+               CAST(round(avg(l_quantity) * 10000) AS BIGINT) / 10000.0 AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_top_orders": """
+        SELECT l_orderkey,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey
+        ORDER BY sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) DESC, l_orderkey
+        LIMIT 10
+    """,
+    "nation_customer_stats": """
+        SELECT n_name, count(*) AS n_customers,
+               sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS total_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "orders_top10_value": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "supplier_nation_counts": """
+        SELECT n_name, count(*) AS n_suppliers FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "customer_segments": """
+        SELECT c_mktsegment, count(*) AS n,
+               CAST(round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / (count(*) * 100.0) * 10000) AS BIGINT) / 10000.0 AS avg_acctbal
+        FROM customer GROUP BY c_mktsegment
+    """,
+    "events_by_type": """
+        SELECT event_type, count(*) AS n, CAST(round(sum(value) * 100) AS BIGINT) / 100.0 AS total_value,
+               CAST(round(max(value) * 1000000) AS BIGINT) / 1000000.0 AS max_value
+        FROM events GROUP BY event_type
+    """,
+    "events_hourly_window": """
+        SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+               CAST(round(sum(value) * 100) AS BIGINT) / 100.0 AS total_value
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    "events_union_extremes": """
+        SELECT event_id, value FROM events WHERE value > 99.0
+        UNION ALL
+        SELECT event_id, value FROM events WHERE value < 1.0
+    """,
+    "events_user_sessions": """
+        SELECT user_id, count(*) AS n_events,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+        FROM events GROUP BY user_id
+    """,
+    "docs_normalize": """
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text
+        FROM documents
+    """,
+    "docs_token_stats": """
+        SELECT doc_id, length(text) AS n_chars,
+               array_length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    """,
+    "docs_tokens": """
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+        FROM documents WHERE doc_id < 20
+    """,
+    "docs_exact_dedup": """
+        SELECT text, min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents GROUP BY text
+    """,
+    "docs_distinct_sources": "SELECT DISTINCT source FROM documents",
+    "docs_top_sources": """
+        SELECT source, count(*) AS n_docs FROM documents
+        GROUP BY source ORDER BY n_docs DESC, source LIMIT 5
+    """,
+    "docs_filter_long": "SELECT doc_id, n_chars FROM documents WHERE n_chars > 300",
+    "docs_fingerprint": "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
+    "emb_norms": """
+        SELECT vec_id, CAST(round(sqrt(list_dot_product(embedding, embedding)) * 10000) AS BIGINT) / 10000.0 AS l2_norm
+        FROM embeddings
+    """,
+    "emb_knn_top5": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5)
+        SELECT query_id, vec_id, rank FROM (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id
+                   ) AS rank
+            FROM q CROSS JOIN embeddings e
+        ) WHERE rank <= 5
+    """,
+    # docs_lang_id, docs_quality, docs_minhash_near_dup, docs_simhash,
+    # emb_knn_lsh_top5, emb_near_dup, linkage_*: not SQL-expressible →
+    # rows-only checks (heuristics / sketches / seeded LSH / iterative algo).
+}

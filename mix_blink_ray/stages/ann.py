@@ -1,0 +1,189 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(baseline) and LSH-bucketed approximate top-k (scale path).
+
+Brute force is the broadcast pattern: the (small) query matrix is ``ray.put``
+once; every batch computes a partial top-k against it (numpy matmul), and the
+partials merge in one tiny final reduction — the corpus streams, nothing
+shuffles.  The LSH variant trades recall for touching only same-bucket
+candidates; its recall is measured against brute force in the tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+__all__ = ["AnnConfig", "knn_bruteforce", "knn_lsh", "vectors_from_batch"]
+
+
+@dataclass(frozen=True)
+class AnnConfig:
+    k: int = 5
+    n_planes: int = 4       # planes per hash table (bucket bits)
+    n_tables: int = 16      # independent hash tables (OR'd for recall)
+    # NOTE: with weakly-clustered corpora (top-k cosines ~0.3, as in the
+    # synthetic embeddings table) selective LSH is information-theoretically
+    # impossible; 4x16 degrades gracefully toward a scan, keeping recall high.
+    seed: int = 42
+
+
+def vectors_from_batch(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """list<float> / fixed_size_list<float> column → (n, d) float matrix."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        d = col.type.list_size
+        return np.asarray(col.flatten(), dtype=np.float64).reshape(len(col), d)
+    offs = np.asarray(col.offsets, dtype=np.int64)
+    widths = np.unique(np.diff(offs))
+    if len(widths) != 1:
+        raise ValueError(f"ragged embedding column (widths {widths[:5]})")
+    return np.asarray(col.flatten(), dtype=np.float64).reshape(len(col), int(widths[0]))
+
+
+class _PartialTopK:
+    """Actor: holds the broadcast unit-normalized query matrix; emits per-batch
+    partial top-k rows (query_id, vec_id, cosine)."""
+
+    def __init__(self, queries_ref, k: int):
+        self.k = k
+        q_ids, q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        norms = np.linalg.norm(q, axis=1, keepdims=True)
+        self.q_unit = np.divide(q, norms, where=norms > 0)
+        self.q_ids = q_ids
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = vectors_from_batch(batch["embedding"])
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        unit = np.divide(vecs, norms, where=norms > 0)
+        sims = self.q_unit @ unit.T  # (Q, n)
+        k = min(self.k, sims.shape[1])
+        ids = np.asarray(batch["vec_id"], dtype=np.int64)
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k] if k < sims.shape[1] else np.broadcast_to(
+            np.arange(sims.shape[1]), (sims.shape[0], sims.shape[1])
+        )
+        qn, kk = part.shape
+        rows = {
+            "query_id": pa.array(np.repeat(self.q_ids, kk)),
+            "vec_id": pa.array(ids[part.reshape(-1)]),
+            "cosine": pa.array(np.take_along_axis(sims, part, axis=1).reshape(-1)),
+        }
+        return pa.table(rows)
+
+
+def knn_bruteforce(embeddings: Dataset, query_ids: list[int], cfg: AnnConfig = AnnConfig()) -> pa.Table:
+    """Exact cosine top-k of every query vector against the whole corpus.
+
+    Returns a small pa.Table (query_id, vec_id, rank) — ranks only, so the
+    result is float-roundoff-proof for oracle comparison.  Deterministic
+    tie-break: (cosine desc, vec_id asc).
+    """
+    q_tbl = embeddings.map_batches(
+        lambda b: b.filter(pa.compute.is_in(b["vec_id"], value_set=pa.array(query_ids, pa.int64()))),
+        batch_format="pyarrow",
+    ).select_columns(["vec_id", "embedding"]).to_pandas()
+    q_ids = q_tbl["vec_id"].to_numpy()
+    q = np.stack([np.asarray(v, dtype=np.float64) for v in q_tbl["embedding"]])
+    queries_ref = ray.put((q_ids, q))
+
+    partials = embeddings.map_batches(
+        _PartialTopK,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": cfg.k},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        batch_size=4096,
+    ).to_pandas()
+
+    # final merge: tiny (Q × k × n_batches rows)
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True], kind="stable").head(cfg.k)
+        for rank, vec_id in enumerate(g["vec_id"], 1):
+            out.append((int(qid), int(vec_id), rank))
+    out.sort()
+    return pa.table(
+        {
+            "query_id": pa.array([o[0] for o in out], pa.int64()),
+            "vec_id": pa.array([o[1] for o in out], pa.int64()),
+            "rank": pa.array([o[2] for o in out], pa.int64()),
+        }
+    )
+
+
+def knn_lsh(embeddings: Dataset, query_ids: list[int], cfg: AnnConfig = AnnConfig()) -> pa.Table:
+    """Approximate top-k: multi-table random-hyperplane LSH — a vector is a
+    candidate if it shares a bucket with the query in ANY of ``n_tables``
+    independent tables (the classic recall lever).  Returns
+    (query_id, vec_id, rank); recall vs brute force is asserted in tests."""
+    q_tbl = embeddings.map_batches(
+        lambda b: b.filter(pa.compute.is_in(b["vec_id"], value_set=pa.array(query_ids, pa.int64()))),
+        batch_format="pyarrow",
+    ).select_columns(["vec_id", "embedding"]).to_pandas()
+    q_ids = q_tbl["vec_id"].to_numpy()
+    q = np.stack([np.asarray(v, dtype=np.float64) for v in q_tbl["embedding"]])
+    qn = np.linalg.norm(q, axis=1, keepdims=True)
+    q_unit = np.divide(q, qn, where=qn > 0)
+
+    rng = np.random.RandomState(cfg.seed)
+    # dimension discovered from the first query vector
+    planes = rng.randn(q.shape[1], cfg.n_tables * cfg.n_planes)
+
+    def bucket_keys(mat: np.ndarray) -> np.ndarray:
+        """(n, n_tables) int64 bucket keys, one per hash table."""
+        signs = (mat @ planes) > 0
+        keys = np.zeros((mat.shape[0], cfg.n_tables), dtype=np.int64)
+        for t in range(cfg.n_tables):
+            for j in range(cfg.n_planes):
+                keys[:, t] |= signs[:, t * cfg.n_planes + j].astype(np.int64) << j
+        return keys
+
+    q_keys = bucket_keys(q_unit)
+    probe_sets = [np.unique(q_keys[:, t]) for t in range(cfg.n_tables)]
+    probe_arr = ray.put((q_ids, q_unit, probe_sets))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ids_, qu, probes = ray.get(probe_arr)
+        vecs = vectors_from_batch(batch["embedding"])
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        unit = np.divide(vecs, norms, where=norms > 0)
+        keys = bucket_keys(unit)
+        mask = np.zeros(len(keys), dtype=bool)
+        for t in range(cfg.n_tables):
+            mask |= np.isin(keys[:, t], probes[t])
+        if not mask.any():
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        cand_ids = np.asarray(batch["vec_id"], dtype=np.int64)[mask]
+        sims = qu @ unit[mask].T
+        qn_, cn = sims.shape
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(ids_, cn)),
+                "vec_id": pa.array(np.tile(cand_ids, qn_)),
+                "cosine": pa.array(sims.reshape(-1)),
+            }
+        )
+
+    partials = embeddings.map_batches(scan, batch_format="pyarrow").to_pandas()
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True], kind="stable").head(cfg.k)
+        for rank, vec_id in enumerate(g["vec_id"], 1):
+            out.append((int(qid), int(vec_id), rank))
+    out.sort()
+    return pa.table(
+        {
+            "query_id": pa.array([o[0] for o in out], pa.int64()),
+            "vec_id": pa.array([o[1] for o in out], pa.int64()),
+            "rank": pa.array([o[2] for o in out], pa.int64()),
+        }
+    )

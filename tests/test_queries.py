@@ -1,0 +1,101 @@
+"""Mirror of the driver's correctness gate: every queries() entry runs at
+sf0.001; SQL-oracled ones must match DuckDB exactly (rows, schema names,
+order-insensitive values)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def normalize_df(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def to_pandas(result) -> pd.DataFrame:
+    if hasattr(result, "to_pandas"):
+        return result.to_pandas()
+    return pd.DataFrame(result)
+
+
+SQL_ORACLED = sorted(entrymod.oracle_sql())
+ALL_QUERIES = sorted(entrymod.queries())
+
+
+@pytest.mark.parametrize("name", SQL_ORACLED)
+def test_query_matches_duckdb(name, con):
+    fns = entrymod.queries()
+    got = normalize_df(to_pandas(fns[name](SF_DIR)))
+    want = normalize_df(con.sql(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns), (list(got.columns), list(want.columns))
+    assert len(got) == len(want), (len(got), len(want))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("name", [q for q in ALL_QUERIES if q not in SQL_ORACLED and not q.startswith("linkage")])
+def test_rows_only_queries_run(name):
+    fns = entrymod.queries()
+    df = to_pandas(fns[name](SF_DIR))
+    assert df is not None
+    assert len(df.columns) > 0
+
+
+def test_every_oracle_has_query():
+    qs, sqls = set(entrymod.queries()), set(entrymod.oracle_sql())
+    assert sqls <= qs
+
+
+def test_ann_lsh_recall_vs_bruteforce():
+    fns = entrymod.queries()
+    exact = to_pandas(fns["emb_knn_top5"](SF_DIR))
+    approx = to_pandas(fns["emb_knn_lsh_top5"](SF_DIR))
+    e = set(map(tuple, exact[["query_id", "vec_id"]].itertuples(index=False)))
+    a = set(map(tuple, approx[["query_id", "vec_id"]].itertuples(index=False)))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, recall  # approximate by design; multi-probe keeps it useful
+
+
+def test_entry_smoke():
+    res = entrymod.entry()
+    df = to_pandas(res)
+    assert len(df) > 0
+    assert "cluster_id" in df.columns
+
+
+def test_linkage_candidates_query():
+    df = to_pandas(entrymod.queries()["linkage_candidates"](SF_DIR))
+    assert len(df) > 0
+    assert set(df.columns) == {"mention_uid", "candidates", "hard_negatives"}
+    assert df["candidates"].map(len).max() <= 10
+    assert df["hard_negatives"].map(len).max() <= 10
+
+
+def test_linkage_eval_query():
+    df = to_pandas(entrymod.queries()["linkage_eval"](SF_DIR)).set_index("metric")["value"]
+    assert df["pairwise_f1"] >= 0.99
+    assert df["recall@10"] >= 0.95
+    assert 0 < df["mrr"] <= 1
