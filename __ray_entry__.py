@@ -33,7 +33,7 @@ from mix_blink_ray.stages.scoring import split_candidates_hard_negatives
 
 # Deterministic synthetic transcript corpus scale per testdata sf tier
 # (the linkage pipeline's own input — BASELINE.json input_hint shape).
-_SF_TO_TURNS = {"0.001": 3_000, "0.01": 16_000, "0.1": 64_000}
+_SF_TO_TURNS = {"0.001": 3_000, "0.01": 16_000, "0.1": 8_000_000}
 
 
 def _synth_paths(sf_dir: str) -> dict[str, str]:

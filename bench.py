@@ -1,0 +1,152 @@
+"""Benchmark harness: headline linkage pipeline + representative operator
+queries over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "linkage_e2e_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "turns": T, "turns_per_sec": T/sec}
+
+``--scaling``: runs the same bench in two fresh processes at num_cpus=8 and
+num_cpus=32 on the same input and reports throughputs + scaling efficiency
+(the sandbox proxy for the N→4N-node criterion; see BASELINE.md).
+
+This script OWNS its Ray session (init+shutdown) — the library never does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+
+    # Generate (cached) synthetic transcripts for the headline pipeline and
+    # warm the page cache with one untimed read of every input.
+    paths = entry._synth_paths(sf_dir)
+    import pyarrow.dataset as pads
+
+    n_turns = pads.dataset(paths["transcripts"]).count_rows()
+    for t in ("lineitem", "orders", "customer", "documents", "embeddings", "events"):
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            pq.read_table(p)
+    pads.dataset(paths["transcripts"]).to_table()
+
+    # Warm the Ray worker pool (process spawn + heavy imports) so the timed
+    # region measures the pipeline, not cold-start — one task per CPU slot.
+    def _warm(batch):
+        import mix_blink_ray  # noqa: F401 — pay import cost now
+        import mix_blink_ray.pipelines.linkage  # noqa: F401
+
+        return batch
+
+    rd.range(num_cpus * 2, override_num_blocks=num_cpus * 2).map_batches(
+        _warm, batch_size=1
+    ).count()
+
+    # ── headline: full three-stage linkage, consumed via write_parquet ──────
+    import shutil
+
+    out_dir = "/tmp/mbr_bench_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    res = entry._linkage_result(sf_dir)[0]
+    res.mentions.write_parquet(out_dir)
+    headline_sec = time.time() - t0
+
+    # ── representative operator queries ─────────────────────────────────────
+    bench_queries = [
+        "q1_pricing_summary",
+        "q3_top_orders",
+        "events_hourly_window",
+        "docs_minhash_near_dup",
+        "docs_quality",
+        "emb_knn_top5",
+        "docs_exact_dedup",
+    ]
+    qs = entry.queries()
+    q_times: dict[str, float] = {}
+    for name in bench_queries:
+        tq = time.time()
+        out = qs[name](sf_dir)
+        if hasattr(out, "to_pandas"):
+            out.to_pandas() if not hasattr(out, "materialize") else out.materialize()
+        q_times[name] = round(time.time() - tq, 3)
+
+    result = {
+        "metric": "linkage_e2e_sec",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "turns": int(n_turns),
+        "turns_per_sec": round(n_turns / headline_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+    results = {}
+    for n in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        results[n] = json.loads(out.strip().splitlines()[-1])
+    thr_lo = results[lo]["turns_per_sec"]
+    thr_hi = results[hi]["turns_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                f"sec_{lo}": results[lo]["value"],
+                f"sec_{hi}": results[hi]["value"],
+                f"turns_per_sec_{lo}": thr_lo,
+                f"turns_per_sec_{hi}": thr_hi,
+                "sf": results[hi]["sf"],
+                "turns": results[hi]["turns"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,141 @@
+"""CLI entry points — the engine analog of the reference's console scripts
+(``pyproject.toml:30-34``: get_candidate / build_index / blink_train /
+blink_eval), re-cut along the engine's stage boundaries:
+
+    python -m mix_blink_ray.cli synth   --turns 64000 --out /tmp/corpus
+    python -m mix_blink_ray.cli ingest  --conll file.conll --out /tmp/corpus
+    python -m mix_blink_ray.cli link    --transcripts DIR --catalog FILE --out DIR
+    python -m mix_blink_ray.cli eval    --transcripts DIR --catalog FILE --gold FILE
+    python -m mix_blink_ray.cli bench   (alias of bench.py)
+
+Only this module (and bench.py / the test fixture) owns a Ray session; the
+library never calls ray.init.  Submit via ``ray job submit -- python -m
+mix_blink_ray.cli link ...`` on a real cluster.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_synth(args) -> None:
+    from .sources.synth import config_for_scale, generate_cached
+
+    if args.num_cpus:
+        _ray_session(args.num_cpus)
+    paths = generate_cached(config_for_scale(args.turns, seed=args.seed), cache_root=args.out)
+    print(json.dumps(paths))
+
+
+def cmd_ingest(args) -> None:
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .sources.conll import conll_to_tables
+
+    with open(args.conll) as f:
+        transcripts, spans = conll_to_tables(f.read().splitlines())
+    os.makedirs(args.out, exist_ok=True)
+    pq.write_table(transcripts, os.path.join(args.out, "transcripts.parquet"))
+    pq.write_table(spans, os.path.join(args.out, "spans.parquet"))
+    print(json.dumps({"turns": transcripts.num_rows, "spans": spans.num_rows, "out": args.out}))
+
+
+def cmd_link(args) -> None:
+    import pyarrow.parquet as pq
+
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .pipelines.linkage import LinkageConfig, run_linkage
+
+    cfg = LinkageConfig(work_dir=args.work_dir, scoring_strategy=args.strategy)
+    res = run_linkage(rd.read_parquet(args.transcripts), pq.read_table(args.catalog), cfg)
+    res.mentions.write_parquet(args.out)
+    n = rd.read_parquet(args.out).count()
+    print(json.dumps({"mentions": n, "out": args.out}))
+    ray.shutdown()
+
+
+def cmd_eval(args) -> None:
+    import pyarrow.parquet as pq
+
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .evaluation.metrics import labeled_pairs_from_gold, pairwise_prf
+    from .pipelines.linkage import LinkageConfig, run_linkage
+    from .sources.synth import NIL_ID
+
+    res = run_linkage(
+        rd.read_parquet(args.transcripts), pq.read_table(args.catalog), LinkageConfig()
+    )
+    mdf = res.mentions.to_pandas()
+    cluster_of = {
+        u: (c if p != NIL_ID else f"singleton:{u}")
+        for u, c, p in zip(mdf["mention_uid"], mdf["cluster_id"], mdf["pred_id"])
+    }
+    gold = pq.read_table(args.gold)
+    prf = pairwise_prf(labeled_pairs_from_gold(gold), cluster_of)
+    print(json.dumps(prf))
+    ray.shutdown()
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="mix_blink_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("synth", help="generate the deterministic synthetic corpus")
+    sp.add_argument("--turns", type=int, default=64000)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--out", default="/tmp/mbr_synth")
+    sp.add_argument("--num-cpus", type=int, default=None)
+    sp.set_defaults(fn=cmd_synth)
+
+    ip = sub.add_parser("ingest", help="convert CoNLL to transcript + span parquet")
+    ip.add_argument("--conll", required=True)
+    ip.add_argument("--out", required=True)
+    ip.set_defaults(fn=cmd_ingest)
+
+    lp = sub.add_parser("link", help="run blocking→scoring→clustering")
+    lp.add_argument("--transcripts", required=True)
+    lp.add_argument("--catalog", required=True)
+    lp.add_argument("--out", required=True)
+    lp.add_argument("--work-dir", default=None)
+    lp.add_argument("--strategy", default="auto", choices=["auto", "contract", "stream"])
+    lp.add_argument("--num-cpus", type=int, default=None)
+    lp.set_defaults(fn=cmd_link)
+
+    ep = sub.add_parser("eval", help="pairwise P/R/F1 vs a gold mentions table")
+    ep.add_argument("--transcripts", required=True)
+    ep.add_argument("--catalog", required=True)
+    ep.add_argument("--gold", required=True)
+    ep.add_argument("--num-cpus", type=int, default=None)
+    ep.set_defaults(fn=cmd_eval)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

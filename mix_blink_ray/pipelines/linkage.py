@@ -36,7 +36,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Count
+from ray.data.aggregate import Count, Sum
 
 from ..functions.encoder import Encoder, HashNgramEncoder
 from ..sources.synth import NIL_ID
@@ -57,17 +57,44 @@ __all__ = ["LinkageConfig", "LinkageResult", "run_linkage", "entity_dup_edges"]
 M_PREFIX = "m:"
 E_PREFIX = "e:"
 
+# Per-worker-process scorer cache for the stateless-task scoring path: Ray
+# reuses worker processes, so the broadcast index is fetched and unpacked once
+# per worker, not once per batch.  Bounded: evicted FIFO beyond a few runs.
+_WORKER_SCORER_CACHE: dict = {}
+
+
+def _cached_scorer(key: str, factory):
+    scorer = _WORKER_SCORER_CACHE.get(key)
+    if scorer is None:
+        if len(_WORKER_SCORER_CACHE) >= 4:
+            _WORKER_SCORER_CACHE.pop(next(iter(_WORKER_SCORER_CACHE)))
+        scorer = factory()
+        _WORKER_SCORER_CACHE[key] = scorer
+    return scorer
+
 
 @dataclass(frozen=True)
 class LinkageConfig:
     blocking: BlockingConfig = field(default_factory=BlockingConfig)
     scoring: ScoringConfig = field(default_factory=ScoringConfig)
     emit_mention_edges: bool = False
-    scorer_concurrency: tuple[int, int] = (1, 4)   # actor-pool autoscale bounds
-    scorer_batch_size: int = 4096
+    scorer_concurrency: tuple[int, int] = (1, 8)   # actor-pool autoscale bounds
+    scorer_batch_size: int = 1024
+    # Stateless tasks + a per-worker scorer cache beat an actor pool for the
+    # cheap hash-n-gram encoder (no spin-up, elastic).  Flip on for encoders
+    # with expensive __init__ (HF model load) where the pool amortizes it.
+    use_scorer_actors: bool = False
     join_partitions: int = 8
     cluster_mode: str = "auto"
     work_dir: str | None = None   # spill reused intermediates to parquet (resumable)
+    broadcast_threshold: int = 2_000_000   # distinct surfaces ≤ this → map-side join
+    # "stream": single fused pass (extract→score→label), per-worker surface
+    #   caches, ZERO mention-sized shuffles — the fast path when mentions
+    #   anchor to entities only.  "contract": distinct-surface groupby before
+    #   scoring — wins when distinct cardinality ≫ worker cache budget or
+    #   when mention-mention edges are on.  "auto" picks stream when legal.
+    scoring_strategy: str = "auto"
+    stream_cache_limit: int = 1_000_000   # per-worker surface-cache entries
 
 
 @dataclass
@@ -79,11 +106,99 @@ class LinkageResult:
     stage_metrics: dict
 
 
+_DUP_LOCAL_THRESHOLD = 100_000
+
+
+def _entity_dup_edges_local(catalog: pa.Table, cfg: LinkageConfig) -> pa.Table:
+    """Single-task vectorized catalog self-dedup (same blocking + scoring
+    semantics as the distributed path).  For catalogs that fit one worker,
+    20k Python map_groups calls cost more than the whole computation."""
+    from ..functions.hashing import char_ngram_hashes, flat_utf8, hash_strings, lsh_band_keys, minhash_signatures
+    from ..functions.strings import jaro_winkler_pairs, pad_codes
+    from ..functions.text import normalize
+
+    bc, sc = cfg.blocking, cfg.scoring
+    norm = normalize(catalog["name"])
+    norm = norm.combine_chunks() if isinstance(norm, pa.ChunkedArray) else norm
+    ids = np.asarray(catalog["entity_id"].to_pylist(), dtype=object)
+    v = len(ids)
+    empty = pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
+    if v < 2:
+        return empty
+
+    data, off = flat_utf8(norm)
+    grams, rows = char_ngram_hashes(data, off, n=bc.ngram)
+    sig = minhash_signatures(grams, rows, v, num_perms=bc.num_perms, seed=bc.seed)
+    keys = np.concatenate(
+        [lsh_band_keys(sig, bc.num_bands), hash_strings(data, off).view(np.int64)[:, None]],
+        axis=1,
+    )
+    flat_keys = keys.reshape(-1)
+    flat_idx = np.tile(np.arange(v, dtype=np.int64), (keys.shape[1], 1)).T.reshape(-1)
+    order = np.argsort(flat_keys, kind="stable")
+    sk, si = flat_keys[order], flat_idx[order]
+    bounds = np.concatenate([[0], np.flatnonzero(np.diff(sk)) + 1, [len(sk)]])
+    pair_codes: list[np.ndarray] = []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if e - s < 2:
+            continue
+        members = np.unique(si[s:e])
+        if len(members) < 2:
+            continue
+        iu, ju = np.triu_indices(len(members), k=1)
+        pair_codes.append(members[iu] * v + members[ju])
+    if not pair_codes:
+        return empty
+    codes = np.unique(np.concatenate(pair_codes))
+    ai, bi = codes // v, codes % v
+    est = (sig[ai] == sig[bi]).mean(axis=1)
+    names_np = np.asarray(norm.to_pylist(), dtype=object)
+    keep = (est >= sc.tau_pair_jaccard) | (names_np[ai] == names_np[bi])
+    ai, bi = ai[keep], bi[keep]
+    if not len(ai):
+        return empty
+
+    from ..functions.encoder import HashNgramEncoder
+
+    enc = HashNgramEncoder(dim=sc.encoder_dim)
+    emb = enc.encode(norm)
+    cos = (emb[ai] * emb[bi]).sum(axis=1)
+    am, al = pad_codes(pa.array(names_np[ai], pa.string()))
+    bm, bl = pad_codes(pa.array(names_np[bi], pa.string()))
+    L = max(am.shape[1], bm.shape[1], 1)
+
+    def padto(m):
+        if m.shape[1] == L:
+            return m
+        out = np.zeros((m.shape[0], L), np.uint8)
+        out[:, : m.shape[1]] = m
+        return out
+
+    jw = jaro_winkler_pairs(padto(am), al, padto(bm), bl)
+    is_edge = (cos >= sc.tau_edge_entity) | ((jw >= sc.tau_jw) & (cos >= sc.tau_nil))
+    ai, bi = ai[is_edge], bi[is_edge]
+    lo = np.where(ids[ai] < ids[bi], ai, bi)
+    hi = np.where(ids[ai] < ids[bi], bi, ai)
+    return pa.table(
+        {
+            "src": pa.array([E_PREFIX + x for x in ids[lo]], pa.string()),
+            "dst": pa.array([E_PREFIX + x for x in ids[hi]], pa.string()),
+        }
+    )
+
+
 def entity_dup_edges(catalog: pa.Table, cfg: LinkageConfig) -> Dataset:
     """Catalog self-dedup: LSH blocking over entity names → in-block pairs →
     exact scoring → entity↔entity edges (duplicate catalog ids — the source of
-    the reference's multi-label golds, ``dataset_toy.jsonl:3`` analog)."""
+    the reference's multi-label golds, ``dataset_toy.jsonl:3`` analog).
+
+    Small catalogs (≤ ``_DUP_LOCAL_THRESHOLD``) run the identical semantics as
+    one vectorized task; bigger catalogs take the distributed
+    groupby(block_key) path below."""
     from ..functions.text import normalize
+
+    if catalog.num_rows <= _DUP_LOCAL_THRESHOLD:
+        return ray.data.from_arrow(_entity_dup_edges_local(catalog, cfg))
 
     ents = pa.table(
         {
@@ -106,13 +221,13 @@ def entity_dup_edges(catalog: pa.Table, cfg: LinkageConfig) -> Dataset:
         .groupby(["a_id", "b_id"])
         .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")  # dedup across bands
     )
-    scored = pairs.map_batches(
-        PairScorer,
-        fn_constructor_kwargs={"cfg": cfg.scoring},
-        batch_format="pyarrow",
-        concurrency=(1, 2),
-        batch_size=8192,
-    )
+    pair_cfg = cfg.scoring
+
+    def pair_scorer_fn(batch):
+        scorer = _cached_scorer(f"pair:{pair_cfg!r}", lambda: PairScorer(pair_cfg))
+        return scorer(batch)
+
+    scored = pairs.map_batches(pair_scorer_fn, batch_format="pyarrow", batch_size=8192)
     return scored.filter(expr="is_edge == True").map_batches(
         lambda b: pa.table(
             {
@@ -158,6 +273,141 @@ def _empty_result(catalog: pa.Table) -> "LinkageResult":
     )
 
 
+def _contract_surfaces(mentions: Dataset) -> Dataset:
+    """Distinct-surface contraction: map-side combine (hot repeated text
+    collapses per batch), then a groupby on a 256-way integer hash bucket —
+    shuffling/sorting int64 keys is several times faster than sorting the
+    surface strings themselves — with an exact vectorized per-bucket distinct."""
+    from ..functions.hashing import flat_utf8, hash_strings
+
+    def partial_distinct_bucket(b: pa.Table) -> pa.Table:
+        g = b.group_by("norm_text").aggregate([("norm_text", "count")]).rename_columns(
+            ["norm_text", "n_mentions"]
+        )
+        h = (hash_strings(*flat_utf8(g["norm_text"])) % np.uint64(256)).astype(np.int64)
+        return g.append_column("bucket", pa.array(h))
+
+    def bucket_distinct(g: pa.Table) -> pa.Table:
+        return g.group_by("norm_text").aggregate([("n_mentions", "sum")]).rename_columns(
+            ["norm_text", "n_mentions"]
+        )
+
+    return (
+        mentions.map_batches(partial_distinct_bucket, batch_format="pyarrow", batch_size=32768)
+        .groupby("bucket")
+        .map_groups(bucket_distinct, batch_format="pyarrow")
+    )
+
+
+class _StreamScoreState:
+    """Per-worker state for the stream strategy: scorer + surface→result cache
+    + entity→cluster-label lookup (all built once per worker process)."""
+
+    def __init__(self, catalog_ref, cfg: ScoringConfig, encoder, label_ref, cache_limit: int):
+        self.scorer = SurfaceScorer(catalog_ref, cfg, encoder)
+        self.labels: dict[str, str] = (
+            ray.get(label_ref) if isinstance(label_ref, ray.ObjectRef) else label_ref
+        )
+        self.cache: dict[str, tuple] = {}
+        self.cache_limit = cache_limit
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        uniq = pc.unique(batch["norm_text"])
+        uniq_py = uniq.to_pylist()
+        missing = [s for s in uniq_py if s not in self.cache]
+        if missing:
+            scored = self.scorer(pa.table({"norm_text": pa.array(missing, pa.string())}))
+            if len(self.cache) + len(missing) > self.cache_limit:
+                self.cache.clear()
+            for s, p, b, sc_ in zip(
+                missing,
+                scored["pred_id"].to_pylist(),
+                scored["best_id"].to_pylist(),
+                scored["best_score"].to_pylist(),
+            ):
+                self.cache[s] = (p, b, sc_)
+        rows = [self.cache[s] for s in uniq_py]
+        pred_u = pa.array([r[0] for r in rows], pa.string())
+        best_u = pa.array([r[1] for r in rows], pa.string())
+        score_u = pa.array([r[2] for r in rows], pa.float32())
+        label_u = pa.array(
+            [self.labels.get(r[0]) for r in rows], pa.string()
+        )  # None for NIL → filled per mention below
+        pos = pc.index_in(batch["norm_text"], value_set=uniq)
+        out = batch.append_column("pred_id", pc.take(pred_u, pos))
+        out = out.append_column("best_id", pc.take(best_u, pos))
+        out = out.append_column("best_score", pc.take(score_u, pos))
+        ent_label = pc.take(label_u, pos)
+        own = pc.binary_join_element_wise(
+            pa.array([M_PREFIX] * out.num_rows, pa.string()), out["mention_uid"], ""
+        )
+        cluster = pc.if_else(pc.is_null(ent_label), own, ent_label)
+        return out.append_column("cluster_id", cluster)
+
+
+def _run_linkage_stream(
+    transcripts: Dataset,
+    catalog: pa.Table,
+    cfg: LinkageConfig,
+    encoder: Encoder | None,
+) -> LinkageResult:
+    """The zero-shuffle fast path: one fused map chain
+    read → extract → (score + cluster-label) → consumer.  Entity-graph
+    clustering (catalog-sized) is precomputed and broadcast; per-worker
+    surface caches collapse hot duplicate text without a global contraction.
+    Produces byte-identical output to the contract strategy."""
+    ee_edges = entity_dup_edges(catalog, cfg).materialize()
+    e_nodes = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pc.binary_join_element_wise(
+                    pa.array([E_PREFIX] * catalog.num_rows, pa.string()), catalog["entity_id"], ""
+                )
+            }
+        )
+    )
+    clusters = cluster_nodes(
+        ee_edges, e_nodes, mode=cfg.cluster_mode, num_partitions=cfg.join_partitions
+    ).materialize()
+    cdf = clusters.to_pandas()
+    label_lut = {
+        node[len(E_PREFIX):]: label for node, label in zip(cdf["node"], cdf["label"])
+    }
+    index = build_catalog_index(catalog, encoder, cfg.scoring)
+    catalog_ref = ray.put(index)
+    label_ref = ray.put(label_lut)
+    sc_cfg = cfg.scoring
+    key = f"stream:{catalog_ref.hex()}:{sc_cfg!r}"
+
+    def score_attach(batch: pa.Table) -> pa.Table:
+        state = _cached_scorer(
+            key,
+            lambda: _StreamScoreState(catalog_ref, sc_cfg, encoder, label_ref, cfg.stream_cache_limit),
+        )
+        return state(batch)
+
+    mentions = transcripts.map_batches(extract_mentions, batch_format="pyarrow")
+    mentions_out = mentions.map_batches(score_attach, batch_format="pyarrow")
+
+    # surface_preds: same contract-path graph, LAZY — only runs if consumed.
+    def scorer_fn(batch: pa.Table) -> pa.Table:
+        scorer = _cached_scorer(
+            f"surf:{catalog_ref.hex()}:{sc_cfg!r}", lambda: SurfaceScorer(catalog_ref, sc_cfg, encoder)
+        )
+        return scorer(batch)
+
+    surface_preds = _contract_surfaces(mentions).map_batches(
+        scorer_fn, batch_format="pyarrow", batch_size=cfg.scorer_batch_size
+    )
+    return LinkageResult(
+        mentions=mentions_out,
+        surface_preds=surface_preds,
+        entity_edges=ee_edges,
+        clusters=clusters,
+        stage_metrics={"strategy": "stream"},
+    )
+
+
 def run_linkage(
     transcripts: Dataset,
     catalog: pa.Table,
@@ -167,6 +417,16 @@ def run_linkage(
     """Run the full three-stage linkage program.  ``catalog`` is the (small)
     entity table — broadcast once via ``ray.put``, read in every scorer actor's
     ``__init__``, never re-shipped per batch."""
+    strategy = cfg.scoring_strategy
+    if strategy == "auto":
+        # contract (shuffle-based distinct) is the default: the stream
+        # strategy's per-worker caches duplicate scoring work ∝ #workers and
+        # ANTI-scale beyond one node (measured: 32 cpus slower than 8).
+        strategy = "contract"
+    if strategy == "stream":
+        if cfg.emit_mention_edges:
+            raise ValueError("stream strategy requires emit_mention_edges=False")
+        return _run_linkage_stream(transcripts, catalog, cfg, encoder)
     metrics: dict = {}
 
     def persist(ds: Dataset, name: str) -> Dataset:
@@ -202,32 +462,74 @@ def run_linkage(
     )
     if mentions.count() == 0:
         return _empty_result(catalog)
-    surfaces = mentions.groupby("norm_text").aggregate(Count(alias_name="n_mentions"))
+
+    surfaces = _contract_surfaces(mentions)
 
     # ── stage 2a: surface → catalog top-k on a broadcast index ───────────────
     index = build_catalog_index(catalog, encoder, cfg.scoring)
     catalog_ref = ray.put(index)
-    surface_preds = surfaces.map_batches(
-        SurfaceScorer,
-        fn_constructor_kwargs={"catalog_ref": catalog_ref, "cfg": cfg.scoring, "encoder": encoder},
-        batch_format="pyarrow",
-        concurrency=cfg.scorer_concurrency,
-        batch_size=cfg.scorer_batch_size,
-    ).materialize()  # small: one row per DISTINCT surface; reused twice below
+    if cfg.use_scorer_actors:
+        surface_preds = surfaces.map_batches(
+            SurfaceScorer,
+            fn_constructor_kwargs={"catalog_ref": catalog_ref, "cfg": cfg.scoring, "encoder": encoder},
+            batch_format="pyarrow",
+            concurrency=cfg.scorer_concurrency,
+            batch_size=cfg.scorer_batch_size,
+        ).materialize()
+    else:
+        scorer_key = f"{catalog_ref.hex()}:{cfg.scoring!r}"
+        sc_cfg = cfg.scoring
+
+        def scorer_fn(batch: pa.Table) -> pa.Table:
+            scorer = _cached_scorer(
+                scorer_key, lambda: SurfaceScorer(catalog_ref, sc_cfg, encoder)
+            )
+            return scorer(batch)
+
+        surface_preds = surfaces.map_batches(
+            scorer_fn, batch_format="pyarrow", batch_size=cfg.scorer_batch_size
+        ).materialize()  # small: one row per DISTINCT surface; reused below
 
     # ── join predictions back to mentions (keyed, order-free) ────────────────
+    # The contracted surface table is usually ≪ mentions: broadcast it and do
+    # a map-side lookup (no shuffle).  Above `broadcast_threshold` distinct
+    # surfaces, fall back to the partitioned hash join.
     from ..stages.clustering import clamped_partitions
 
-    n_parts = clamped_partitions(surface_preds.count(), cfg.join_partitions)
-    mentions_pred = persist(
-        mentions.join(
-            surface_preds.select_columns(["norm_text", "pred_id", "best_id", "best_score"]),
-            join_type="left_outer",
-            num_partitions=n_parts,
-            on=("norm_text",),
-        ),
-        "mentions_pred",
-    )
+    n_surfaces = surface_preds.count()
+    n_parts = clamped_partitions(n_surfaces, cfg.join_partitions)
+    if n_surfaces <= cfg.broadcast_threshold:
+        pred_tbl = pa.Table.from_pandas(
+            surface_preds.select_columns(
+                ["norm_text", "pred_id", "best_id", "best_score"]
+            ).to_pandas(),
+            preserve_index=False,
+        )
+        pred_ref = ray.put(pred_tbl)
+
+        def attach_pred(batch: pa.Table) -> pa.Table:
+            tbl = ray.get(pred_ref) if isinstance(pred_ref, ray.ObjectRef) else pred_ref
+            pos = pc.index_in(batch["norm_text"], value_set=tbl["norm_text"].combine_chunks())
+            for col in ("pred_id", "best_id", "best_score"):
+                batch = batch.append_column(col, pc.take(tbl[col], pos))
+            return batch
+
+        # LAZY in the fast path: attach_pred has exactly one consumer there
+        # (the cluster-label map), so the chain fuses into one pass over
+        # mentions; persisting it would cost a full extra materialization.
+        mentions_pred = mentions.map_batches(attach_pred, batch_format="pyarrow")
+        if cfg.emit_mention_edges or cfg.work_dir:
+            mentions_pred = persist(mentions_pred, "mentions_pred")
+    else:
+        mentions_pred = persist(
+            mentions.join(
+                surface_preds.select_columns(["norm_text", "pred_id", "best_id", "best_score"]),
+                join_type="left_outer",
+                num_partitions=n_parts,
+                on=("norm_text",),
+            ),
+            "mentions_pred",
+        )
 
     # ── edges ────────────────────────────────────────────────────────────────
     def mention_entity_edges(batch: pa.Table) -> pa.Table:
@@ -241,22 +543,7 @@ def run_linkage(
             }
         )
 
-    me_edges = mentions_pred.map_batches(mention_entity_edges, batch_format="pyarrow")
     ee_edges = entity_dup_edges(catalog, cfg).materialize()  # tiny: catalog dups
-    edges = me_edges.union(ee_edges)
-
-    if cfg.emit_mention_edges:
-        mm = _mention_mention_edges(surface_preds, cfg)
-        edges = edges.union(mm)
-    edges = persist(edges, "edges")
-
-    # ── nodes: every mention + every entity (singletons keep own cluster) ────
-    m_nodes = mentions.map_batches(
-        lambda b: pa.table(
-            {"node": pc.binary_join_element_wise(pa.array([M_PREFIX] * b.num_rows, pa.string()), b["mention_uid"], "")}
-        ),
-        batch_format="pyarrow",
-    )
     e_nodes = ray.data.from_arrow(
         pa.table(
             {
@@ -266,19 +553,63 @@ def run_linkage(
             }
         )
     )
-    nodes = m_nodes.union(e_nodes)
 
-    # ── stage 3: transitive clustering ───────────────────────────────────────
+    if not cfg.emit_mention_edges:
+        # ── stage 3 FAST PATH: mentions attach to clusters only through their
+        # predicted entity, so the transitive state is the ENTITY graph alone
+        # (catalog-sized).  Cluster the entity graph, broadcast entity→label,
+        # and label mentions map-side — no mention-sized shuffle at all.
+        # Labels are identical to the full-graph result because "e:" < "m:"
+        # lexicographically (an anchored component's min node is always its
+        # min entity) and NIL mentions are singletons either way.
+        clusters = cluster_nodes(
+            ee_edges, e_nodes, mode=cfg.cluster_mode, num_partitions=cfg.join_partitions
+        ).materialize()
+        label_tbl = pa.Table.from_pandas(clusters.to_pandas(), preserve_index=False)
+        label_ref = ray.put(label_tbl)
+
+        def attach_cluster(batch: pa.Table) -> pa.Table:
+            tbl = ray.get(label_ref) if isinstance(label_ref, ray.ObjectRef) else label_ref
+            e_node = pc.binary_join_element_wise(
+                pa.array([E_PREFIX] * batch.num_rows, pa.string()),
+                pc.fill_null(batch["pred_id"], NIL_ID),
+                "",
+            )
+            pos = pc.index_in(e_node, value_set=tbl["node"].combine_chunks())
+            ent_label = pc.take(tbl["label"], pos)
+            own = pc.binary_join_element_wise(
+                pa.array([M_PREFIX] * batch.num_rows, pa.string()), batch["mention_uid"], ""
+            )
+            is_nil = pc.or_(
+                pc.is_null(batch["pred_id"]), pc.equal(batch["pred_id"], NIL_ID)
+            )
+            cluster = pc.if_else(is_nil, own, ent_label)
+            return batch.append_column("cluster_id", cluster)
+
+        mentions_out = mentions_pred.map_batches(attach_cluster, batch_format="pyarrow")
+        return LinkageResult(
+            mentions=mentions_out,
+            surface_preds=surface_preds,
+            entity_edges=ee_edges,
+            clusters=clusters,
+            stage_metrics=metrics,
+        )
+
+    # ── stage 3 GENERAL PATH (mention-mention edges on): full node graph ─────
+    me_edges = mentions_pred.map_batches(mention_entity_edges, batch_format="pyarrow")
+    edges = me_edges.union(ee_edges).union(_mention_mention_edges(surface_preds, cfg))
+    edges = persist(edges, "edges")
+    m_nodes = mentions.map_batches(
+        lambda b: pa.table(
+            {"node": pc.binary_join_element_wise(pa.array([M_PREFIX] * b.num_rows, pa.string()), b["mention_uid"], "")}
+        ),
+        batch_format="pyarrow",
+    )
+    nodes = m_nodes.union(e_nodes)
     clusters = cluster_nodes(edges, nodes, mode=cfg.cluster_mode, num_partitions=cfg.join_partitions)
 
-    # attach cluster ids to mentions (join on the node key)
     m_clusters = clusters.map_batches(
-        lambda b: pa.table(
-            {
-                "m_node": b["node"],
-                "cluster_id": b["label"],
-            }
-        ),
+        lambda b: pa.table({"m_node": b["node"], "cluster_id": b["label"]}),
         batch_format="pyarrow",
     )
     mentions_keyed = mentions_pred.map_batches(
@@ -331,13 +662,13 @@ def _mention_mention_edges(surface_preds: Dataset, cfg: LinkageConfig) -> Datase
         .groupby(["a_id", "b_id"])
         .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
     )
-    scored = pairs.map_batches(
-        PairScorer,
-        fn_constructor_kwargs={"cfg": cfg.scoring},
-        batch_format="pyarrow",
-        concurrency=(1, 2),
-        batch_size=8192,
-    )
+    pair_cfg = cfg.scoring
+
+    def pair_scorer_fn(batch):
+        scorer = _cached_scorer(f"pair:{pair_cfg!r}", lambda: PairScorer(pair_cfg))
+        return scorer(batch)
+
+    scored = pairs.map_batches(pair_scorer_fn, batch_format="pyarrow", batch_size=8192)
     return scored.filter(expr="is_edge == True").select_columns(["a_id", "b_id"]).map_batches(
         lambda b: pa.table({"src": b["a_id"], "dst": b["b_id"]}),
         batch_format="pyarrow",

@@ -78,16 +78,17 @@ def oracle_linkage(transcripts: pa.Table, catalog: pa.Table, cfg: LinkageConfig)
     S = Q @ E.T
     k = min(sc.top_k + sc.extra_k, len(ent_ids))
     pred_of: dict[str, str] = {}
+    rk = min(sc.rerank_k, k)
     for i, surf in enumerate(distinct):
         idx = np.lexsort((np.arange(len(ent_ids)), -S[i]))[:k]
-        jw = _jw([surf] * k, [ent_names[j] for j in idx])
+        idx_r = idx[:rk]
+        jw = _jw([surf] * rk, [ent_names[j] for j in idx_r])
         w = (sc.jw_weight + 0.15) if len(surf.encode()) < 8 else sc.jw_weight
-        comb = (1.0 - w) * S[i, idx].astype(np.float64) + w * jw
-        # float32 parity with the pipeline's comb computation
-        comb32 = ((1.0 - w) * S[i, idx] + w * jw).astype(np.float64)
-        best_local = int(np.lexsort((np.arange(k), -comb32))[0])
-        score = comb32[best_local]
-        pred_of[surf] = ent_ids[idx[best_local]] if score >= sc.tau_nil else NIL_ID
+        # float32/float64 arithmetic order identical to the pipeline's comb
+        comb = ((1.0 - w) * S[i, idx_r] + w * jw).astype(np.float64)
+        best_local = int(np.lexsort((np.arange(rk), -comb))[0])
+        score = comb[best_local]
+        pred_of[surf] = ent_ids[idx_r[best_local]] if score >= sc.tau_nil else NIL_ID
 
     # ── entity-entity duplicate edges (same blocking semantics, brute dicts) ─
     from collections import defaultdict

@@ -33,8 +33,20 @@ from ..stages.text_analysis import LangId, fingerprint_md5, quality_scores, toke
 __all__ = ["QUERIES", "ORACLE_SQL"]
 
 
+_SMALL_TABLES = {"region", "nation", "supplier", "customer", "part"}
+
+
 def _t(sf_dir: str, name: str, columns: list[str] | None = None):
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    """Read a testdata table with column pruning.  The driver's testdata files
+    are single-row-group Parquet (one scan task no matter how many CPUs), so
+    large tables are split into many blocks right after the read — a cheap
+    block split (no shuffle) that restores downstream parallelism."""
+    ds = rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    if name not in _SMALL_TABLES:
+        import ray
+
+        ds = ds.repartition(max(8, int(ray.cluster_resources().get("CPU", 8))))
+    return ds
 
 
 def _round_col(col: pa.Array | pa.ChunkedArray, nd: int) -> pa.Array:

@@ -44,6 +44,10 @@ _SYLLABLES = [
     "zor", "mak", "lin", "tav", "ben", "dor", "fel", "gar", "hul", "jin",
     "kel", "mir", "nov", "pex", "quil", "ras", "sil", "tor", "ul", "vex",
     "wal", "xan", "yor", "zeb", "cro", "dal", "erm", "fos", "gri", "hem",
+    "bol", "cam", "dun", "eth", "fir", "gol", "hap", "ido", "jup", "kor",
+    "lum", "mon", "nur", "ost", "pin", "qar", "rud", "sal", "tem", "urb",
+    "vin", "wex", "yel", "zam", "sna", "cla", "dre", "eko", "fli", "gno",
+    "hio", "ivo", "jar", "kep",
 ]
 # NIL surfaces draw from a disjoint syllable pool so they stay dissimilar from
 # every catalog name (keeps the NIL-threshold margin testable).
@@ -172,7 +176,14 @@ def make_catalog(cfg: SynthConfig) -> pa.Table:
         for i in range(1, len(wl) + 1):
             first_prefixes.add(wl[:i])
 
+    attempts = 0
     while len(names) < cfg.n_entities:
+        attempts += 1
+        if attempts > 500 * cfg.n_entities:
+            raise RuntimeError(
+                f"cannot generate {cfg.n_entities} prefix-distinct entity names "
+                f"from the syllable pool; lower n_entities"
+            )
         w1 = _make_word(rng, _SYLLABLES, 2 + int(rng.rand() < 0.3))
         if not first_word_ok(w1):
             continue
@@ -280,8 +291,13 @@ def _surface_and_gold(
     return surface, gold
 
 
-def make_transcripts(cfg: SynthConfig, catalog: pa.Table) -> tuple[pa.Table, pa.Table]:
-    """Returns ``(transcripts, mentions_gold)`` pyarrow tables."""
+def make_transcripts(
+    cfg: SynthConfig, catalog: pa.Table, conv_lo: int = 0, conv_hi: int | None = None
+) -> tuple[pa.Table, pa.Table]:
+    """Returns ``(transcripts, mentions_gold)`` pyarrow tables for the conv
+    range ``[conv_lo, conv_hi)`` (full corpus by default).  Per-conv seeding
+    makes any chunking produce byte-identical rows — the parallel generation
+    path relies on this."""
     names = catalog["name"].to_pylist()
     ids = catalog["entity_id"].to_pylist()
     fragile = catalog["fragile"].to_pylist()
@@ -305,7 +321,9 @@ def make_transcripts(cfg: SynthConfig, catalog: pa.Table) -> tuple[pa.Table, pa.
     base_ts = np.datetime64("2026-01-01T00:00:00", "us")
     roles = ["user", "assistant", "tool"]
 
-    for ci in range(cfg.n_convs):
+    if conv_hi is None:
+        conv_hi = cfg.n_convs
+    for ci in range(conv_lo, conv_hi):
         conv_id = f"conv-{ci:06d}"
         crng = _rng(cfg.seed, "conv", conv_id)
         n_turns = int(crng.randint(cfg.min_turns, cfg.max_turns + 1))
@@ -386,27 +404,88 @@ def generate(cfg: SynthConfig) -> dict[str, pa.Table]:
     return {"catalog": catalog, "transcripts": transcripts, "mentions_gold": mentions_gold}
 
 
-def generate_cached(cfg: SynthConfig, cache_root: str = "/tmp/mbr_synth") -> dict[str, str]:
-    """Generate (or reuse) the corpus as Parquet files; returns name → path.
+_ROW_GROUP_SIZE = 4096  # small row groups ⇒ parallel Parquet scan tasks
+_GEN_CHUNK_CONVS = 1000
 
-    Cache key = full config repr, so any knob change regenerates.
+
+def generate_cached(cfg: SynthConfig, cache_root: str = "/tmp/mbr_synth") -> dict[str, str]:
+    """Generate (or reuse) the corpus as Parquet; returns name → path.
+
+    ``transcripts`` / ``mentions_gold`` are DIRECTORIES of part files (one per
+    1000-conv chunk) with small row groups, so Ray's Parquet scan
+    parallelizes; generation itself fans out as Ray tasks when a Ray session
+    exists and the corpus is big (per-conv seeding ⇒ chunking changes nothing).
+    Cache key = generator version + full config repr.
     """
-    key = f"{zlib.crc32(repr(cfg).encode()):08x}"
+    gen_version = 4  # bump when generator internals (e.g. syllable pool) change
+    key = f"{zlib.crc32(f'v{gen_version}:{cfg!r}'.encode()):08x}"
     out_dir = os.path.join(cache_root, key)
-    paths = {n: os.path.join(out_dir, f"{n}.parquet") for n in ("catalog", "transcripts", "mentions_gold")}
+    paths = {
+        "catalog": os.path.join(out_dir, "catalog.parquet"),
+        "transcripts": os.path.join(out_dir, "transcripts"),
+        "mentions_gold": os.path.join(out_dir, "mentions_gold"),
+    }
     if all(os.path.exists(p) for p in paths.values()):
         return paths
-    tables = generate(cfg)
-    os.makedirs(out_dir, exist_ok=True)
-    for name, tbl in tables.items():
-        tmp = paths[name] + ".tmp"
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, paths[name])
+
+    catalog = make_catalog(cfg)
+    tmp_root = out_dir + ".tmp"
+    if os.path.exists(tmp_root):
+        import shutil
+
+        shutil.rmtree(tmp_root)
+    os.makedirs(os.path.join(tmp_root, "transcripts"))
+    os.makedirs(os.path.join(tmp_root, "mentions_gold"))
+
+    chunks = [
+        (lo, min(lo + _GEN_CHUNK_CONVS, cfg.n_convs))
+        for lo in range(0, cfg.n_convs, _GEN_CHUNK_CONVS)
+    ]
+
+    def write_chunk(i: int, tr: pa.Table, mg: pa.Table) -> None:
+        pq.write_table(
+            tr, os.path.join(tmp_root, "transcripts", f"part-{i:05d}.parquet"),
+            row_group_size=_ROW_GROUP_SIZE,
+        )
+        pq.write_table(
+            mg, os.path.join(tmp_root, "mentions_gold", f"part-{i:05d}.parquet"),
+            row_group_size=_ROW_GROUP_SIZE,
+        )
+
+    use_ray = False
+    try:
+        import ray
+
+        use_ray = ray.is_initialized() and len(chunks) > 2
+    except ImportError:  # pragma: no cover
+        pass
+
+    if use_ray:
+        import ray
+
+        @ray.remote
+        def gen_chunk(cfg_: SynthConfig, catalog_ref, lo: int, hi: int):
+            return make_transcripts(cfg_, catalog_ref, lo, hi)
+
+        cat_ref = ray.put(catalog)
+        futs = [gen_chunk.remote(cfg, cat_ref, lo, hi) for lo, hi in chunks]
+        for i, (tr, mg) in enumerate(ray.get(futs)):
+            write_chunk(i, tr, mg)
+    else:
+        for i, (lo, hi) in enumerate(chunks):
+            tr, mg = make_transcripts(cfg, catalog, lo, hi)
+            write_chunk(i, tr, mg)
+
+    pq.write_table(catalog, os.path.join(tmp_root, "catalog.parquet"))
+    os.makedirs(cache_root, exist_ok=True)
+    os.replace(tmp_root, out_dir)
     return paths
 
 
 def config_for_scale(n_turns_target: int, seed: int = 42) -> SynthConfig:
-    """Scale the corpus by conversation count (~16 turns/conv average)."""
+    """Scale the corpus by conversation count (~16 turns/conv average).
+    Entity count capped by the syllable pool's distinct-6-char-prefix budget
+    (64² pairs ≫ 1500)."""
     n_convs = max(8, n_turns_target // 16)
-    n_entities = max(120, min(5000, n_turns_target // 50))
+    n_entities = max(120, min(1500, n_turns_target // 50))
     return SynthConfig(n_convs=n_convs, n_entities=n_entities, seed=seed)

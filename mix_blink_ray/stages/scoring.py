@@ -61,6 +61,7 @@ class ScoringConfig:
     extra_k: int = 8             # headroom for gold removal (dense.py:102-111)
     tau_nil: float = 0.50        # combined-score below this → NIL prediction
     rerank_jw: bool = True       # rerank dense top-k by 0.5·cos + 0.5·Jaro-Winkler
+    rerank_k: int = 8            # JW computed for this many dense leaders only
     jw_weight: float = 0.5
     tau_pair_jaccard: float = 0.12   # MinHash prefilter for in-block pairs
     tau_edge_mention: float = 0.80   # mention-mention edge threshold (cos)
@@ -176,9 +177,11 @@ class SurfaceScorer:
 
         if cfg.rerank_jw and k > 0:
             # Cheap-prefilter rerank (north rule): Jaro-Winkler against the
-            # dense top-k names only — O(n·k), never O(n·V).
+            # first ``rerank_k`` dense leaders only — O(n·rerank_k), never O(n·V).
+            rk = min(cfg.rerank_k, k)
+            idx_r = idx[:, :rk]
             qm, ql = pad_codes(batch["norm_text"])
-            nm, nl = pad_codes(pa.array(self.index.norm_names[idx.reshape(-1)], pa.string()))
+            nm, nl = pad_codes(pa.array(self.index.norm_names[idx_r.reshape(-1)], pa.string()))
             L = max(qm.shape[1], nm.shape[1], 1)
 
             def padto(m: np.ndarray) -> np.ndarray:
@@ -189,16 +192,16 @@ class SurfaceScorer:
                 return out
 
             jw = jaro_winkler_pairs(
-                padto(np.repeat(qm, k, axis=0)), np.repeat(ql, k), padto(nm), nl
-            ).reshape(n, k)
+                padto(np.repeat(qm, rk, axis=0)), np.repeat(ql, rk), padto(nm), nl
+            ).reshape(n, rk)
             # Short surfaces have few char n-grams (a single interior edit can
             # zero the dense overlap), so lean more on Jaro-Winkler for them.
             w = np.where(ql < 8, min(cfg.jw_weight + 0.15, 1.0), cfg.jw_weight)[:, None]
-            comb = (1.0 - w) * scores + w * jw
+            comb = (1.0 - w) * scores[:, :rk] + w * jw
             # Deterministic tie-break: combined desc, then dense rank asc.
-            ri = np.lexsort((np.broadcast_to(np.arange(k), (n, k)), -comb), axis=1)[:, 0]
+            ri = np.lexsort((np.broadcast_to(np.arange(rk), (n, rk)), -comb), axis=1)[:, 0]
             pred_score = comb[np.arange(n), ri].astype(np.float32)
-            chosen = self.index.entity_ids[idx[np.arange(n), ri]]
+            chosen = self.index.entity_ids[idx_r[np.arange(n), ri]]
         else:
             pred_score = best_score.astype(np.float32)
             chosen = best_id

@@ -110,6 +110,19 @@ def test_per_turn_text_equality_invariant(synth_small):
     assert left.equals(right)
 
 
+def test_stream_equals_contract_strategy(synth_small):
+    """The zero-shuffle stream path must be byte-identical to the contraction
+    path (same preds, same clusters)."""
+    tr = rd.from_arrow(synth_small["transcripts"])
+    a = run_linkage(tr, synth_small["catalog"], LinkageConfig(scoring_strategy="stream")).mentions.to_pandas()
+    b = run_linkage(tr, synth_small["catalog"], LinkageConfig(scoring_strategy="contract")).mentions.to_pandas()
+    cols = ["mention_uid", "pred_id", "best_id", "cluster_id"]
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values("mention_uid").reset_index(drop=True),
+        b[cols].sort_values("mention_uid").reset_index(drop=True),
+    )
+
+
 def test_deterministic_rerun(synth_small):
     cfg = LinkageConfig()
     tr = rd.from_arrow(synth_small["transcripts"])
