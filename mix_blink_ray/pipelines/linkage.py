@@ -56,6 +56,8 @@ __all__ = ["LinkageConfig", "LinkageResult", "run_linkage", "entity_dup_edges"]
 
 M_PREFIX = "m:"
 E_PREFIX = "e:"
+S_PREFIX = "s:"  # surface nodes (general path): "e:" < "m:" < "s:" keeps
+                 # entity labels winning anchored components
 
 # Per-worker-process scorer cache for the stateless-task scoring path: Ray
 # reuses worker processes, so the broadcast index is fetched and unpacked once
@@ -596,8 +598,29 @@ def run_linkage(
         )
 
     # ── stage 3 GENERAL PATH (mention-mention edges on): full node graph ─────
+    # Mentions connect to their surface node ("s:<norm_text>"); surface↔surface
+    # similarity edges then make co-similar surfaces transitive without
+    # materializing the quadratic mention↔mention edge set (a surface with 10^6
+    # duplicate mentions contributes 10^6 mention→surface edges, not 10^12).
     me_edges = mentions_pred.map_batches(mention_entity_edges, batch_format="pyarrow")
-    edges = me_edges.union(ee_edges).union(_mention_mention_edges(surface_preds, cfg))
+
+    def mention_surface_edges(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "src": pc.binary_join_element_wise(
+                    pa.array([M_PREFIX] * n, pa.string()), batch["mention_uid"], ""
+                ),
+                "dst": pc.binary_join_element_wise(
+                    pa.array([S_PREFIX] * n, pa.string()), batch["norm_text"], ""
+                ),
+            }
+        )
+
+    ms_edges = mentions_pred.map_batches(mention_surface_edges, batch_format="pyarrow")
+    edges = me_edges.union(ee_edges).union(ms_edges).union(
+        _mention_mention_edges(surface_preds, cfg)
+    )
     edges = persist(edges, "edges")
     m_nodes = mentions.map_batches(
         lambda b: pa.table(
@@ -605,7 +628,13 @@ def run_linkage(
         ),
         batch_format="pyarrow",
     )
-    nodes = m_nodes.union(e_nodes)
+    s_nodes = surface_preds.map_batches(
+        lambda b: pa.table(
+            {"node": pc.binary_join_element_wise(pa.array([S_PREFIX] * b.num_rows, pa.string()), b["norm_text"], "")}
+        ),
+        batch_format="pyarrow",
+    )
+    nodes = m_nodes.union(e_nodes).union(s_nodes)
     clusters = cluster_nodes(edges, nodes, mode=cfg.cluster_mode, num_partitions=cfg.join_partitions)
 
     m_clusters = clusters.map_batches(

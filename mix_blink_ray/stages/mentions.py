@@ -32,7 +32,12 @@ import pyarrow.compute as pc
 from ..functions.hashing import flat_utf8, gather_substrings
 from ..functions.text import normalize
 
-__all__ = ["extract_mentions", "mentions_from_annotations", "mention_uid_column"]
+__all__ = [
+    "extract_mentions",
+    "mentions_from_annotations",
+    "mention_uid_column",
+    "resolve_gold_labels",
+]
 
 
 def _find_capitalized_runs(data: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -143,6 +148,39 @@ def mention_uid_column(conv_id: pa.Array, turn_idx: pa.Array, start: pa.Array) -
         pc.cast(start, pa.string()),
         ":",
     )
+
+
+def resolve_gold_labels(
+    batch: pa.Table,
+    known_ids: set[str] | pa.Array,
+    remove_nil: bool = True,
+    gold_col: str = "gold_ids",
+) -> pa.Table:
+    """Reference label-mapping + NIL policy, vectorized (``mix_blink/data/
+    dataset.py:94-116``): each gold label is checked against the catalog id
+    set; unknown labels are DROPPED when ``remove_nil`` (reference
+    ``remove_nil=True``) else raise ``KeyError`` (reference ``dataset.py``
+    strict path); mentions left with zero resolvable labels are filtered out
+    (the unlabeled-mention filter, ``dataset.py:115-116``)."""
+    gold = batch[gold_col]
+    gold = gold.combine_chunks() if isinstance(gold, pa.ChunkedArray) else gold
+    offs = np.asarray(gold.offsets, dtype=np.int64)
+    vals = gold.flatten()
+    known = (
+        pa.array(sorted(known_ids), pa.string()) if isinstance(known_ids, set) else known_ids
+    )
+    is_known = np.asarray(pc.is_in(vals, value_set=known), dtype=bool)
+    if not remove_nil and not is_known.all():
+        bad = vals.take(pa.array(np.flatnonzero(~is_known)[:3])).to_pylist()
+        raise KeyError(f"gold label(s) not in catalog: {bad}")
+    row = np.repeat(np.arange(len(gold), dtype=np.int64), np.diff(offs))
+    counts = np.bincount(row[is_known], minlength=len(gold))
+    new_offs = np.zeros(len(gold) + 1, dtype=np.int32)
+    np.cumsum(counts, out=new_offs[1:])
+    kept_vals = vals.take(pa.array(np.flatnonzero(is_known)))
+    new_list = pa.ListArray.from_arrays(pa.array(new_offs), kept_vals)
+    out = batch.drop_columns([gold_col]).append_column(gold_col, new_list)
+    return out.filter(pa.array(counts > 0))
 
 
 def mentions_from_annotations(transcripts: pa.Table, spans: pa.Table) -> pa.Table:

@@ -1,0 +1,73 @@
+"""Multimodal plumbing tests: real Ray actor-pool stages over binary columns,
+stubbed decoders (deterministic fake backend)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from mix_blink_ray.stages.multimodal import (
+    MEDIA_SCHEMA,
+    AudioFeatures,
+    ImageFeatures,
+    VideoFrameSampler,
+    synth_media_batch,
+)
+
+
+def test_media_schema_roundtrip(tmp_path):
+    tbl = synth_media_batch(10, "image")
+    assert tbl.schema.equals(MEDIA_SCHEMA)
+    import pyarrow.parquet as pq
+
+    pq.write_table(tbl, tmp_path / "m.parquet")
+    assert pq.read_table(tmp_path / "m.parquet").equals(tbl)
+
+
+def test_image_features_actor_pool():
+    ds = rd.from_arrow(synth_media_batch(40, "image"))
+    out = ds.map_batches(
+        ImageFeatures, fn_constructor_kwargs={"backend": "fake", "dim": 16},
+        batch_format="pyarrow", concurrency=(1, 2), batch_size=8,
+    ).to_pandas()
+    assert len(out) == 40
+    assert set(out.columns) == {"media_id", "feature", "out_width", "out_height", "n_bytes"}
+    assert all(len(f) == 16 for f in out["feature"])
+    assert (out["n_bytes"] == 4096).all()
+    # deterministic: rerun identical
+    out2 = rd.from_arrow(synth_media_batch(40, "image")).map_batches(
+        ImageFeatures, fn_constructor_kwargs={"backend": "fake", "dim": 16},
+        batch_format="pyarrow", concurrency=(1, 2), batch_size=8,
+    ).to_pandas()
+    a = np.stack(out.sort_values("media_id")["feature"].to_numpy())
+    b = np.stack(out2.sort_values("media_id")["feature"].to_numpy())
+    np.testing.assert_array_equal(a, b)
+
+
+def test_audio_features():
+    ds = rd.from_arrow(synth_media_batch(12, "audio"))
+    out = ds.map_batches(
+        AudioFeatures, fn_constructor_kwargs={"backend": "fake"},
+        batch_format="pyarrow", concurrency=(1, 2), batch_size=4,
+    ).to_pandas()
+    assert (out["n_frames"] == 30_000 // 25).all()
+
+
+def test_video_frame_sampler_flatmap():
+    ds = rd.from_arrow(synth_media_batch(5, "video"))
+    out = ds.map_batches(
+        VideoFrameSampler, fn_constructor_kwargs={"backend": "fake", "every_ms": 5000},
+        batch_format="pyarrow", concurrency=(1, 2), batch_size=4,
+    ).to_pandas()
+    assert len(out) == 5 * 6  # 30s / 5s = 6 frames each
+    assert set(out.columns) == {"media_id", "frame_ts_ms", "frame_payload"}
+    assert out["frame_payload"].map(len).max() <= 256
+
+
+def test_real_backend_is_explicitly_stubbed():
+    with pytest.raises(NotImplementedError):
+        ImageFeatures(backend="real")
+    with pytest.raises(NotImplementedError):
+        AudioFeatures(backend="real")
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampler(backend="real")

@@ -106,3 +106,33 @@ def test_generate_cached_roundtrip(tmp_path):
     import pyarrow.parquet as pq
 
     assert pq.read_table(p1["transcripts"]).equals(generate(cfg)["transcripts"])
+
+
+def test_resolve_gold_labels_reference_semantics():
+    """M2/M3: unknown labels dropped (remove_nil) or raise (strict); mentions
+    with zero resolvable labels filtered (reference dataset.py:94-116).
+    Toy-corpus analog: 8 mentions -> 6 with NIL removed (test_dataset.py:64-67)."""
+    import pytest
+    from mix_blink_ray.stages.mentions import resolve_gold_labels
+
+    batch = pa.table(
+        {
+            "mention_uid": pa.array([f"m{i}" for i in range(8)]),
+            "gold_ids": pa.array(
+                [
+                    ["e1"], ["e2"], ["e1", "-1"], ["-1"],      # multi-label + NIL-only
+                    ["e3"], ["e1", "e2"], ["-1"], ["e2"],
+                ]
+            ),
+        }
+    )
+    known = {"e1", "e2", "e3"}
+    out = resolve_gold_labels(batch, known, remove_nil=True)
+    # the two NIL-only mentions drop out: 8 -> 6 (reference toy expectation)
+    assert out.num_rows == 6
+    assert out["gold_ids"].to_pylist() == [["e1"], ["e2"], ["e1"], ["e3"], ["e1", "e2"], ["e2"]]
+    with pytest.raises(KeyError):
+        resolve_gold_labels(batch, known, remove_nil=False)
+    # with the NIL sentinel in the catalog, everything resolves (8 kept)
+    out2 = resolve_gold_labels(batch, known | {"-1"}, remove_nil=True)
+    assert out2.num_rows == 8
