@@ -39,7 +39,7 @@ _SF_TO_TURNS = {"0.001": 3_000, "0.01": 16_000, "0.1": 8_000_000}
 def _synth_paths(sf_dir: str) -> dict[str, str]:
     m = re.search(r"sf([0-9.]+)", sf_dir or "")
     sf = m.group(1) if m else "0.001"
-    n_turns = _SF_TO_TURNS.get(sf, 3_000)
+    n_turns = int(os.environ.get("GRAFT_BENCH_TURNS", 0)) or _SF_TO_TURNS.get(sf, 3_000)
     return generate_cached(config_for_scale(n_turns))
 
 

@@ -1,19 +1,26 @@
 """The flagship pipeline: transcripts → mentions → blocking → scoring →
 transitive clusters, end to end as ONE streaming Ray Data program.
 
-Dataflow (SURVEY.md §7):
+Dataflow (SURVEY.md §7), default ("contract") strategy:
 
     transcripts.parquet (conv_id, turn_idx, role, text, tool, ts)
       └─ read_parquet                                   stateless tasks
       └─ extract_mentions            map_batches        flat-map, zero-copy Arrow
-      └─ contract: distinct norm_text (groupby+count)   SHUFFLE #0 (kills hot-text skew)
-      └─ SurfaceScorer actor pool vs broadcast catalog  no shuffle (catalog via ray.put)
-      └─ mentions ⋈ surface predictions (hash join on norm_text)
-      └─ edges:  mention→entity  (pred_id ≠ NIL)
-                 entity↔entity   (LSH blocking + in-block pair scoring on the catalog)
-                 mention↔mention (optional, off by default — see NOTE)
-      └─ cluster_nodes (min-label propagation / union-find)
-      └─ clustered mentions (+ optional partitioned parquet + lineage manifests)
+      └─ contract: distinct norm_text                   SHUFFLE #0 — map-side
+           (per-batch combine → int-bucket groupby)     combine kills hot-text skew
+      └─ SurfaceScorer vs broadcast catalog             no shuffle (ray.put once)
+      └─ predictions → mentions                         broadcast map-side attach
+           (hash join fallback above broadcast_threshold distinct surfaces)
+      └─ edges:  entity↔entity   (LSH blocking + pair scoring on the catalog)
+                 mention→entity  (pred_id ≠ NIL; implicit in the fast path)
+                 mention↔surface + surface↔surface (general path only — NOTE)
+      └─ cluster_nodes (entity-graph union-find fast path; distributed
+           min-label propagation for the general path)
+      └─ clustered mentions (+ optional work_dir stage checkpoints)
+
+An optional "stream" strategy fuses extract→score→label into one shuffle-free
+pass with per-worker caches — byte-identical output, but duplicated scoring
+grows with worker count (anti-scales beyond a node); contract is the default.
 
 NOTE on mention↔mention edges: surfaces whose gold is NIL must stay
 singletons (FIXTURES.md §4: a pair matches only on a shared non-NIL gold id),

@@ -92,9 +92,11 @@ def minhash_near_dup_pairs(
 ) -> Dataset:
     """MinHash+LSH near-dup candidates, verified by signature Jaccard.
 
-    shingle → minhash → band keys (flat-map) → groupby(band) → in-band pairs
-    → cross-band dedup → estimate ≥ threshold.  Output: (a_id, b_id,
-    est_jaccard), a_id < b_id.
+    shingle → minhash → (band_key, id) rows (flat-map, 16 B per band row —
+    signatures are NOT shipped through the shuffle) → groupby(band) → in-band
+    candidate pairs → cross-band dedup → verify by joining the per-doc
+    signature table (binary column) onto the (small) pair set twice.
+    Output: (a_id, b_id, est_jaccard), a_id < b_id.
     """
 
     def band_rows(batch: pa.Table) -> pa.Table:
@@ -102,52 +104,87 @@ def minhash_near_dup_pairs(
         keys = lsh_band_keys(sig, cfg.num_bands)
         n = batch.num_rows
         row_idx = np.repeat(np.arange(n, dtype=np.int64), cfg.num_bands)
-        sig_list = pa.FixedSizeListArray.from_arrays(
-            pa.array(np.repeat(sig, cfg.num_bands, axis=0).reshape(-1).view(np.int64)),
-            cfg.num_perms,
-        )
         return pa.table(
             {
                 "band_key": pa.array(keys.reshape(-1)),
                 id_col: pc.take(batch[id_col], pa.array(row_idx)),
-                "sig": sig_list,
+            }
+        )
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        sig = _word_shingle_sigs(batch[text_col], cfg)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "sig": pa.array([s.tobytes() for s in sig], pa.binary()),
             }
         )
 
     def in_band_pairs(group: pa.Table) -> pa.Table:
         n = group.num_rows
-        empty = pa.table(
-            {
-                "a_id": pa.array([], pa.int64()),
-                "b_id": pa.array([], pa.int64()),
-                "est_jaccard": pa.array([], pa.float64()),
-            }
-        )
+        empty = pa.table({"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())})
         if n < 2:
             return empty
-        ids = np.asarray(group[id_col], dtype=np.int64)
-        sig_col = group["sig"].combine_chunks() if isinstance(group["sig"], pa.ChunkedArray) else group["sig"]
-        sig = np.asarray(sig_col.flatten(), dtype=np.int64).reshape(n, -1)
-        iu, ju = np.triu_indices(n, k=1)
-        est = (sig[iu] == sig[ju]).mean(axis=1)
-        keep = est >= cfg.jaccard_threshold
-        a = np.minimum(ids[iu[keep]], ids[ju[keep]])
-        b = np.maximum(ids[iu[keep]], ids[ju[keep]])
-        return pa.table(
-            {
-                "a_id": pa.array(a),
-                "b_id": pa.array(b),
-                "est_jaccard": pa.array(est[keep]),
-            }
-        )
+        ids = np.unique(np.asarray(group[id_col], dtype=np.int64))
+        if len(ids) < 2:
+            return empty
+        # Hot-band cap: a band shared by k docs yields k²/2 pairs; beyond the
+        # cap keep the (deterministic) lowest ids — run exact_dedup first so
+        # byte-identical documents never inflate bands.  Band redundancy
+        # across the other bands recovers most pairs beyond the cap.
+        if len(ids) > 2048:
+            ids = ids[:2048]
+        iu, ju = np.triu_indices(len(ids), k=1)
+        return pa.table({"a_id": pa.array(ids[iu]), "b_id": pa.array(ids[ju])})
 
     pairs = (
         docs.map_batches(band_rows, batch_format="pyarrow")
         .groupby("band_key")
         .map_groups(in_band_pairs, batch_format="pyarrow")
+        .groupby(["a_id", "b_id"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")  # cross-band dedup
     )
-    # one row per pair across bands
-    return pairs.groupby(["a_id", "b_id"]).aggregate(Min("est_jaccard", alias_name="est_jaccard"))
+    sigs = docs.map_batches(sig_rows, batch_format="pyarrow")
+    from .clustering import clamped_partitions
+
+    pairs = pairs.materialize()
+    n_parts = clamped_partitions(max(pairs.count(), 1), 8)
+    a_sigs = sigs.map_batches(
+        lambda b: pa.table({"a_id": b[id_col], "a_sig": b["sig"]}), batch_format="pyarrow"
+    )
+    b_sigs = sigs.map_batches(
+        lambda b: pa.table({"b_id": b[id_col], "b_sig": b["sig"]}), batch_format="pyarrow"
+    )
+    joined = pairs.join(a_sigs, join_type="inner", num_partitions=n_parts, on=("a_id",)).join(
+        b_sigs, join_type="inner", num_partitions=n_parts, on=("b_id",)
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "a_id": pa.array([], pa.int64()),
+                    "b_id": pa.array([], pa.int64()),
+                    "est_jaccard": pa.array([], pa.float64()),
+                }
+            )
+        a = np.frombuffer(b"".join(batch["a_sig"].to_pylist()), dtype=np.uint64).reshape(
+            batch.num_rows, cfg.num_perms
+        )
+        b = np.frombuffer(b"".join(batch["b_sig"].to_pylist()), dtype=np.uint64).reshape(
+            batch.num_rows, cfg.num_perms
+        )
+        est = (a == b).mean(axis=1)
+        out = pa.table(
+            {
+                "a_id": batch["a_id"],
+                "b_id": batch["b_id"],
+                "est_jaccard": pa.array(est),
+            }
+        )
+        return out.filter(pc.greater_equal(out["est_jaccard"], cfg.jaccard_threshold))
+
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 def simhash_fingerprints(
