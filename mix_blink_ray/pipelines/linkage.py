@@ -96,7 +96,8 @@ class LinkageConfig:
     join_partitions: int = 8
     cluster_mode: str = "auto"
     work_dir: str | None = None   # spill reused intermediates to parquet (resumable)
-    broadcast_threshold: int = 2_000_000   # distinct surfaces ≤ this → map-side join
+    broadcast_threshold: int = 20_000_000  # distinct surfaces ≤ this → map-side join
+    # (~60 B/surface ⇒ 20M ≈ 1.2 GB broadcast table — object-store shared, zero-copy)
     # "stream": single fused pass (extract→score→label), per-worker surface
     #   caches, ZERO mention-sized shuffles — the fast path when mentions
     #   anchor to entities only.  "contract": distinct-surface groupby before
@@ -506,21 +507,38 @@ def run_linkage(
     from ..stages.clustering import clamped_partitions
 
     n_surfaces = surface_preds.count()
-    n_parts = clamped_partitions(n_surfaces, cfg.join_partitions)
+    n_parts = clamped_partitions(
+        n_surfaces, max(cfg.join_partitions, int(ray.cluster_resources().get("CPU", 8)))
+    )
     if n_surfaces <= cfg.broadcast_threshold:
-        pred_tbl = pa.Table.from_pandas(
-            surface_preds.select_columns(
-                ["norm_text", "pred_id", "best_id", "best_score"]
-            ).to_pandas(),
-            preserve_index=False,
-        )
-        pred_ref = ray.put(pred_tbl)
+        pred_df = surface_preds.select_columns(
+            ["norm_text", "pred_id", "best_id", "best_score"]
+        ).to_pandas()
+        pred_ref = ray.put(pred_df)
+        attach_key = f"attach:{pred_ref.hex()}"
 
         def attach_pred(batch: pa.Table) -> pa.Table:
-            tbl = ray.get(pred_ref) if isinstance(pred_ref, ray.ObjectRef) else pred_ref
-            pos = pc.index_in(batch["norm_text"], value_set=tbl["norm_text"].combine_chunks())
-            for col in ("pred_id", "best_id", "best_score"):
-                batch = batch.append_column(col, pc.take(tbl[col], pos))
+            # Build the lookup index ONCE per worker (pc.index_in re-hashes
+            # the whole value set on every batch — O(V) per call).
+            def build():
+                df = ray.get(pred_ref) if isinstance(pred_ref, ray.ObjectRef) else pred_ref
+                import pandas as pd
+
+                return (
+                    pd.Index(df["norm_text"].to_numpy()),
+                    pa.array(df["pred_id"], pa.string()),
+                    pa.array(df["best_id"], pa.string()),
+                    pa.array(df["best_score"], pa.float32()),
+                )
+
+            idx, pred_a, best_a, score_a = _cached_scorer(attach_key, build)
+            col = batch["norm_text"]
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            pos_np = idx.get_indexer(col.to_numpy(zero_copy_only=False))
+            pos = pa.array(np.where(pos_np >= 0, pos_np, None))
+            batch = batch.append_column("pred_id", pc.take(pred_a, pos))
+            batch = batch.append_column("best_id", pc.take(best_a, pos))
+            batch = batch.append_column("best_score", pc.take(score_a, pos))
             return batch
 
         # LAZY in the fast path: attach_pred has exactly one consumer there

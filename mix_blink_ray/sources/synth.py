@@ -464,13 +464,27 @@ def generate_cached(cfg: SynthConfig, cache_root: str = "/tmp/mbr_synth") -> dic
         import ray
 
         @ray.remote
-        def gen_chunk(cfg_: SynthConfig, catalog_ref, lo: int, hi: int):
-            return make_transcripts(cfg_, catalog_ref, lo, hi)
+        def gen_chunk(cfg_: SynthConfig, catalog_ref, i: int, lo: int, hi: int, root: str) -> int:
+            # Workers write their own part files (single-node shared /tmp):
+            # gathering thousands of chunk tables to the driver serializes
+            # the write and holds the whole corpus in the object store.
+            tr, mg = make_transcripts(cfg_, catalog_ref, lo, hi)
+            pq.write_table(
+                tr, os.path.join(root, "transcripts", f"part-{i:05d}.parquet"),
+                row_group_size=_ROW_GROUP_SIZE,
+            )
+            pq.write_table(
+                mg, os.path.join(root, "mentions_gold", f"part-{i:05d}.parquet"),
+                row_group_size=_ROW_GROUP_SIZE,
+            )
+            return tr.num_rows
 
         cat_ref = ray.put(catalog)
-        futs = [gen_chunk.remote(cfg, cat_ref, lo, hi) for lo, hi in chunks]
-        for i, (tr, mg) in enumerate(ray.get(futs)):
-            write_chunk(i, tr, mg)
+        futs = [
+            gen_chunk.remote(cfg, cat_ref, i, lo, hi, tmp_root)
+            for i, (lo, hi) in enumerate(chunks)
+        ]
+        ray.get(futs)
     else:
         for i, (lo, hi) in enumerate(chunks):
             tr, mg = make_transcripts(cfg, catalog, lo, hi)

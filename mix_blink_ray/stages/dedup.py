@@ -249,7 +249,9 @@ def simhash_near_dup_pairs(
         x = f[iu] ^ f[ju]
         ham = np.zeros(len(x), dtype=np.int64)
         for shift in range(0, 64, 8):
-            ham += np.unpackbits(((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.uint8)[:, None], axis=1).sum(axis=1)
+            ham += np.unpackbits(
+                ((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.uint8)[:, None], axis=1
+            ).sum(axis=1).astype(np.int64)
         keep = ham <= cfg.simhash_max_hamming
         a = np.minimum(ids[iu[keep]], ids[ju[keep]])
         b = np.maximum(ids[iu[keep]], ids[ju[keep]])

@@ -1,0 +1,91 @@
+"""Behavioral dedup tests on a constructed near-duplicate corpus (the
+testdata documents are all-distinct, so these exercise actual collisions)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from mix_blink_ray.stages.dedup import (
+    DedupConfig,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_verify,
+    simhash_near_dup_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain falls softly "
+    "on the quiet village roofs and the river keeps moving toward the sea"
+)
+
+
+def corpus():
+    texts = [
+        BASE,                                             # 0
+        BASE,                                             # 1 exact dup of 0
+        BASE.replace("quick", "swift"),                   # 2 near dup of 0
+        BASE.replace("lazy dog", "sleepy cat"),           # 3 near dup of 0
+        "completely different content about databases and distributed query engines running on clusters",  # 4
+        "yet another unrelated document mentioning tensors gradients and optimizers in training loops",     # 5
+    ]
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+
+
+def word_jaccard(a: str, b: str, w: int = 3) -> float:
+    sa = {tuple(a.lower().split()[i : i + w]) for i in range(len(a.split()) - w + 1)}
+    sb = {tuple(b.lower().split()[i : i + w]) for i in range(len(b.split()) - w + 1)}
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup_collapses_identical():
+    out = exact_dedup(rd.from_arrow(corpus())).to_pandas()
+    assert len(out) == 5  # 6 docs, one exact-dup pair
+    row = out[out.n_copies == 2]
+    assert len(row) == 1
+    assert row.doc_id.iloc[0] == 0  # representative = min id
+
+
+def test_minhash_near_dup_finds_near_and_skips_far():
+    cfg = DedupConfig(jaccard_threshold=0.5, num_perms=128)
+    pairs = minhash_near_dup_pairs(rd.from_arrow(corpus()), cfg).to_pandas()
+    found = set(map(tuple, pairs[["a_id", "b_id"]].itertuples(index=False)))
+    assert (0, 1) in found            # exact dup
+    assert (0, 2) in found            # near dup
+    assert not any(4 in p or 5 in p for p in found)  # unrelated never pair
+    # estimates approximate true word-shingle jaccard
+    texts = corpus()["text"].to_pylist()
+    for _, r in pairs.iterrows():
+        true_j = word_jaccard(texts[int(r.a_id)], texts[int(r.b_id)])
+        assert abs(r.est_jaccard - true_j) < 0.2, (r.a_id, r.b_id, r.est_jaccard, true_j)
+
+
+def test_ngram_jaccard_verify_exact():
+    cfg = DedupConfig(jaccard_threshold=0.3)
+    docs = rd.from_arrow(corpus())
+    cand = minhash_near_dup_pairs(docs, cfg)
+    verified = ngram_jaccard_verify(cand, rd.from_arrow(corpus()), threshold=0.5).to_pandas()
+    assert {(0, 1)} <= set(map(tuple, verified[["a_id", "b_id"]].itertuples(index=False)))
+    assert verified.set_index(["a_id", "b_id"]).loc[(0, 1), "jaccard"] == 1.0
+
+
+def test_simhash_near_dup():
+    pairs = simhash_near_dup_pairs(rd.from_arrow(corpus()), DedupConfig(simhash_max_hamming=6)).to_pandas()
+    found = set(map(tuple, pairs[["a_id", "b_id"]].itertuples(index=False)))
+    assert (0, 1) in found
+    assert pairs.set_index(["a_id", "b_id"]).loc[(0, 1), "hamming"] == 0
+    assert not any((4, 5) == p for p in found)
+
+
+def test_embedding_near_dup_constructed():
+    rng = np.random.RandomState(0)
+    base = rng.randn(4, 16)
+    vecs = np.vstack([base, base[0] + 0.01 * rng.randn(16)])  # 4 distinct + 1 near-dup of 0
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(5), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    pairs = embedding_near_dup_pairs(rd.from_arrow(tbl), DedupConfig(cosine_threshold=0.99)).to_pandas()
+    assert set(map(tuple, pairs[["a_id", "b_id"]].itertuples(index=False))) == {(0, 4)}
