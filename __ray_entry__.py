@@ -23,6 +23,7 @@ import ray.data as rd
 from mix_blink_ray.evaluation.metrics import (
     labeled_pairs_from_gold,
     pairwise_prf,
+    pairwise_prf_counts,
     rank_stats_batch,
     recall_mrr,
 )
@@ -116,13 +117,17 @@ def linkage_eval(sf_dir: str):
     partials = joined.map_batches(non_nil_rank_stats, batch_format="pyarrow")
     rk = recall_mrr(partials, ks=(1, 10))
 
-    mdf = res.mentions.to_pandas()
-    cluster_of = {
-        u: (c if p != NIL_ID else f"singleton:{u}")
-        for u, c, p in zip(mdf["mention_uid"], mdf["cluster_id"], mdf["pred_id"])
-    }
-    labeled = labeled_pairs_from_gold(gold_tbl)
-    prf = pairwise_prf(labeled, cluster_of)
+    # Count-based exact pairwise metrics (pair enumeration is O(n²) and
+    # times out beyond a few thousand mentions).
+    mdf = res.mentions.to_pandas().set_index("mention_uid")
+    gdf = gold_tbl.to_pandas()
+    gold_sets = [frozenset(g) - {NIL_ID} for g in gdf["gold_ids"]]
+    cl = mdf["cluster_id"].reindex(gdf["mention_uid"]).to_numpy(dtype=object)
+    pr = mdf["pred_id"].reindex(gdf["mention_uid"]).to_numpy(dtype=object)
+    clusters = [
+        c if (isinstance(p, str) and p != NIL_ID) else None for c, p in zip(cl, pr)
+    ]
+    prf = pairwise_prf_counts(gold_sets, clusters)
     return pa.table(
         {
             "metric": pa.array(

@@ -20,7 +20,7 @@ import pyarrow as pa
 from ..functions.hashing import flat_utf8, hash_strings
 from ..sources.synth import NIL_ID
 
-__all__ = ["rank_stats_batch", "recall_mrr", "pairwise_prf", "labeled_pairs_from_gold"]
+__all__ = ["rank_stats_batch", "recall_mrr", "pairwise_prf", "pairwise_prf_counts", "labeled_pairs_from_gold"]
 
 _ROW_MIX = np.uint64(0xC2B2AE3D27D4EB4F)
 
@@ -117,6 +117,58 @@ def labeled_pairs_from_gold(
             "is_match": pa.array(m, pa.bool_()),
         }
     )
+
+
+def pairwise_prf_counts(
+    gold_sets: list[frozenset], clusters: list[str | None]
+) -> dict[str, float]:
+    """EXACT all-pairs pairwise P/R/F1 without enumerating pairs — O(n + V²)
+    where V = #distinct gold-set values (pair enumeration is O(n²): 16k
+    mentions already mean 10⁸ pairs).
+
+    A pair matches iff its two (non-NIL) gold sets intersect; a pair is
+    predicted iff both mentions share a non-None cluster.  Counting:
+
+    - ``gold_pairs``  = Σ over distinct set-value pairs (F, G), F∩G≠∅ of
+      m_F·m_G (F≠G) or C(m_F,2) (F=G),
+    - ``pred_pairs``  = Σ_c C(n_c, 2),
+    - ``tp``          = the same set-value computation restricted per cluster
+      (clusters contain few distinct gold-set values),
+    - FP = pred−TP, FN = gold−TP.
+    """
+    from collections import Counter, defaultdict
+
+    gold_sets = [frozenset(g) for g in gold_sets]
+
+    def intersecting_pairs(counter: Counter) -> int:
+        vals = [(f, m) for f, m in counter.items() if f]
+        total = 0
+        for i, (f, mf) in enumerate(vals):
+            total += mf * (mf - 1) // 2  # same-set pairs always intersect
+            for g, mg in vals[i + 1 :]:
+                if f & g:
+                    total += mf * mg
+        return total
+
+    gold_pairs = intersecting_pairs(Counter(gold_sets))
+
+    by_cluster: dict[str, Counter] = defaultdict(Counter)
+    pred_pairs = 0
+    cluster_sizes: Counter = Counter()
+    for gs, c in zip(gold_sets, clusters):
+        if c is not None:
+            by_cluster[c][gs] += 1
+            cluster_sizes[c] += 1
+    tp = 0
+    for c, n in cluster_sizes.items():
+        pred_pairs += n * (n - 1) // 2
+        tp += intersecting_pairs(by_cluster[c])
+    fp = pred_pairs - tp
+    fn = gold_pairs - tp
+    p = tp / max(tp + fp, 1)
+    r = tp / max(tp + fn, 1)
+    f1 = 2 * p * r / max(p + r, 1e-12)
+    return {"precision": p, "recall": r, "f1": f1, "tp": tp, "fp": fp, "fn": fn}
 
 
 def pairwise_prf(labeled: pa.Table, cluster_of: dict[str, str | None]) -> dict[str, float]:

@@ -133,3 +133,25 @@ def test_deterministic_rerun(synth_small):
         r1[k].sort_values("mention_uid").reset_index(drop=True),
         r2[k].sort_values("mention_uid").reset_index(drop=True),
     )
+
+
+def test_pairwise_counts_equals_enumeration(linkage_run, synth_small):
+    """The O(n+V²) count-based pairwise metrics must equal pair enumeration."""
+    from mix_blink_ray.evaluation.metrics import pairwise_prf_counts
+
+    _, mentions, _, _ = linkage_run
+    gold = synth_small["mentions_gold"].to_pandas()
+    mdf = mentions.set_index("mention_uid")
+    cluster_of = {}
+    for uid, cid, pid in zip(mentions["mention_uid"], mentions["cluster_id"], mentions["pred_id"]):
+        cluster_of[uid] = cid if pid != NIL_ID else f"singleton:{uid}"
+    labeled = labeled_pairs_from_gold(synth_small["mentions_gold"])
+    slow = pairwise_prf(labeled, cluster_of)
+
+    gold_sets = [frozenset(g) - {NIL_ID} for g in gold["gold_ids"]]
+    cl = mdf["cluster_id"].reindex(gold["mention_uid"]).to_numpy(dtype=object)
+    pr = mdf["pred_id"].reindex(gold["mention_uid"]).to_numpy(dtype=object)
+    clusters = [c if (isinstance(p, str) and p != NIL_ID) else None for c, p in zip(cl, pr)]
+    fast = pairwise_prf_counts(gold_sets, clusters)
+    for k in ("tp", "fp", "fn", "precision", "recall", "f1"):
+        assert fast[k] == slow[k], (k, fast[k], slow[k])
