@@ -98,12 +98,32 @@ def linkage_candidates(sf_dir: str):
 
 
 def linkage_eval(sf_dir: str):
-    """Pairwise P/R/F1 + R@k + MRR vs the synthetic gold (reference
-    evaluation formulas, eval.py:24-59)."""
+    """Pairwise P/R/F1 + R@1/10/50/100 + MRR vs the synthetic gold (reference
+    evaluation formulas and k=100 candidate pool, eval.py:23-59)."""
+    from mix_blink_ray.stages.scoring import ScoringConfig, SurfaceScorer, build_catalog_index
+
     res, paths = _linkage_result(sf_dir)
     gold_tbl = pq.read_table(paths["mentions_gold"])
+    catalog = pq.read_table(paths["catalog"])
+
+    # Reference eval retrieves top-100 (eval.py:23); rescore the distinct
+    # surfaces at k=100 (clamped to |catalog| like dense.py:89-91).
+    import ray
+
+    eval_cfg = ScoringConfig(top_k=100, extra_k=0)
+    idx_ref = ray.put(build_catalog_index(catalog, cfg=eval_cfg))
+
+    def score100(b: pa.Table) -> pa.Table:
+        from mix_blink_ray.pipelines.linkage import _cached_scorer
+
+        scorer = _cached_scorer("eval100", lambda: SurfaceScorer(idx_ref, eval_cfg))
+        return scorer(b.select(["norm_text"]))
+
+    surf100 = res.surface_preds.select_columns(["norm_text"]).map_batches(
+        score100, batch_format="pyarrow", batch_size=1024
+    )
     m = res.mentions.select_columns(["mention_uid", "norm_text", "pred_id", "cluster_id"])
-    joined = _attach_lists(m, res.surface_preds, paths["mentions_gold"])
+    joined = _attach_lists(m, surf100, paths["mentions_gold"])
 
     def non_nil_rank_stats(b: pa.Table) -> pa.Table:
         # R@k/MRR over mentions with ≥1 in-catalog gold: the reference scores
@@ -112,10 +132,10 @@ def linkage_eval(sf_dir: str):
         has_real = pa.array(
             [any(g != NIL_ID for g in row) for row in b["gold_ids"].to_pylist()], pa.bool_()
         )
-        return rank_stats_batch(b.filter(has_real), ks=(1, 10))
+        return rank_stats_batch(b.filter(has_real), ks=(1, 10, 50, 100))
 
     partials = joined.map_batches(non_nil_rank_stats, batch_format="pyarrow")
-    rk = recall_mrr(partials, ks=(1, 10))
+    rk = recall_mrr(partials, ks=(1, 10, 50, 100))
 
     # Count-based exact pairwise metrics (pair enumeration is O(n²) and
     # times out beyond a few thousand mentions).
@@ -131,7 +151,10 @@ def linkage_eval(sf_dir: str):
     return pa.table(
         {
             "metric": pa.array(
-                ["pairwise_precision", "pairwise_recall", "pairwise_f1", "recall@1", "recall@10", "mrr"],
+                [
+                    "pairwise_precision", "pairwise_recall", "pairwise_f1",
+                    "recall@1", "recall@10", "recall@50", "recall@100", "mrr",
+                ],
                 pa.string(),
             ),
             "value": pa.array(
@@ -141,12 +164,66 @@ def linkage_eval(sf_dir: str):
                     round(prf["f1"], 6),
                     round(rk["recall@1"], 6),
                     round(rk["recall@10"], 6),
+                    round(rk["recall@50"], 6),
+                    round(rk["recall@100"], 6),
                     round(rk["mrr"], 6),
                 ],
                 pa.float64(),
             ),
         }
     )
+
+
+def linkage_predictions(sf_dir: str):
+    """Top-5 prediction report — the engine analog of the reference's
+    ``predict`` output (``mix_blink/prediction/predict.py:13-55``): per
+    mention, ranked candidates with ``name``, ``id``, similarity rounded to 4
+    (``:46`` M13), description truncated to 300 chars (``:47`` M12), and the
+    mention surface slice (``:39`` M11) — flattened to one row per
+    (mention, rank), keyed not nested."""
+    import numpy as np
+    import ray
+
+    res, paths = _linkage_result(sf_dir)
+    catalog = pq.read_table(paths["catalog"])
+    from mix_blink_ray.functions.text import compose_description
+
+    cat_df = catalog.to_pandas().set_index("entity_id")
+    desc = {
+        i: (d if d else f"{n} is an entity in this dictionary.")[:300]
+        for i, n, d in zip(cat_df.index, cat_df["name"], cat_df["description"])
+    }
+    name_of = dict(zip(cat_df.index, cat_df["name"]))
+    lut_ref = ray.put((name_of, desc))
+
+    surf = res.surface_preds.select_columns(["norm_text", "candidates", "candidate_scores"])
+
+    def explode_top5(b: pa.Table) -> pa.Table:
+        names, descs = ray.get(lut_ref)
+        cand = b["candidates"].combine_chunks() if isinstance(b["candidates"], pa.ChunkedArray) else b["candidates"]
+        scores = b["candidate_scores"].combine_chunks() if isinstance(b["candidate_scores"], pa.ChunkedArray) else b["candidate_scores"]
+        rows, ranks, ids, sims = [], [], [], []
+        for i in range(b.num_rows):
+            cl = cand[i].as_py()[:5]
+            sl = scores[i].as_py()[:5]
+            for r, (cid, sc) in enumerate(zip(cl, sl), 1):
+                rows.append(i)
+                ranks.append(r)
+                ids.append(cid)
+                sims.append(round(float(sc), 4))  # M13
+        take = pa.array(rows, pa.int64())
+        return pa.table(
+            {
+                "norm_text": pa.compute.take(b["norm_text"], take),
+                "rank": pa.array(ranks, pa.int32()),
+                "entity_id": pa.array(ids, pa.string()),
+                "entity_name": pa.array([names.get(i, "") for i in ids], pa.string()),
+                "similarity": pa.array(sims, pa.float64()),
+                "description": pa.array([descs.get(i, "") for i in ids], pa.string()),
+            }
+        )
+
+    return surf.map_batches(explode_top5, batch_format="pyarrow")
 
 
 def entry() -> Any:
@@ -160,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["linkage_clusters"] = linkage_clusters
     out["linkage_candidates"] = linkage_candidates
     out["linkage_eval"] = linkage_eval
+    out["linkage_predictions"] = linkage_predictions
     return out
 
 

@@ -99,3 +99,27 @@ def test_linkage_eval_query():
     assert df["pairwise_f1"] >= 0.99
     assert df["recall@10"] >= 0.95
     assert 0 < df["mrr"] <= 1
+
+
+def test_linkage_predictions_query():
+    """Reference predict-report parity: top-5 ranked, similarity rounded to 4,
+    description <= 300 chars (predict.py:23,46,47)."""
+    df = to_pandas(entrymod.queries()["linkage_predictions"](SF_DIR))
+    assert len(df) > 0
+    assert set(df.columns) == {"norm_text", "rank", "entity_id", "entity_name", "similarity", "description"}
+    assert df["rank"].max() <= 5
+    assert df["description"].map(len).max() <= 300
+    # similarity carries at most 4 decimals
+    assert (df["similarity"].round(4) == df["similarity"]).all()
+    # ranks are dense 1..k per surface and scores non-increasing
+    for _, g in df.groupby("norm_text"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (g["similarity"].diff().dropna() <= 1e-9).all()
+
+
+def test_linkage_eval_has_reference_ks():
+    df = to_pandas(entrymod.queries()["linkage_eval"](SF_DIR)).set_index("metric")["value"]
+    for k in ("recall@1", "recall@10", "recall@50", "recall@100"):
+        assert 0 <= df[k] <= 1
+    assert df["recall@100"] >= df["recall@50"] >= df["recall@10"] >= df["recall@1"]
