@@ -21,15 +21,13 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from mix_blink_ray.evaluation.metrics import (
-    labeled_pairs_from_gold,
-    pairwise_prf,
     pairwise_prf_counts,
     rank_stats_batch,
     recall_mrr,
 )
 from mix_blink_ray.pipelines.linkage import LinkageConfig, run_linkage
 from mix_blink_ray.pipelines.queries import ORACLE_SQL, QUERIES
-from mix_blink_ray.sources.synth import NIL_ID, SynthConfig, config_for_scale, generate_cached
+from mix_blink_ray.sources.synth import NIL_ID, config_for_scale, generate_cached
 from mix_blink_ray.stages.scoring import split_candidates_hard_negatives
 
 # Deterministic synthetic transcript corpus scale per testdata sf tier
@@ -186,8 +184,6 @@ def linkage_predictions(sf_dir: str):
 
     res, paths = _linkage_result(sf_dir)
     catalog = pq.read_table(paths["catalog"])
-    from mix_blink_ray.functions.text import compose_description
-
     cat_df = catalog.to_pandas().set_index("entity_id")
     desc = {
         i: (d if d else f"{n} is an entity in this dictionary.")[:300]

@@ -43,7 +43,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Count, Sum
 
 from ..functions.encoder import Encoder, HashNgramEncoder
 from ..sources.synth import NIL_ID
@@ -51,7 +50,6 @@ from ..stages.blocking import BlockingConfig, add_salt, block_keys_table
 from ..stages.clustering import cluster_nodes
 from ..stages.mentions import extract_mentions
 from ..stages.scoring import (
-    CatalogIndex,
     PairScorer,
     ScoringConfig,
     SurfaceScorer,
