@@ -22,6 +22,9 @@ import pyarrow as pa
 
 # FNV-64 prime as the polynomial base; arithmetic wraps mod 2**64 (uint64).
 _P = np.uint64(1099511628211)
+# Second independent base for the 128-bit full-content hash (odd ⇒ invertible
+# mod 2^64, so the polynomial map loses no entropy).
+_P2 = np.uint64(0x9E3779B185EBCA87)
 _SEED_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 __all__ = [
@@ -29,6 +32,7 @@ __all__ = [
     "gather_substrings",
     "char_ngram_hashes",
     "hash_strings",
+    "hash_strings_full",
     "rolling_hashes",
     "minhash_signatures",
     "lsh_band_keys",
@@ -141,6 +145,93 @@ def hash_strings(data: np.ndarray, offsets: np.ndarray, max_bytes: int = 64) -> 
         m = j < lengths
         h[m] = h[m] * _P + data[idx[m]].astype(np.uint64)
     return h
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Final avalanche (splitmix64 finalizer, public domain constant set)."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+# Two-level power table: P^e = P^(e mod 2^16) · (P^2^16)^(e >> 16) — bounds
+# table memory at O(2^16 + maxlen/2^16) no matter how long one row is.
+_POW_BLOCK = 1 << 16
+
+
+def _pow_tables(base: np.uint64, maxlen: int) -> tuple[np.ndarray, np.ndarray]:
+    small_n = min(maxlen, _POW_BLOCK)
+    small = np.empty(small_n, dtype=np.uint64)
+    small[0] = np.uint64(1)
+    if small_n > 1:
+        small[1:] = np.cumprod(np.full(small_n - 1, base, dtype=np.uint64))
+    big_n = maxlen // _POW_BLOCK + 1
+    big = np.empty(big_n, dtype=np.uint64)
+    big[0] = np.uint64(1)
+    if big_n > 1:
+        big_base = small[-1] * base if small_n == _POW_BLOCK else base
+        big[1:] = np.cumprod(np.full(big_n - 1, big_base, dtype=np.uint64))
+    return small, big
+
+
+# Row-chunking bound for the transient (row_of, exponent) int64 arrays: keeps
+# the ~24 B/text-byte working set per chunk at a few hundred MB max.
+_FULL_HASH_CHUNK_BYTES = 8 << 20
+
+
+def hash_strings_full(data: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Full-length 128-bit content hash per row — NO truncation.
+
+    Unlike :func:`hash_strings` (a 64-byte-prefix bucketing hash, fine for
+    blocking keys), this reads EVERY byte: two independent position-weighted
+    polynomial hashes (h = Σ byte·base^(len−1−i), bases ``_P``/``_P2``) mixed
+    with the length and finalized with splitmix64.  This is the identity key
+    for :func:`..stages.dedup.exact_dedup` — same-length documents sharing a
+    long prefix must NOT collide.
+
+    Vectorized over the flat buffer: O(total bytes) work, no loop over rows or
+    byte positions (rows are chunked only to bound transient memory).
+    Returns ``(h1, h2)`` uint64 arrays of length nrows.
+    """
+    nrows = len(offsets) - 1
+    lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    h1 = lengths.astype(np.uint64) * _P + _SEED_MIX
+    h2 = lengths.astype(np.uint64) * _P2 + ~_SEED_MIX
+    if nrows == 0 or len(data) == 0 or offsets[-1] == offsets[0]:
+        return _splitmix64(h1), _splitmix64(h2)
+
+    cum = (offsets - offsets[0]).astype(np.int64)
+    total = int(cum[-1])
+    n_chunks = max(1, (total + _FULL_HASH_CHUNK_BYTES - 1) // _FULL_HASH_CHUNK_BYTES)
+    row_bounds = np.unique(
+        np.concatenate(
+            [
+                [0],
+                np.searchsorted(cum, np.arange(1, n_chunks) * _FULL_HASH_CHUNK_BYTES, side="left"),
+                [nrows],
+            ]
+        )
+    )
+    for r0, r1 in zip(row_bounds[:-1], row_bounds[1:]):
+        off = offsets[r0 : r1 + 1]
+        if off[-1] == off[0]:
+            continue
+        span = data[off[0] : off[-1]].astype(np.uint64)
+        seg_len = lengths[r0:r1]
+        row_of = np.repeat(np.arange(r1 - r0, dtype=np.int64), seg_len)
+        gpos = np.arange(off[0], off[-1], dtype=np.int64)
+        e = off[1:][row_of] - 1 - gpos
+        maxlen = int(seg_len.max())
+        present = np.flatnonzero(seg_len > 0)
+        seg_starts = (off[:-1] - off[0])[present]
+        e_lo = e & np.int64(_POW_BLOCK - 1)
+        e_hi = e >> np.int64(16)
+        for base, h in ((_P, h1), (_P2, h2)):
+            small, big = _pow_tables(base, maxlen)
+            contrib = span * small[e_lo] * big[e_hi]
+            h[r0 + present] += np.add.reduceat(contrib, seg_starts)
+    return _splitmix64(h1), _splitmix64(h2)
 
 
 def rolling_hashes(

@@ -311,24 +311,34 @@ def events_union_extremes(sf_dir: str):
 
 
 def events_user_sessions(sf_dir: str):
-    """Per-user ordered window stat: event count + span seconds per user
-    (sorted within group — the groupby(key).map_groups streaming-window shape)."""
-    import pandas as pd
-
+    """Per-user session stat: event count + time span per user.  The span is
+    just max(ts)−min(ts), so this is a plain Min/Max/Count aggregate — no
+    per-group Python, no in-group sort (the groupby(key).map_groups windowed
+    shape is exercised where genuinely order-dependent, e.g. dedup pair
+    generation)."""
     ds = _t(sf_dir, "events", ["user_id", "ts"])
-
-    def span(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        us = (g["ts"].iloc[-1].value - g["ts"].iloc[0].value) // 1000  # ns → µs, exact int
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [len(g)],
-                "span_us": [int(us)],
-            }
+    prep = ds.map_batches(
+        lambda b: pa.table({"user_id": b["user_id"], "ts_us": pc.cast(b["ts"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    out = (
+        prep.groupby("user_id")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Min("ts_us", alias_name="ts_lo"),
+            Max("ts_us", alias_name="ts_hi"),
         )
-
-    out = ds.groupby("user_id").map_groups(span, batch_format="pandas")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "n_events": b["n_events"],
+                    "span_us": pc.subtract(b["ts_hi"], b["ts_lo"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
@@ -376,6 +386,16 @@ def docs_exact_dedup(sf_dir: str):
     """Exact dedup keyed by full text (group → min id + copy count)."""
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
     out = ds.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def docs_exact_dedup_hash(sf_dir: str):
+    """Exact dedup via the ``stages.dedup.exact_dedup`` operator (128-bit
+    full-length content hash groupby — the scale path: the shuffle ships
+    16-byte keys, never the text).  Oracle groups by full text; equal output
+    proves the hash key is collision-free on this corpus."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_dedup(ds).drop_columns(["content_hash", "content_hash2"])
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
@@ -490,6 +510,7 @@ QUERIES = {
     "docs_token_stats": docs_token_stats,
     "docs_tokens": docs_tokens,
     "docs_exact_dedup": docs_exact_dedup,
+    "docs_exact_dedup_hash": docs_exact_dedup_hash,
     "docs_distinct_sources": docs_distinct_sources,
     "docs_top_sources": docs_top_sources,
     "docs_filter_long": docs_filter_long,
@@ -586,6 +607,10 @@ ORACLE_SQL = {
     """,
     "docs_exact_dedup": """
         SELECT text, min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents GROUP BY text
+    """,
+    "docs_exact_dedup_hash": """
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents GROUP BY text
     """,
     "docs_distinct_sources": "SELECT DISTINCT source FROM documents",

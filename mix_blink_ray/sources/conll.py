@@ -31,6 +31,11 @@ def decode_bio_spans(tags: list[str], links: list[str]) -> list[tuple[int, int, 
     Mirrors the reference's state machine (``zelda.py:81-104``): ``B-`` always
     opens; ``I-`` continues only when the label matches the open span —
     otherwise it OPENS a new span (label-change-without-B); ``O`` closes.
+
+    Link columns in ZELDA CoNLL files are BIO-prefixed like the tag
+    (``B-<id>``/``I-<id>``) and the reference strips the prefix
+    unconditionally (``zelda.py:91-92`` ``cur_link = link_tag[2:]``); we strip
+    it when present so un-prefixed link columns keep working too.
     """
     spans: list[tuple[int, int, str, str]] = []
     open_start, open_label, open_link = None, None, None
@@ -44,7 +49,8 @@ def decode_bio_spans(tags: list[str], links: list[str]) -> list[tuple[int, int, 
         if prefix == "B" or open_start is None or label != open_label:
             if open_start is not None:
                 spans.append((open_start, i, open_label, open_link))
-            open_start, open_label, open_link = i, label, link
+            open_start, open_label = i, label
+            open_link = link[2:] if link[:2] in ("B-", "I-") else link
     if open_start is not None:
         spans.append((open_start, len(tags), open_label, open_link))
     return spans

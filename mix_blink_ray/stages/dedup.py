@@ -24,6 +24,7 @@ from ..functions.hashing import (
     char_ngram_hashes,
     flat_utf8,
     hash_strings,
+    hash_strings_full,
     lsh_band_keys,
     minhash_signatures,
     rolling_hashes,
@@ -68,21 +69,25 @@ def _word_shingle_sigs(texts: pa.Array, cfg: DedupConfig) -> np.ndarray:
 
 def exact_dedup(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
     """Exact dedup: one row per distinct text — representative = min id,
-    plus the duplicate count.  Hash-partition groupby on a content hash, so
-    the shuffle moves (hash, id) pairs, never the full text payload twice."""
+    plus the duplicate count.  Hash-partition groupby on a 128-bit FULL-length
+    content hash (:func:`hash_strings_full` — every byte, no truncation, so
+    same-length shared-prefix documents never falsely merge; 128 bits keeps
+    birthday collisions negligible past 10⁹ docs), so the shuffle moves
+    (hash, hash, id) triples, never the full text payload twice."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        h = hash_strings(*flat_utf8(batch[text_col]))
+        h1, h2 = hash_strings_full(*flat_utf8(batch[text_col]))
         return pa.table(
             {
-                "content_hash": pa.array(h.view(np.int64)),
+                "content_hash": pa.array(h1.view(np.int64)),
+                "content_hash2": pa.array(h2.view(np.int64)),
                 id_col: batch[id_col],
             }
         )
 
     return (
         docs.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("content_hash")
+        .groupby(["content_hash", "content_hash2"])
         .aggregate(Min(id_col, alias_name=id_col), Count(alias_name="n_copies"))
     )
 

@@ -66,3 +66,22 @@ def test_parse_and_convert():
     # spans feed the engine's annotation-based mention source
     mentions = mentions_from_annotations(transcripts, spans)
     assert mentions["surface"].to_pylist() == ["Acme Corp", "Bob", "Paris"]
+
+
+def test_zelda_style_bio_prefixed_links():
+    """ZELDA CoNLL link columns carry the BIO prefix too (reference
+    zelda.py:92 ``cur_link = link_tag[2:]``) — the converter must strip it."""
+    lines = [
+        "Acme\tB-ORG\tB-acme_corp",
+        "Corp\tI-ORG\tI-acme_corp",
+        "and\tO",
+        "Globex\tB-ORG\tB-globex_inc",
+    ]
+    spans = decode_bio_spans(
+        [l.split("\t")[1] if len(l.split("\t")) > 1 else "O" for l in lines],
+        [l.split("\t")[2] if len(l.split("\t")) > 2 else "" for l in lines],
+    )
+    assert spans == [(0, 2, "ORG", "acme_corp"), (3, 4, "ORG", "globex_inc")]
+
+    _, span_tbl = conll_to_tables(lines)
+    assert span_tbl["gold_id"].to_pylist() == ["acme_corp", "globex_inc"]

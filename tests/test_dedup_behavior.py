@@ -46,6 +46,24 @@ def test_exact_dedup_collapses_identical():
     assert row.doc_id.iloc[0] == 0  # representative = min id
 
 
+def test_exact_dedup_no_false_merge_on_shared_prefix():
+    """Regression (round-1 VERDICT §wrong #1): same-length docs sharing a long
+    prefix hashed identically under the 64-byte-truncated key and were
+    silently merged.  The full-length 128-bit hash must keep them apart."""
+    texts = [
+        "x" * 64 + "TAIL-AAAA",
+        "x" * 64 + "TAIL-BBBB",   # same length, same 64-byte prefix, different tail
+        "x" * 64 + "TAIL-AAAA",   # true duplicate of doc 0
+        "y" * 200 + "end-one",
+        "y" * 200 + "end-two",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+    out = exact_dedup(rd.from_arrow(tbl)).to_pandas()
+    assert len(out) == 4  # only the one true duplicate pair merges
+    merged = out[out.n_copies == 2]
+    assert len(merged) == 1 and merged.doc_id.iloc[0] == 0
+
+
 def test_minhash_near_dup_finds_near_and_skips_far():
     cfg = DedupConfig(jaccard_threshold=0.5, num_perms=128)
     pairs = minhash_near_dup_pairs(rd.from_arrow(corpus()), cfg).to_pandas()
