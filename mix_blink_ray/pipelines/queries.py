@@ -635,7 +635,91 @@ ORACLE_SQL = {
             FROM q CROSS JOIN embeddings e
         ) WHERE rank <= 5
     """,
-    # docs_lang_id, docs_quality, docs_minhash_near_dup, docs_simhash,
-    # emb_knn_lsh_top5, emb_near_dup, linkage_*: not SQL-expressible →
-    # rows-only checks (heuristics / sketches / seeded LSH / iterative algo).
+    # docs_minhash_near_dup, docs_simhash, emb_knn_lsh_top5, emb_near_dup,
+    # linkage_*: not SQL-expressible → rows-only checks (sketches / seeded
+    # LSH / iterative algo).
 }
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in sorted(words)) + "]"
+
+
+def _build_text_oracles() -> None:
+    """docs_quality / docs_lang_id ARE deterministic arithmetic over regex and
+    token counts — fully SQL-expressible.  The SQL is generated from the SAME
+    stopword tables the engine uses (``stages.text_analysis._STOPWORDS``) so
+    the two sides cannot drift.  Both engines are RE2-based (Arrow and DuckDB),
+    so ``\\w``/``\\s`` semantics agree."""
+    from ..stages.text_analysis import _STOPWORDS
+
+    all_stop = _sql_list(set().union(*_STOPWORDS.values()))
+    ORACLE_SQL["docs_quality"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   lower(text) AS tl,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+            FROM documents
+        ), f AS (
+            SELECT doc_id,
+                   length(tl) AS n_chars,
+                   len(regexp_extract_all(tl, '[^\\w\\s]')) AS n_punct,
+                   len(toks) AS n_tok,
+                   CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) AS tok_len_sum,
+                   len(list_filter(toks, x -> list_contains({all_stop}, x))) AS n_stop
+            FROM t
+        ), r AS (
+            SELECT doc_id,
+                   n_punct / greatest(n_chars, 1) AS punct_ratio,
+                   n_stop / greatest(n_tok, 1) AS stopword_ratio,
+                   tok_len_sum / greatest(n_tok, 1) AS mean_word_len,
+                   least(n_tok / 50.0, 1.0) AS length_score
+            FROM f
+        )
+        SELECT doc_id,
+               CAST(round(punct_ratio * 1000000) AS BIGINT) / 1000000.0 AS punct_ratio,
+               CAST(round(stopword_ratio * 1000000) AS BIGINT) / 1000000.0 AS stopword_ratio,
+               CAST(round(mean_word_len * 1000000) AS BIGINT) / 1000000.0 AS mean_word_len,
+               CAST(round((0.4 * length_score
+                           + 0.3 * (1.0 - punct_ratio)
+                           + 0.3 * greatest(least(1.0 - abs(mean_word_len - 5.0) / 5.0, 1.0), 0.0))
+                          * 1000000) AS BIGINT) / 1000000.0 AS quality_score
+        FROM r
+    """
+
+    langs = [lang for lang, words in _STOPWORDS.items() if words]  # engine vote order
+    vote_cols = ",\n                   ".join(
+        f"len(list_filter(toks, x -> list_contains({_sql_list(_STOPWORDS[lang])}, x))) AS v_{lang}"
+        for lang in langs
+    )
+    # First-max-wins cascade in the engine's argmax order; han-share override
+    # to 'zh' applies LAST in the engine (so it beats everything) ⇒ FIRST here.
+    cascade = []
+    for i, lang in enumerate(langs):
+        conds = " AND ".join(f"v_{lang} >= v_{other}" for other in langs[i + 1 :])
+        cascade.append(f"WHEN {conds} THEN '{lang}'" if conds else f"ELSE '{lang}'")
+    cascade_sql = "\n                    ".join(cascade)
+    max_expr = "greatest(" + ", ".join(f"v_{lang}" for lang in langs) + ")"
+    ORACLE_SQL["docs_lang_id"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   lower(text) AS tl,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+            FROM documents
+        ), v AS (
+            SELECT doc_id,
+                   {vote_cols},
+                   len(regexp_extract_all(tl, '[一-鿿]')) AS han,
+                   length(tl) AS n_chars
+            FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN han / greatest(n_chars, 1) > 0.2 THEN 'zh'
+                    WHEN {max_expr} = 0 THEN 'unknown'
+                    {cascade_sql}
+               END AS lang_pred
+        FROM v
+    """
+
+
+_build_text_oracles()
