@@ -51,6 +51,8 @@ class DedupConfig:
     jaccard_threshold: float = 0.7
     simhash_max_hamming: int = 3
     cosine_threshold: float = 0.95
+    hot_band_cap: int = 2048     # ids per LSH band before pair truncation (counted)
+    bucket_cap: int = 4096       # ids per embedding-LSH bucket before salting (counted)
     seed: int = 42
 
 
@@ -136,9 +138,14 @@ def minhash_near_dup_pairs(
         # Hot-band cap: a band shared by k docs yields k²/2 pairs; beyond the
         # cap keep the (deterministic) lowest ids — run exact_dedup first so
         # byte-identical documents never inflate bands.  Band redundancy
-        # across the other bands recovers most pairs beyond the cap.
-        if len(ids) > 2048:
-            ids = ids[:2048]
+        # across the other bands recovers most pairs beyond the cap; every
+        # dropped pair is COUNTED (stage counter, never silent).
+        if len(ids) > cfg.hot_band_cap:
+            from ..state.counters import incr
+
+            k, c = len(ids), cfg.hot_band_cap
+            incr("minhash_hot_band_truncated_pairs", k * (k - 1) // 2 - c * (c - 1) // 2)
+            ids = ids[: cfg.hot_band_cap]
         iu, ju = np.triu_indices(len(ids), k=1)
         return pa.table({"a_id": pa.array(ids[iu]), "b_id": pa.array(ids[ju])})
 
@@ -274,32 +281,58 @@ def ngram_jaccard_verify(
     pairs: Dataset, docs: Dataset, threshold: float, ngram: int = 3,
     id_col: str = "doc_id", text_col: str = "text",
 ) -> Dataset:
-    """Exact char-n-gram Jaccard verify of candidate pairs: broadcast the
-    docs' gram sets are NOT built — instead each pair re-hashes both texts
-    (texts fetched via hash join on ids) and intersects hashed gram sets
-    vectorized.  Suits candidate sets ≪ corpus."""
-    import ray
+    """Exact char-n-gram Jaccard verify of candidate pairs.
 
-    # small candidate set: join texts in (two joins on a_id/b_id)
-    texts = docs.select_columns([id_col, text_col])
-    t = texts.to_pandas().set_index(id_col)[text_col]
-    t_ref = ray.put(t)
+    Texts are fetched ONTO the (small) pair set via two partitioned hash
+    joins — the corpus text column never touches the driver (the same shape
+    :func:`minhash_near_dup_pairs` uses for signatures).  The gram-set
+    intersection is a vectorized sort-merge over hashed grams: dedupe (row,
+    gram) per side, concatenate, count (row, gram) keys present on both sides
+    — no per-pair Python loop."""
+    from .clustering import clamped_partitions
+
+    pairs = pairs.materialize()
+    n_parts = clamped_partitions(max(pairs.count(), 1), 8)
+    a_texts = docs.map_batches(
+        lambda b: pa.table({"a_id": b[id_col], "a_text": b[text_col]}), batch_format="pyarrow"
+    )
+    b_texts = docs.map_batches(
+        lambda b: pa.table({"b_id": b[id_col], "b_text": b[text_col]}), batch_format="pyarrow"
+    )
+    joined = pairs.join(a_texts, join_type="inner", num_partitions=n_parts, on=("a_id",)).join(
+        b_texts, join_type="inner", num_partitions=n_parts, on=("b_id",)
+    )
 
     def verify(batch: pa.Table) -> pa.Table:
-        tt = ray.get(t_ref)
-        a_texts = pa.array(tt.loc[np.asarray(batch["a_id"])].tolist(), pa.string())
-        b_texts = pa.array(tt.loc[np.asarray(batch["b_id"])].tolist(), pa.string())
-        out_j = np.zeros(batch.num_rows, dtype=np.float64)
-        for i in range(batch.num_rows):  # candidate pairs are few post-LSH
-            da, oa = flat_utf8(a_texts.slice(i, 1))
-            db, ob = flat_utf8(b_texts.slice(i, 1))
-            ga = set(char_ngram_hashes(da, oa, n=ngram)[0].tolist())
-            gb = set(char_ngram_hashes(db, ob, n=ngram)[0].tolist())
-            out_j[i] = len(ga & gb) / max(len(ga | gb), 1)
-        out = batch.append_column("jaccard", pa.array(out_j))
+        n = batch.num_rows
+
+        def row_gram_sets(col) -> tuple[np.ndarray, np.ndarray]:
+            data, off = flat_utf8(col)
+            g, r = char_ngram_hashes(data, off, n=ngram)
+            order = np.lexsort((g, r))
+            g, r = g[order], r[order]
+            keep = np.ones(len(g), dtype=bool)
+            keep[1:] = (g[1:] != g[:-1]) | (r[1:] != r[:-1])
+            return g[keep], r[keep]
+
+        ga, ra = row_gram_sets(batch["a_text"])
+        gb, rb = row_gram_sets(batch["b_text"])
+        na = np.bincount(ra, minlength=n)
+        nb = np.bincount(rb, minlength=n)
+        g = np.concatenate([ga, gb])
+        r = np.concatenate([ra, rb])
+        order = np.lexsort((g, r))
+        g, r = g[order], r[order]
+        dup = (g[1:] == g[:-1]) & (r[1:] == r[:-1])
+        inter = np.bincount(r[1:][dup], minlength=n)
+        union = na + nb - inter
+        j = inter / np.maximum(union, 1)
+        out = batch.drop_columns(["a_text", "b_text"]).append_column(
+            "jaccard", pa.array(j.astype(np.float64))
+        )
         return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 def embedding_near_dup_pairs(
@@ -347,6 +380,25 @@ def embedding_near_dup_pairs(
         unit_col = group["unit"].combine_chunks() if isinstance(group["unit"], pa.ChunkedArray) else group["unit"]
         dim = unit_col.type.list_size
         u = np.asarray(unit_col.flatten(), dtype=np.float32).reshape(n, dim)
+        # Hot-bucket salt cap (blocking.add_salt pattern): a degenerate bucket
+        # is O(n²); beyond the cap, split into deterministic salted sub-groups
+        # and pair only within a salt.  Unlike MinHash bands there is no band
+        # redundancy to recover cross-salt pairs, so every dropped pair is
+        # COUNTED via the stage counter.
+        if n > cfg.bucket_cap:
+            from ..functions.hashing import _SEED_MIX
+            from ..state.counters import incr
+
+            n_salts = -(-n // cfg.bucket_cap)
+            salt = ((ids.view(np.uint64) * _SEED_MIX) % np.uint64(n_salts)).astype(np.int64)
+            sizes = np.bincount(salt, minlength=n_salts)
+            within = int((sizes * (sizes - 1) // 2).sum())
+            incr("embedding_hot_bucket_truncated_pairs", n * (n - 1) // 2 - within)
+            parts = [
+                in_bucket_pairs(group.take(pa.array(np.flatnonzero(salt == s))))
+                for s in range(n_salts)
+            ]
+            return pa.concat_tables([empty] + parts)
         cos = u @ u.T
         iu, ju = np.triu_indices(n, k=1)
         c = cos[iu, ju].astype(np.float64)

@@ -107,3 +107,41 @@ def test_embedding_near_dup_constructed():
     )
     pairs = embedding_near_dup_pairs(rd.from_arrow(tbl), DedupConfig(cosine_threshold=0.99)).to_pandas()
     assert set(map(tuple, pairs[["a_id", "b_id"]].itertuples(index=False))) == {(0, 4)}
+
+
+def test_truncation_counters_fire_on_hot_groups():
+    """Caps are never silent: hot-band and hot-bucket truncation must show up
+    in the stage counters with the exact dropped-pair count."""
+    from mix_blink_ray.state.counters import read_counters, reset_counters
+
+    reset_counters()
+    # 12 identical docs with hot_band_cap=8: every band holds all 12 ids.
+    texts = ["identical hot text for every single row here"] * 12
+    tbl = pa.table({"doc_id": pa.array(range(12), pa.int64()), "text": pa.array(texts)})
+    cfg = DedupConfig(hot_band_cap=8, jaccard_threshold=0.5)
+    pairs = minhash_near_dup_pairs(rd.from_arrow(tbl), cfg).to_pandas()
+    counts = read_counters()
+    # per band: C(12,2)-C(8,2) = 66-28 = 38 dropped; ≥ 1 band fired
+    assert counts.get("minhash_hot_band_truncated_pairs", 0) >= 38
+    assert counts["minhash_hot_band_truncated_pairs"] % 38 == 0
+    assert len(pairs) <= 8 * 7 // 2
+
+    reset_counters()
+    # 20 identical unit vectors, bucket_cap=6 → salted sub-buckets, cross-salt
+    # pairs dropped and counted.
+    vec = [1.0] + [0.0] * 15
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(20), pa.int64()),
+            "embedding": pa.array([vec] * 20, pa.list_(pa.float32())),
+        }
+    )
+    out = embedding_near_dup_pairs(
+        rd.from_arrow(tbl), DedupConfig(bucket_cap=6, cosine_threshold=0.9)
+    ).to_pandas()
+    counts = read_counters()
+    dropped = counts.get("embedding_hot_bucket_truncated_pairs", 0)
+    assert dropped > 0
+    # kept + dropped = all pairs of the bucket (identical vectors ⇒ every
+    # within-salt pair passes the threshold)
+    assert len(out) + dropped == 20 * 19 // 2
