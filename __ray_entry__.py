@@ -21,7 +21,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from mix_blink_ray.evaluation.metrics import (
-    pairwise_prf_counts,
+    pairwise_prf_distributed,
     rank_stats_batch,
     recall_mrr,
 )
@@ -57,31 +57,87 @@ def linkage_clusters(sf_dir: str):
     )
 
 
-def _attach_lists(mentions, surf_preds, gold_path: str):
+GOLD_BROADCAST_THRESHOLD = 5_000_000  # gold rows ≤ this → broadcast; else hash join
+_GOLD_BLOB_SEP = "\x1f"
+
+
+def _attach_lists(mentions, surf_preds, gold_path: str, gold_broadcast_threshold: int | None = None):
     """Attach ``candidates`` (per surface) and ``gold_ids`` (per mention) to
-    mention rows via broadcast lookups — Arrow's hash join can't carry
-    list-typed payload columns (acero limitation), and both sides here are
-    keyed lookups anyway (surface table is contracted/small; gold is the
-    eval-only truth table)."""
+    mention rows.
+
+    The surface side is the contracted distinct-surface table — small by
+    construction — so it stays a broadcast lookup.  The GOLD side grows with
+    mentions, so above ``gold_broadcast_threshold`` rows it switches to a
+    partitioned hash join on ``mention_uid`` with the list column serialized
+    to a join-safe string blob (Arrow's hash join can't carry list-typed
+    payload columns) and re-split after the join — mirroring the linkage
+    pipeline's ``broadcast_threshold`` fallback."""
     import ray
 
+    threshold = GOLD_BROADCAST_THRESHOLD if gold_broadcast_threshold is None else gold_broadcast_threshold
     surf_df = surf_preds.select_columns(["norm_text", "candidates"]).to_pandas().set_index("norm_text")["candidates"]
-    gold_df = pq.read_table(gold_path, columns=["mention_uid", "gold_ids"]).to_pandas().set_index("mention_uid")["gold_ids"]
-    surf_ref, gold_ref = ray.put(surf_df), ray.put(gold_df)
+    surf_ref = ray.put(surf_df)
 
-    def attach(b: pa.Table) -> pa.Table:
-        import ray as _r
-
-        sd, gd = _r.get(surf_ref), _r.get(gold_ref)
+    def attach_cands(b: pa.Table) -> pa.Table:
+        sd = ray.get(surf_ref) if isinstance(surf_ref, ray.ObjectRef) else surf_ref
         cands = sd.loc[b["norm_text"].to_pylist()].tolist()
-        golds = gd.reindex(b["mention_uid"].to_pylist()).map(
-            lambda v: list(v) if v is not None and not isinstance(v, float) else []
-        ).tolist()
-        return b.append_column("candidates", pa.array([list(c) for c in cands], pa.list_(pa.string()))).append_column(
-            "gold_ids", pa.array(golds, pa.list_(pa.string()))
+        return b.append_column(
+            "candidates", pa.array([list(c) for c in cands], pa.list_(pa.string()))
         )
 
-    return mentions.map_batches(attach, batch_format="pyarrow")
+    # Gold attaches FIRST (its join path can't carry the list-typed
+    # candidates column through acero); candidates broadcast-attach after.
+    out = mentions
+
+    import pyarrow.dataset as pads
+
+    n_gold = pads.dataset(gold_path).count_rows()  # metadata-only, handles dirs
+    if n_gold <= threshold:
+        gold_df = pq.read_table(gold_path, columns=["mention_uid", "gold_ids"]).to_pandas().set_index("mention_uid")["gold_ids"]
+        gold_ref = ray.put(gold_df)
+
+        def attach_gold(b: pa.Table) -> pa.Table:
+            gd = ray.get(gold_ref) if isinstance(gold_ref, ray.ObjectRef) else gold_ref
+            golds = gd.reindex(b["mention_uid"].to_pylist()).map(
+                lambda v: list(v) if v is not None and not isinstance(v, float) else []
+            ).tolist()
+            return b.append_column("gold_ids", pa.array(golds, pa.list_(pa.string())))
+
+        return out.map_batches(attach_gold, batch_format="pyarrow").map_batches(
+            attach_cands, batch_format="pyarrow"
+        )
+
+    from mix_blink_ray.stages.clustering import clamped_partitions
+
+    def serialize_gold(b: pa.Table) -> pa.Table:
+        col = b["gold_ids"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        blob = pa.compute.binary_join(col, _GOLD_BLOB_SEP)
+        return pa.table({"mention_uid": b["mention_uid"], "gold_blob": blob})
+
+    gold_ds = rd.read_parquet(gold_path, columns=["mention_uid", "gold_ids"]).map_batches(
+        serialize_gold, batch_format="pyarrow"
+    )
+    import ray as _ray
+
+    n_parts = clamped_partitions(n_gold, max(8, int(_ray.cluster_resources().get("CPU", 8))))
+    joined = out.join(gold_ds, join_type="left_outer", num_partitions=n_parts, on=("mention_uid",))
+
+    def split_gold(b: pa.Table) -> pa.Table:
+        blob = pa.compute.fill_null(b["gold_blob"], "")
+        lists = pa.compute.split_pattern(blob, _GOLD_BLOB_SEP)
+        # '' splits to [''] — normalize truly-absent gold to [].
+        empty = pa.compute.equal(pa.compute.list_value_length(lists), 1)
+        first_empty = pa.compute.equal(pa.compute.list_element(lists, 0), "")
+        none_lists = pa.array([[]] * b.num_rows, pa.list_(pa.string()))
+        golds = pa.compute.if_else(pa.compute.and_(empty, first_empty), none_lists, lists)
+        return b.drop_columns(["gold_blob"]).append_column(
+            "gold_ids", pa.compute.cast(golds, pa.list_(pa.string()))
+        )
+
+    return joined.map_batches(split_gold, batch_format="pyarrow").map_batches(
+        attach_cands, batch_format="pyarrow"
+    )
 
 
 def linkage_candidates(sf_dir: str):
@@ -101,7 +157,6 @@ def linkage_eval(sf_dir: str):
     from mix_blink_ray.stages.scoring import ScoringConfig, SurfaceScorer, build_catalog_index
 
     res, paths = _linkage_result(sf_dir)
-    gold_tbl = pq.read_table(paths["mentions_gold"])
     catalog = pq.read_table(paths["catalog"])
 
     # Reference eval retrieves top-100 (eval.py:23); rescore the distinct
@@ -135,17 +190,12 @@ def linkage_eval(sf_dir: str):
     partials = joined.map_batches(non_nil_rank_stats, batch_format="pyarrow")
     rk = recall_mrr(partials, ks=(1, 10, 50, 100))
 
-    # Count-based exact pairwise metrics (pair enumeration is O(n²) and
-    # times out beyond a few thousand mentions).
-    mdf = res.mentions.to_pandas().set_index("mention_uid")
-    gdf = gold_tbl.to_pandas()
-    gold_sets = [frozenset(g) - {NIL_ID} for g in gdf["gold_ids"]]
-    cl = mdf["cluster_id"].reindex(gdf["mention_uid"]).to_numpy(dtype=object)
-    pr = mdf["pred_id"].reindex(gdf["mention_uid"]).to_numpy(dtype=object)
-    clusters = [
-        c if (isinstance(p, str) and p != NIL_ID) else None for c, p in zip(cl, pr)
-    ]
-    prf = pairwise_prf_counts(gold_sets, clusters)
+    # Count-based exact pairwise metrics, computed distributedly: the
+    # mention-sized work is a contingency groupby(cluster, gold_key); only
+    # the tiny contingency table reaches the driver (pair enumeration is
+    # O(n²), and a full-mention to_pandas() would not survive 100× scale).
+    gold_ds = rd.read_parquet(paths["mentions_gold"], columns=["mention_uid", "gold_ids"])
+    prf = pairwise_prf_distributed(res.mentions, gold_ds)
     return pa.table(
         {
             "metric": pa.array(

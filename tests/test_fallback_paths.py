@@ -79,3 +79,70 @@ def test_token_stats_bpe_counts():
     # "hello" "," "world" "!" "123" → 5 BPE-ish tokens; 3 whitespace tokens
     assert out["n_bpe_tokens"].to_pylist() == [5, 2]
     assert out["n_tokens"].to_pylist() == [3, 2]
+
+
+def test_gold_attach_hashjoin_equals_broadcast(tmp_path):
+    """_attach_lists gold-side fallback: forcing the hash-join path
+    (threshold=0) must produce the same gold_ids as the broadcast path."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    gold = pa.table(
+        {
+            "mention_uid": pa.array([f"m{i}" for i in range(6)]),
+            "gold_ids": pa.array(
+                [["E1"], ["E1", "E2"], ["<NIL>"], [], ["E3"], ["E2"]],
+                pa.list_(pa.string()),
+            ),
+        }
+    )
+    gold_path = str(tmp_path / "gold.parquet")
+    pq.write_table(gold, gold_path)
+    mentions = rd.from_arrow(
+        pa.table(
+            {
+                "mention_uid": pa.array([f"m{i}" for i in range(7)]),  # m6 has no gold row
+                "norm_text": pa.array(["s"] * 7),
+            }
+        )
+    )
+    surf = rd.from_arrow(
+        pa.table({"norm_text": pa.array(["s"]), "candidates": pa.array([["E1", "E2"]], pa.list_(pa.string()))})
+    )
+    a = entrymod._attach_lists(mentions, surf, gold_path).to_pandas()
+    b = entrymod._attach_lists(mentions, surf, gold_path, gold_broadcast_threshold=0).to_pandas()
+    a = a.sort_values("mention_uid").reset_index(drop=True)
+    b = b.sort_values("mention_uid").reset_index(drop=True)
+    assert list(a["mention_uid"]) == list(b["mention_uid"])
+    assert [list(x) for x in a["gold_ids"]] == [list(x) for x in b["gold_ids"]]
+    assert [list(x) for x in a["candidates"]] == [list(x) for x in b["candidates"]]
+
+
+def test_pairwise_prf_distributed_equals_local(synth_small):
+    """Distributed contingency-count pairwise PRF == the local count-based
+    implementation, on real linkage output."""
+    import pyarrow.parquet as pq
+
+    from mix_blink_ray.evaluation.metrics import (
+        pairwise_prf_counts,
+        pairwise_prf_distributed,
+    )
+    from mix_blink_ray.sources.synth import NIL_ID
+
+    tr = rd.from_arrow(synth_small["transcripts"])
+    res = run_linkage(tr, synth_small["catalog"], LinkageConfig())
+    gold_tbl = synth_small["mentions_gold"]
+
+    mdf = res.mentions.to_pandas().set_index("mention_uid")
+    gdf = gold_tbl.to_pandas()
+    gold_sets = [frozenset(g) - {NIL_ID} for g in gdf["gold_ids"]]
+    cl = mdf["cluster_id"].reindex(gdf["mention_uid"]).to_numpy(dtype=object)
+    pr = mdf["pred_id"].reindex(gdf["mention_uid"]).to_numpy(dtype=object)
+    clusters = [c if (isinstance(p, str) and p != NIL_ID) else None for c, p in zip(cl, pr)]
+    local = pairwise_prf_counts(gold_sets, clusters)
+
+    gold_ds = rd.from_arrow(gold_tbl.select(["mention_uid", "gold_ids"]))
+    dist = pairwise_prf_distributed(res.mentions, gold_ds)
+    for k in ("precision", "recall", "f1", "tp", "fp", "fn"):
+        assert dist[k] == local[k], (k, dist[k], local[k])
