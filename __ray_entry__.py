@@ -161,9 +161,13 @@ def linkage_eval(sf_dir: str):
 
     # Reference eval retrieves top-100 (eval.py:23); rescore the distinct
     # surfaces at k=100 (clamped to |catalog| like dense.py:89-91).
+    # GRAFT_NIL_SENTINEL=1 turns on the reference's ranked-NIL mode
+    # (sentinel catalog row, dictionary.py:67-72): NIL-only mentions are
+    # then INCLUDED in R@k/MRR because NIL itself is rankable.
     import ray
 
-    eval_cfg = ScoringConfig(top_k=100, extra_k=0)
+    nil_sentinel = os.environ.get("GRAFT_NIL_SENTINEL", "") == "1"
+    eval_cfg = ScoringConfig(top_k=100, extra_k=0, nil_sentinel=nil_sentinel)
     idx_ref = ray.put(build_catalog_index(catalog, cfg=eval_cfg))
 
     def score100(b: pa.Table) -> pa.Table:
@@ -179,9 +183,12 @@ def linkage_eval(sf_dir: str):
     joined = _attach_lists(m, surf100, paths["mentions_gold"])
 
     def non_nil_rank_stats(b: pa.Table) -> pa.Table:
-        # R@k/MRR over mentions with ≥1 in-catalog gold: the reference scores
-        # NIL via a sentinel *catalog row* (dictionary.py:67-72); this engine
-        # thresholds instead, so NIL-only mentions are unrankable by design.
+        # R@k/MRR scope: with the NIL sentinel ON, every mention is rankable
+        # (NIL is a catalog row) — reference parity.  With it OFF (default)
+        # the engine thresholds, so NIL-only mentions are unrankable by
+        # design and are excluded.
+        if eval_cfg.nil_sentinel:
+            return rank_stats_batch(b, ks=(1, 10, 50, 100))
         has_real = pa.array(
             [any(g != NIL_ID for g in row) for row in b["gold_ids"].to_pylist()], pa.bool_()
         )

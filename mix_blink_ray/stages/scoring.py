@@ -60,6 +60,12 @@ class ScoringConfig:
     top_k: int = 10              # reference candidates default (cli/get_candidates.py:165)
     extra_k: int = 8             # headroom for gold removal (dense.py:102-111)
     tau_nil: float = 0.50        # combined-score below this → NIL prediction
+    # Reference NIL mode: append a learned "[NIL]" sentinel entity to the
+    # catalog so NIL is RANKED like any other candidate
+    # (mix_blink/data/dictionary.py:67-72) instead of thresholded.  With the
+    # sentinel on, NIL-only mentions become rankable in recall@k eval.
+    nil_sentinel: bool = False
+    nil_name: str = "[NIL]"
     rerank_jw: bool = True       # rerank dense top-k by 0.5·cos + 0.5·Jaro-Winkler
     rerank_k: int = 8            # JW computed for this many dense leaders only
     jw_weight: float = 0.5
@@ -100,6 +106,19 @@ def build_catalog_index(
     from ..functions.text import normalize
 
     encoder = encoder or HashNgramEncoder(dim=cfg.encoder_dim)
+    if cfg.nil_sentinel and NIL_ID not in set(catalog["entity_id"].to_pylist()):
+        # Reference NIL sentinel row (dictionary.py:67-72): id "-1", name
+        # "[NIL]" — appended BEFORE the sort so tie-breaks stay id-ordered.
+        nil_row = pa.table(
+            {
+                "entity_id": pa.array([NIL_ID], pa.string()),
+                "name": pa.array([cfg.nil_name], pa.string()),
+            }
+        )
+        extra_cols = [c for c in catalog.column_names if c not in nil_row.column_names]
+        for c in extra_cols:
+            nil_row = nil_row.append_column(c, pa.nulls(1, catalog.schema.field(c).type))
+        catalog = pa.concat_tables([catalog, nil_row.select(catalog.column_names)])
     order = pc.sort_indices(catalog["entity_id"])
     catalog = catalog.take(order)
     norm = normalize(catalog["name"])
@@ -205,7 +224,12 @@ class SurfaceScorer:
         else:
             pred_score = best_score.astype(np.float32)
             chosen = best_id
-        pred_id = np.where(pred_score >= cfg.tau_nil, chosen, NIL_ID)
+        if cfg.nil_sentinel:
+            # Reference semantics: NIL is a ranked catalog row — the top-1
+            # IS the prediction (which may be the sentinel), no threshold.
+            pred_id = chosen
+        else:
+            pred_id = np.where(pred_score >= cfg.tau_nil, chosen, NIL_ID)
 
         out = batch
         out = out.append_column("candidates", cand_list)

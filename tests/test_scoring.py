@@ -133,3 +133,34 @@ def test_split_candidates_hard_negatives_reference_semantics():
     # never contains gold (reference test_retriever.py:169-190 behavior)
     for hn, g in zip(out["hard_negatives"].to_pylist(), batch["gold_ids"].to_pylist()):
         assert not set(hn) & set(g)
+
+
+def test_nil_sentinel_catalog_row_mode():
+    """Reference ranked-NIL mode (dictionary.py:67-72): with nil_sentinel on,
+    the catalog gains a '-1'/'[NIL]' row, NIL appears IN the ranked candidate
+    list, and prediction is pure top-1 (no threshold)."""
+    from mix_blink_ray.sources.synth import NIL_ID
+
+    catalog = make_catalog(["Acme Corp", "Globex Inc", "Initech LLC"])
+    scorer = make_scorer(catalog, nil_sentinel=True, top_k=4, extra_k=0, rerank_jw=False)
+    assert NIL_ID in scorer.index.entity_ids.tolist()
+    assert len(scorer.index.entity_ids) == 4
+    # ids stay sorted ascending ("-1" < "000000") for deterministic tie-break
+    assert list(scorer.index.entity_ids) == sorted(scorer.index.entity_ids)
+
+    out = scorer(pa.table({"norm_text": pa.array(["acme corp", "zzz qqq vvv"])}))
+    cands = out["candidates"].to_pylist()
+    assert all(NIL_ID in c for c in cands)          # sentinel is ranked
+    assert out["pred_id"][0].as_py() == "000000"    # exact-ish match wins
+
+    # Hand-computed rank parity: pred = argmax over the same 4-row index
+    enc = HashNgramEncoder(dim=scorer.cfg.encoder_dim)
+    q = enc.encode(pa.array(["acme corp"]))
+    scores = (q @ scorer.index.emb.T)[0]
+    assert out["candidates"][0].as_py()[0] == scorer.index.entity_ids[int(np.argmax(scores))]
+
+    # Threshold mode (default) never ranks NIL and thresholds instead.
+    scorer_off = make_scorer(catalog, top_k=4, extra_k=0, rerank_jw=False)
+    out_off = scorer_off(pa.table({"norm_text": pa.array(["zzz qqq vvv"])}))
+    assert NIL_ID not in out_off["candidates"][0].as_py()
+    assert out_off["pred_id"][0].as_py() == NIL_ID  # below tau_nil → NIL
