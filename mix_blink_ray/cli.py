@@ -83,20 +83,22 @@ def cmd_eval(args) -> None:
     ray = _ray_session(args.num_cpus)
     import ray.data as rd
 
-    from .evaluation.metrics import labeled_pairs_from_gold, pairwise_prf
+    from .evaluation.metrics import pairwise_prf_distributed
     from .pipelines.linkage import LinkageConfig, run_linkage
-    from .sources.synth import NIL_ID
 
-    res = run_linkage(
-        rd.read_parquet(args.transcripts), pq.read_table(args.catalog), LinkageConfig()
-    )
-    mdf = res.mentions.to_pandas()
-    cluster_of = {
-        u: (c if p != NIL_ID else f"singleton:{u}")
-        for u, c, p in zip(mdf["mention_uid"], mdf["cluster_id"], mdf["pred_id"])
-    }
-    gold = pq.read_table(args.gold)
-    prf = pairwise_prf(labeled_pairs_from_gold(gold), cluster_of)
+    catalog = pq.read_table(args.catalog)
+    res = run_linkage(rd.read_parquet(args.transcripts), catalog, LinkageConfig())
+    # Distributed contingency-count PRF — the driver never pulls mentions.
+    gold_ds = rd.read_parquet(args.gold, columns=["mention_uid", "gold_ids"])
+    prf = pairwise_prf_distributed(res.mentions, gold_ds)
+    if args.output_dir:
+        # Reference artifacts (cli/eval.py:118-133): eval_results.json +
+        # predicts.jsonl (sharded dir).
+        from .state.reports import predict_report, write_eval_results_json, write_predicts_jsonl
+
+        write_eval_results_json(prf, args.output_dir)
+        report = predict_report(res, catalog, gold=pq.read_table(args.gold))
+        write_predicts_jsonl(report, args.output_dir)
     print(json.dumps(prf))
     ray.shutdown()
 
@@ -130,6 +132,7 @@ def main(argv: list[str] | None = None) -> None:
     ep.add_argument("--transcripts", required=True)
     ep.add_argument("--catalog", required=True)
     ep.add_argument("--gold", required=True)
+    ep.add_argument("--output-dir", default=None, help="write eval_results.json + predicts_jsonl/")
     ep.add_argument("--num-cpus", type=int, default=None)
     ep.set_defaults(fn=cmd_eval)
 

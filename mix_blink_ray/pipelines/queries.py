@@ -451,6 +451,37 @@ def docs_simhash(sf_dir: str):
     return simhash_fingerprints(ds).select_columns(["doc_id", "simhash_hex"])
 
 
+# ── JSONL nested-document ingest (reference on-disk dataset shape) ──────────
+
+_JSONL_FIXTURE_PATH = "/tmp/mbr_jsonl/dataset_toy.jsonl"
+
+
+def jsonl_mentions(sf_dir: str):
+    """Reference-format JSONL ingest (S2/M1-M5 shape: read_json → flatten
+    docs→examples→entities → resolve labels against a NIL-rowed dictionary).
+    The nested input is a deterministic fixture (sf-independent); list
+    columns are serialized to ','-joined keys for the oracle compare."""
+    from ..sources.jsonl import NIL, TOY_LABELS, mixblink_mentions, write_toy_fixture
+
+    path = write_toy_fixture(_JSONL_FIXTURE_PATH)
+    out = mixblink_mentions(path, TOY_LABELS + [NIL], remove_nil=False)
+
+    def scalarize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "example_id": b["example_id"],
+                "start": pc.cast(b["start"], pa.int64()),
+                "end": pc.cast(b["end"], pa.int64()),
+                "surface": b["surface"],
+                "labels_key": pc.binary_join(b["labels"], ","),
+                "hard_neg_key": pc.binary_join(b["hard_negatives"], ","),
+            }
+        )
+
+    return out.map_batches(scalarize, batch_format="pyarrow")
+
+
 # ── embeddings: similarity search ───────────────────────────────────────────
 
 
@@ -519,6 +550,7 @@ QUERIES = {
     "docs_quality": docs_quality,
     "docs_minhash_near_dup": docs_minhash_near_dup,
     "docs_simhash": docs_simhash,
+    "jsonl_mentions": jsonl_mentions,
     "emb_knn_top5": emb_knn_top5,
     "emb_knn_lsh_top5": emb_knn_lsh_top5,
     "emb_norms": emb_norms,
@@ -620,6 +652,22 @@ ORACLE_SQL = {
     """,
     "docs_filter_long": "SELECT doc_id, n_chars FROM documents WHERE n_chars > 300",
     "docs_fingerprint": "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
+    "jsonl_mentions": f"""
+        WITH ex AS (
+            SELECT "doc-id" AS doc_id, unnest(examples, recursive := false) AS ex
+            FROM read_json_auto('{_JSONL_FIXTURE_PATH}')
+        ), ent AS (
+            SELECT doc_id, ex.id AS example_id, ex.text AS text,
+                   unnest(ex.entities, recursive := false) AS e
+            FROM ex
+        )
+        SELECT doc_id, example_id,
+               e."start" AS start, e."end" AS "end",
+               substring(text, e."start" + 1, e."end" - e."start") AS surface,
+               array_to_string(e.label, ',') AS labels_key,
+               array_to_string(e.hard_negatives, ',') AS hard_neg_key
+        FROM ent
+    """,
     "emb_norms": """
         SELECT vec_id, CAST(round(sqrt(list_dot_product(embedding, embedding)) * 10000) AS BIGINT) / 10000.0 AS l2_norm
         FROM embeddings
@@ -723,3 +771,10 @@ def _build_text_oracles() -> None:
 
 
 _build_text_oracles()
+
+# The jsonl_mentions oracle reads the fixture path directly — make sure the
+# fixture exists as soon as this module is imported (the driver may run the
+# oracle SQL before the Ray-side query).
+from ..sources.jsonl import write_toy_fixture as _write_toy_fixture  # noqa: E402
+
+_write_toy_fixture(_JSONL_FIXTURE_PATH)

@@ -93,3 +93,44 @@ def test_fingerprint_order_insensitive():
     t3 = pa.table({"k": pa.array(["a", "b", "d"])})
     assert input_fingerprint(t1, ("k",)) == input_fingerprint(t2, ("k",))
     assert input_fingerprint(t1, ("k",)) != input_fingerprint(t3, ("k",))
+
+
+def test_predict_report_and_eval_artifacts(synth_small, tmp_path):
+    """Reference report parity (cli/eval.py:118-133, predict.py:34-52):
+    predicts JSONL rows carry pid/text/mention/gold/predict with similarity
+    rounded to 4 and description <= 300 chars; eval_results.json is valid."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from mix_blink_ray.pipelines.linkage import LinkageConfig, run_linkage
+    from mix_blink_ray.state.reports import (
+        predict_report,
+        write_eval_results_json,
+        write_predicts_jsonl,
+    )
+
+    res = run_linkage(
+        rd.from_arrow(synth_small["transcripts"]), synth_small["catalog"], LinkageConfig()
+    )
+    report = predict_report(res, synth_small["catalog"], gold=synth_small["mentions_gold"])
+    out = write_predicts_jsonl(report, str(tmp_path))
+    rows = []
+    for part in sorted(os.listdir(out)):
+        with open(os.path.join(out, part)) as f:
+            rows += [json.loads(l) for l in f if l.strip()]
+    assert len(rows) == res.mentions.count()
+    r = rows[0]
+    assert set(r) == {"pid", "text", "mention", "gold", "predict"}
+    assert len(r["predict"]) <= 5
+    for p in r["predict"]:
+        assert set(p) == {"name", "id", "similarity", "description"}
+        assert len(p["description"]) <= 300
+        assert round(p["similarity"], 4) == p["similarity"]
+    gold_rows = [r for r in rows if r["gold"]]
+    assert gold_rows and all("(" in g and g.endswith(")") for r in gold_rows for g in r["gold"])
+
+    path = write_eval_results_json({"true": 10, "tp_1": 9, "reciprocal_rank": 9.5}, str(tmp_path))
+    assert json.load(open(path))["tp_1"] == 9
