@@ -94,6 +94,9 @@ class LinkageConfig:
     join_partitions: int = 8
     cluster_mode: str = "auto"
     work_dir: str | None = None   # spill reused intermediates to parquet (resumable)
+    # Persisted catalog-embedding artifact (reference build_index analog):
+    # reused across runs when it matches the catalog; see build_catalog_index.
+    catalog_index_path: str | None = None
     broadcast_threshold: int = 20_000_000  # distinct surfaces ≤ this → map-side join
     # (~60 B/surface ⇒ 20M ≈ 1.2 GB broadcast table — object-store shared, zero-copy)
     # "stream": single fused pass (extract→score→label), per-worker surface
@@ -381,7 +384,7 @@ def _run_linkage_stream(
     label_lut = {
         node[len(E_PREFIX):]: label for node, label in zip(cdf["node"], cdf["label"])
     }
-    index = build_catalog_index(catalog, encoder, cfg.scoring)
+    index = build_catalog_index(catalog, encoder, cfg.scoring, cache_path=cfg.catalog_index_path)
     catalog_ref = ray.put(index)
     label_ref = ray.put(label_lut)
     sc_cfg = cfg.scoring
@@ -474,7 +477,7 @@ def run_linkage(
     surfaces = _contract_surfaces(mentions)
 
     # ── stage 2a: surface → catalog top-k on a broadcast index ───────────────
-    index = build_catalog_index(catalog, encoder, cfg.scoring)
+    index = build_catalog_index(catalog, encoder, cfg.scoring, cache_path=cfg.catalog_index_path)
     catalog_ref = ray.put(index)
     if cfg.use_scorer_actors:
         surface_preds = surfaces.map_batches(

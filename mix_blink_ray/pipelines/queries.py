@@ -35,6 +35,13 @@ __all__ = ["QUERIES", "ORACLE_SQL"]
 
 _SMALL_TABLES = {"region", "nation", "supplier", "customer", "part"}
 
+# Broadcast semi-join key sets above this size fall back to partitioned hash
+# joins (~8 B/key ⇒ 20M ≈ 160 MB broadcast array).  Env override exists so
+# tests can force the fallback path on tiny inputs.
+import os as _os
+
+_SEMI_BROADCAST_LIMIT = int(_os.environ.get("GRAFT_SEMI_BROADCAST_LIMIT", 20_000_000))
+
 
 def _t(sf_dir: str, name: str, columns: list[str] | None = None):
     """Read a testdata table with column pruning.  The driver's testdata files
@@ -134,38 +141,58 @@ def q3_top_orders(sf_dir: str):
     so only lineitem streams and only the final grouped aggregate shuffles.
     The partitioned `Dataset.join` operator is exercised by
     ``supplier_nation_counts``; a 2-hash-join variant of this query was 3-5×
-    slower at sf0.1."""
+    slower at sf0.1 — but above ``_SEMI_BROADCAST_LIMIT`` keys the broadcast
+    set no longer fits driver/worker heaps (sf100 ⇒ ~10⁸ order keys ≈ 1 GB),
+    so the semi-join falls back to partitioned hash joins."""
     import ray
 
+    from ..stages.clustering import clamped_partitions
+
     cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    cust_keys = pa.array(
-        sorted(
-            cust.map_batches(
-                lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
-                batch_format="pyarrow",
-            ).to_pandas()["c_custkey"]
-        ),
-        pa.int64(),
-    )
-    cust_ref = ray.put(cust_keys)
+    building = cust.map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
+        batch_format="pyarrow",
+    ).materialize()
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
 
-    def building_orders(b: pa.Table) -> pa.Table:
-        keys = ray.get(cust_ref)
-        return b.filter(pc.is_in(b["o_custkey"], value_set=keys)).select(["o_orderkey"])
+    if building.count() > _SEMI_BROADCAST_LIMIT:
+        n_parts = clamped_partitions(
+            building.count(), max(8, int(ray.cluster_resources().get("CPU", 8)))
+        )
+        b_orders = orders.join(
+            building, join_type="inner", num_partitions=n_parts, on=("o_custkey",), right_on=("c_custkey",)
+        ).select_columns(["o_orderkey"])
+        rev_src = li.join(
+            b_orders, join_type="inner", num_partitions=n_parts, on=("l_orderkey",), right_on=("o_orderkey",)
+        )
+    else:
+        cust_keys = pa.array(sorted(building.to_pandas()["c_custkey"]), pa.int64())
+        cust_ref = ray.put(cust_keys)
 
-    order_keys = pa.array(
-        sorted(orders.map_batches(building_orders, batch_format="pyarrow").to_pandas()["o_orderkey"]),
-        pa.int64(),
-    )
-    orders_ref = ray.put(order_keys)
-    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+        def building_orders(b: pa.Table) -> pa.Table:
+            keys = ray.get(cust_ref)
+            return b.filter(pc.is_in(b["o_custkey"], value_set=keys)).select(["o_orderkey"])
 
-    def li_semi(b: pa.Table) -> pa.Table:
-        keys = ray.get(orders_ref)
-        return b.filter(pc.is_in(b["l_orderkey"], value_set=keys))
+        b_orders = orders.map_batches(building_orders, batch_format="pyarrow").materialize()
+        if b_orders.count() > _SEMI_BROADCAST_LIMIT:
+            n_parts = clamped_partitions(
+                b_orders.count(), max(8, int(ray.cluster_resources().get("CPU", 8)))
+            )
+            rev_src = li.join(
+                b_orders, join_type="inner", num_partitions=n_parts, on=("l_orderkey",), right_on=("o_orderkey",)
+            )
+        else:
+            order_keys = pa.array(sorted(b_orders.to_pandas()["o_orderkey"]), pa.int64())
+            orders_ref = ray.put(order_keys)
 
-    rev = li.map_batches(li_semi, batch_format="pyarrow").map_batches(
+            def li_semi(b: pa.Table) -> pa.Table:
+                keys = ray.get(orders_ref)
+                return b.filter(pc.is_in(b["l_orderkey"], value_set=keys))
+
+            rev_src = li.map_batches(li_semi, batch_format="pyarrow")
+
+    rev = rev_src.map_batches(
         lambda b: pa.table(
             {
                 "l_orderkey": b["l_orderkey"],

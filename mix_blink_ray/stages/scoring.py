@@ -45,6 +45,8 @@ __all__ = [
     "ScoringConfig",
     "CatalogIndex",
     "build_catalog_index",
+    "save_catalog_index",
+    "load_catalog_index",
     "SurfaceScorer",
     "make_pair_generator",
     "PairScorer",
@@ -97,13 +99,36 @@ class CatalogIndex:
 
 
 def build_catalog_index(
-    catalog: pa.Table, encoder: Encoder | None = None, cfg: ScoringConfig = ScoringConfig()
+    catalog: pa.Table,
+    encoder: Encoder | None = None,
+    cfg: ScoringConfig = ScoringConfig(),
+    cache_path: str | None = None,
 ) -> CatalogIndex:
     """Entity catalog table → CatalogIndex (built once on the driver, then
     ``ray.put``).  Reference analog: ``DenseRetriever.dump`` streaming the
     catalog through the entity encoder into ``index.add``
-    (``mix_blink/retriever/dense.py:68-84``)."""
+    (``mix_blink/retriever/dense.py:68-84``).
+
+    ``cache_path``: reuse a persisted index (``save_catalog_index``) when it
+    matches this catalog (same id set and embedding dim) — with an expensive
+    encoder at 10⁶ entities, re-encoding every run is the reference's
+    ``build_index``-artifact cost this skips.  A stale/mismatched cache is
+    rebuilt and overwritten, never trusted."""
+    import os
+
     from ..functions.text import normalize
+
+    if cache_path and os.path.exists(cache_path):
+        cached = load_catalog_index(cache_path)
+        want_n = catalog.num_rows + (
+            1 if cfg.nil_sentinel and NIL_ID not in set(catalog["entity_id"].to_pylist()) else 0
+        )
+        if (
+            cached.emb.shape[1] == cfg.encoder_dim
+            and len(cached.entity_ids) == want_n
+            and set(cached.entity_ids) >= set(catalog["entity_id"].to_pylist())
+        ):
+            return cached
 
     encoder = encoder or HashNgramEncoder(dim=cfg.encoder_dim)
     if cfg.nil_sentinel and NIL_ID not in set(catalog["entity_id"].to_pylist()):
@@ -123,11 +148,56 @@ def build_catalog_index(
     catalog = catalog.take(order)
     norm = normalize(catalog["name"])
     emb = encoder.encode(norm)
-    return CatalogIndex(
+    index = CatalogIndex(
         entity_ids=np.asarray(catalog["entity_id"].to_pylist(), dtype=object),
         names=np.asarray(catalog["name"].to_pylist(), dtype=object),
         norm_names=np.asarray(norm.to_pylist() if hasattr(norm, "to_pylist") else norm, dtype=object),
         emb=emb,
+    )
+    if cache_path:
+        save_catalog_index(index, cache_path)
+    return index
+
+
+def save_catalog_index(index: CatalogIndex, path: str) -> str:
+    """Persist a built catalog index as ONE parquet table (entity ids, names,
+    normalized names, embedding as FixedSizeList<float32>) — the engine analog
+    of the reference's serialized FAISS artifact (``mix_blink/retriever/
+    dense.py:124-137`` ``build_index`` → ``index.serialize``), minus the
+    positional ``meta_ids_to_keys`` sidecar (ids ride in the same table)."""
+    import pyarrow.parquet as pq_
+
+    dim = index.emb.shape[1]
+    tbl = pa.table(
+        {
+            "entity_id": pa.array(index.entity_ids, pa.string()),
+            "name": pa.array(index.names, pa.string()),
+            "norm_name": pa.array(index.norm_names, pa.string()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(index.emb.reshape(-1)), dim
+            ),
+        }
+    )
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    pq_.write_table(tbl, tmp)
+    os.replace(tmp, path)  # atomic: a crashed run never leaves a torn index
+    return path
+
+
+def load_catalog_index(path: str) -> CatalogIndex:
+    import pyarrow.parquet as pq_
+
+    tbl = pq_.read_table(path)
+    emb_col = tbl["embedding"].combine_chunks()
+    dim = emb_col.type.list_size
+    return CatalogIndex(
+        entity_ids=np.asarray(tbl["entity_id"].to_pylist(), dtype=object),
+        names=np.asarray(tbl["name"].to_pylist(), dtype=object),
+        norm_names=np.asarray(tbl["norm_name"].to_pylist(), dtype=object),
+        emb=np.asarray(emb_col.flatten(), dtype=np.float32).reshape(len(tbl), dim),
     )
 
 

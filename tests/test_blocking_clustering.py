@@ -124,3 +124,18 @@ def test_propagate_long_chain():
     nodes = rd.from_arrow(pa.table({"node": pa.array([f"n{i:02d}" for i in range(n)])}))
     out = propagate_labels(edges, nodes, num_partitions=2).to_pandas()
     assert set(out["label"]) == {"n00"}
+
+
+def test_propagate_labels_long_chain_converges():
+    """Regression (round-1 ADVICE): a component with diameter > the old
+    32-round cap must still collapse to one label — pointer jumping makes
+    rounds O(log diameter)."""
+    n = 100
+    names = [f"n{i:04d}" for i in range(n)]
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(names[:-1]), "dst": pa.array(names[1:])})
+    )
+    nodes = rd.from_arrow(pa.table({"node": pa.array(names)}))
+    out = propagate_labels(edges, nodes, num_partitions=2).to_pandas()
+    assert set(out["label"]) == {"n0000"}
+    assert len(out) == n

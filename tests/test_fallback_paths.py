@@ -146,3 +146,15 @@ def test_pairwise_prf_distributed_equals_local(synth_small):
     dist = pairwise_prf_distributed(res.mentions, gold_ds)
     for k in ("precision", "recall", "f1", "tp", "fp", "fn"):
         assert dist[k] == local[k], (k, dist[k], local[k])
+
+
+def test_q3_join_fallback_equals_broadcast(monkeypatch):
+    """Forcing _SEMI_BROADCAST_LIMIT=0 switches q3 to partitioned hash joins;
+    the result must be identical to the broadcast semi-join path."""
+    from mix_blink_ray.pipelines import queries as qmod
+
+    sf = "/root/testdata/sf0.001"
+    a = qmod.q3_top_orders(sf).to_pandas().reset_index(drop=True)
+    monkeypatch.setattr(qmod, "_SEMI_BROADCAST_LIMIT", 0)
+    b = qmod.q3_top_orders(sf).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

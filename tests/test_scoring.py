@@ -164,3 +164,42 @@ def test_nil_sentinel_catalog_row_mode():
     out_off = scorer_off(pa.table({"norm_text": pa.array(["zzz qqq vvv"])}))
     assert NIL_ID not in out_off["candidates"][0].as_py()
     assert out_off["pred_id"][0].as_py() == NIL_ID  # below tau_nil → NIL
+
+
+def test_catalog_index_persistence_roundtrip(tmp_path):
+    """save/load roundtrip is exact, and build_catalog_index(cache_path=...)
+    reuses the artifact instead of re-encoding (reference build_index
+    artifact semantics, dense.py:124-137)."""
+    from mix_blink_ray.stages.scoring import (
+        build_catalog_index,
+        load_catalog_index,
+        save_catalog_index,
+    )
+
+    catalog = make_catalog(["Acme Corp", "Globex Inc", "Initech LLC"])
+    cfg = ScoringConfig()
+    idx = build_catalog_index(catalog, cfg=cfg)
+    path = str(tmp_path / "catalog_index.parquet")
+    save_catalog_index(idx, path)
+    loaded = load_catalog_index(path)
+    assert list(loaded.entity_ids) == list(idx.entity_ids)
+    assert list(loaded.norm_names) == list(idx.norm_names)
+    np.testing.assert_array_equal(loaded.emb, idx.emb)
+
+    class CountingEncoder(HashNgramEncoder):
+        calls = 0
+
+        def encode(self, arr):
+            CountingEncoder.calls += 1
+            return super().encode(arr)
+
+    # cache hit: no encode call
+    out = build_catalog_index(catalog, encoder=CountingEncoder(dim=cfg.encoder_dim), cfg=cfg, cache_path=path)
+    assert CountingEncoder.calls == 0
+    np.testing.assert_array_equal(out.emb, idx.emb)
+    # stale cache (different catalog) → rebuilt and overwritten
+    bigger = make_catalog(["Acme Corp", "Globex Inc", "Initech LLC", "Umbra Labs"])
+    out2 = build_catalog_index(bigger, encoder=CountingEncoder(dim=cfg.encoder_dim), cfg=cfg, cache_path=path)
+    assert CountingEncoder.calls == 1
+    assert len(out2.entity_ids) == 4
+    assert len(load_catalog_index(path).entity_ids) == 4
