@@ -409,6 +409,15 @@ def docs_tokens(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def docs_bpe_token_counts(sf_dir: str):
+    """BPE-ish pre-tokenizer counts (the token-counting path of the
+    training-data suite; both sides are RE2 so the regex semantics agree)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: token_stats(b).select(["doc_id", "n_bpe_tokens"]), batch_format="pyarrow"
+    )
+
+
 def docs_exact_dedup(sf_dir: str):
     """Exact dedup keyed by full text (group → min id + copy count)."""
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
@@ -539,6 +548,17 @@ def emb_norms(sf_dir: str):
     return ds.map_batches(norms, batch_format="pyarrow")
 
 
+def emb_near_dup_exact(sf_dir: str):
+    """EXACT all-pairs cosine similarity join (broadcast corpus matrix,
+    streamed batch × corpus matmuls) — the verification baseline for the
+    LSH-bucketed emb_near_dup."""
+    from ..stages.dedup import similarity_join_exact
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = similarity_join_exact(ds, threshold=0.3)
+    return _round(pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"cosine": 4})
+
+
 def emb_near_dup(sf_dir: str):
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = embedding_near_dup_pairs(ds, DedupConfig(cosine_threshold=0.95)).to_pandas()
@@ -567,6 +587,7 @@ QUERIES = {
     "docs_normalize": docs_normalize,
     "docs_token_stats": docs_token_stats,
     "docs_tokens": docs_tokens,
+    "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_exact_dedup_hash": docs_exact_dedup_hash,
     "docs_distinct_sources": docs_distinct_sources,
@@ -582,6 +603,7 @@ QUERIES = {
     "emb_knn_lsh_top5": emb_knn_lsh_top5,
     "emb_norms": emb_norms,
     "emb_near_dup": emb_near_dup,
+    "emb_near_dup_exact": emb_near_dup_exact,
 }
 
 
@@ -664,6 +686,11 @@ ORACLE_SQL = {
         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
         FROM documents WHERE doc_id < 20
     """,
+    "docs_bpe_token_counts": """
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+        FROM documents
+    """,
     "docs_exact_dedup": """
         SELECT text, min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents GROUP BY text
@@ -698,6 +725,14 @@ ORACLE_SQL = {
     "emb_norms": """
         SELECT vec_id, CAST(round(sqrt(list_dot_product(embedding, embedding)) * 10000) AS BIGINT) / 10000.0 AS l2_norm
         FROM embeddings
+    """,
+    "emb_near_dup_exact": """
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                 CAST(b.embedding AS DOUBLE[])) * 10000) AS BIGINT) / 10000.0 AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.3
     """,
     "emb_knn_top5": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5)

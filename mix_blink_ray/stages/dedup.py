@@ -335,6 +335,57 @@ def ngram_jaccard_verify(
     return joined.map_batches(verify, batch_format="pyarrow")
 
 
+def similarity_join_exact(
+    embeddings: Dataset,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Dataset:
+    """EXACT all-pairs cosine similarity join (a_id < b_id, cosine ≥ τ).
+
+    Scale shape: the corpus matrix is broadcast ONCE (``ray.put``, f64 ids +
+    unit vectors) and the corpus *streams* through ``map_batches`` — each
+    batch does one (batch × corpus) matmul, so the O(n²) flops are evenly
+    sharded with no shuffle and no driver-side pair loop.  This is the
+    verification baseline for :func:`embedding_near_dup_pairs` (the LSH
+    bucketed variant is the path for corpora whose matrix exceeds broadcast
+    size).  Cosine is computed in float64 so the values match a SQL oracle
+    bit-for-bit after 6-decimal rounding."""
+    import ray
+
+    from .ann import vectors_from_batch
+
+    def unit_rows(batch: pa.Table) -> pa.Table:
+        return batch.select([id_col, vec_col])
+
+    corpus = embeddings.map_batches(unit_rows, batch_format="pyarrow").to_arrow_refs()
+    tables = [t for t in ray.get(corpus) if t.num_rows]
+    full = pa.concat_tables(tables)
+    ids_all = np.asarray(full[id_col], dtype=np.int64)
+    v = vectors_from_batch(full[vec_col]).astype(np.float64)
+    norms = np.linalg.norm(v, axis=1)
+    unit_all = np.divide(v, norms[:, None], where=norms[:, None] > 0)
+    mat_ref = ray.put((ids_all, unit_all))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_c, unit_c = ray.get(mat_ref)
+        ids_b = np.asarray(batch[id_col], dtype=np.int64)
+        vb = vectors_from_batch(batch[vec_col]).astype(np.float64)
+        nb = np.linalg.norm(vb, axis=1)
+        ub = np.divide(vb, nb[:, None], where=nb[:, None] > 0)
+        cos = ub @ unit_c.T
+        bi, ci = np.nonzero((cos >= threshold) & (ids_b[:, None] < ids_c[None, :]))
+        return pa.table(
+            {
+                "a_id": pa.array(ids_b[bi]),
+                "b_id": pa.array(ids_c[ci]),
+                "cosine": pa.array(cos[bi, ci]),
+            }
+        )
+
+    return embeddings.map_batches(pairs, batch_format="pyarrow")
+
+
 def embedding_near_dup_pairs(
     embeddings: Dataset,
     cfg: DedupConfig = DedupConfig(),
