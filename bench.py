@@ -112,19 +112,29 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> None:
+    """Each leg runs GRAFT_SCALE_REPS times (default 2) in fresh processes
+    and keeps the fastest — this sandbox VM shows ±40% run-to-run noise
+    (BASELINE.md), and min-of-N is the standard estimator for the noise-free
+    cost on a shared box.  All raw runs are reported alongside."""
     lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
-    results = {}
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
+    results: dict[int, dict] = {}
+    raw: dict[str, list] = {}
     for n in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-        results[n] = json.loads(out.strip().splitlines()[-1])
+        runs = []
+        for _ in range(reps):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            runs.append(json.loads(out.strip().splitlines()[-1]))
+        raw[f"secs_{n}"] = [r["value"] for r in runs]
+        results[n] = min(runs, key=lambda r: r["value"])
     thr_lo = results[lo]["turns_per_sec"]
     thr_hi = results[hi]["turns_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
@@ -138,6 +148,8 @@ def run_scaling() -> None:
                 f"sec_{hi}": results[hi]["value"],
                 f"turns_per_sec_{lo}": thr_lo,
                 f"turns_per_sec_{hi}": thr_hi,
+                "reps": reps,
+                **raw,
                 "sf": results[hi]["sf"],
                 "turns": results[hi]["turns"],
             }

@@ -105,6 +105,13 @@ class LinkageConfig:
     #   scoring — wins when distinct cardinality ≫ worker cache budget or
     #   when mention-mention edges are on.  "auto" picks stream when legal.
     scoring_strategy: str = "auto"
+    # Materialize the extracted mention table in the object store (one
+    # barrier) vs re-executing extract per consumer.  MEASURED at 64M turns /
+    # 32 CPUs: materialize 32-44 s, lazy re-extract 133-195 s — extraction
+    # (gazetteer matching over every turn) dominates an object-store round
+    # trip of the mention table by ~4×, so True is the default.  False only
+    # makes sense if extract ever becomes trivial relative to mention width.
+    materialize_mentions: bool = True
     stream_cache_limit: int = 1_000_000   # per-worker surface-cache entries
 
 
@@ -468,11 +475,19 @@ def run_linkage(
         return ds.materialize()
 
     # ── stage 0: mentions (flat-map) + distinct-surface contraction ──────────
-    mentions = persist(
-        transcripts.map_batches(extract_mentions, batch_format="pyarrow"), "mentions"
-    )
-    if mentions.count() == 0:
-        return _empty_result(catalog)
+    mentions_lazy = transcripts.map_batches(extract_mentions, batch_format="pyarrow")
+    if cfg.work_dir or cfg.materialize_mentions:
+        mentions = persist(mentions_lazy, "mentions")
+        if mentions.count() == 0:
+            return _empty_result(catalog)
+    else:
+        # Lazy: each consumer re-runs the cheap extract flat-map instead of
+        # round-tripping the full mention table through the object store
+        # (see LinkageConfig.materialize_mentions).  Emptiness probe via
+        # limit(1) executes only until the first mention appears.
+        mentions = mentions_lazy
+        if mentions.limit(1).count() == 0:
+            return _empty_result(catalog)
 
     surfaces = _contract_surfaces(mentions)
 
@@ -501,6 +516,35 @@ def run_linkage(
             scorer_fn, batch_format="pyarrow", batch_size=cfg.scorer_batch_size
         ).materialize()  # small: one row per DISTINCT surface; reused below
 
+    # ── entity graph (independent of mentions — catalog-sized) ───────────────
+    ee_edges = entity_dup_edges(catalog, cfg).materialize()  # tiny: catalog dups
+    e_nodes = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pc.binary_join_element_wise(
+                    pa.array([E_PREFIX] * catalog.num_rows, pa.string()), catalog["entity_id"], ""
+                )
+            }
+        )
+    )
+    fast_path = not cfg.emit_mention_edges
+    clusters = None
+    label_lut: dict | None = None
+    if fast_path:
+        # ── stage 3 FAST PATH: mentions attach to clusters only through their
+        # predicted entity, so the transitive state is the ENTITY graph alone
+        # (catalog-sized).  Cluster the entity graph, merge entity→label INTO
+        # the broadcast surface table, and label mentions map-side — no
+        # mention-sized shuffle, and ONE fused pass over mentions.
+        # Labels are identical to the full-graph result because "e:" < "m:"
+        # lexicographically (an anchored component's min node is always its
+        # min entity) and NIL mentions are singletons either way.
+        clusters = cluster_nodes(
+            ee_edges, e_nodes, mode=cfg.cluster_mode, num_partitions=cfg.join_partitions
+        ).materialize()
+        cdf = clusters.to_pandas()
+        label_lut = dict(zip(cdf["node"], cdf["label"]))
+
     # ── join predictions back to mentions (keyed, order-free) ────────────────
     # The contracted surface table is usually ≪ mentions: broadcast it and do
     # a map-side lookup (no shuffle).  Above `broadcast_threshold` distinct
@@ -511,12 +555,23 @@ def run_linkage(
     n_parts = clamped_partitions(
         n_surfaces, max(cfg.join_partitions, int(ray.cluster_resources().get("CPU", 8)))
     )
-    if n_surfaces <= cfg.broadcast_threshold:
+    use_broadcast = n_surfaces <= cfg.broadcast_threshold
+    if use_broadcast:
         pred_df = surface_preds.select_columns(
             ["norm_text", "pred_id", "best_id", "best_score"]
         ).to_pandas()
+        if fast_path:
+            # Pre-resolve each surface's cluster label driver-side (surface
+            # table × catalog-sized dict) so the mention pass needs ONE
+            # lookup total; None ⇒ NIL ⇒ own-singleton cluster in the map.
+            lut = label_lut
+            pred_df["ent_label"] = [
+                lut.get(E_PREFIX + p) if isinstance(p, str) and p != NIL_ID else None
+                for p in pred_df["pred_id"]
+            ]
         pred_ref = ray.put(pred_df)
         attach_key = f"attach:{pred_ref.hex()}"
+        with_label = fast_path
 
         def attach_pred(batch: pa.Table) -> pa.Table:
             # Build the lookup index ONCE per worker (pc.index_in re-hashes
@@ -530,9 +585,10 @@ def run_linkage(
                     pa.array(df["pred_id"], pa.string()),
                     pa.array(df["best_id"], pa.string()),
                     pa.array(df["best_score"], pa.float32()),
+                    pa.array(df["ent_label"], pa.string()) if with_label else None,
                 )
 
-            idx, pred_a, best_a, score_a = _cached_scorer(attach_key, build)
+            idx, pred_a, best_a, score_a, label_a = _cached_scorer(attach_key, build)
             col = batch["norm_text"]
             col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
             pos_np = idx.get_indexer(col.to_numpy(zero_copy_only=False))
@@ -540,13 +596,21 @@ def run_linkage(
             batch = batch.append_column("pred_id", pc.take(pred_a, pos))
             batch = batch.append_column("best_id", pc.take(best_a, pos))
             batch = batch.append_column("best_score", pc.take(score_a, pos))
+            if label_a is not None:
+                ent_label = pc.take(label_a, pos)
+                own = pc.binary_join_element_wise(
+                    pa.array([M_PREFIX] * batch.num_rows, pa.string()), batch["mention_uid"], ""
+                )
+                batch = batch.append_column(
+                    "cluster_id", pc.if_else(pc.is_null(ent_label), own, ent_label)
+                )
             return batch
 
-        # LAZY in the fast path: attach_pred has exactly one consumer there
-        # (the cluster-label map), so the chain fuses into one pass over
-        # mentions; persisting it would cost a full extra materialization.
+        # LAZY in the fast path: the fused attach has exactly one consumer,
+        # so the chain fuses into one pass over mentions; persisting it would
+        # cost a full extra materialization.
         mentions_pred = mentions.map_batches(attach_pred, batch_format="pyarrow")
-        if cfg.emit_mention_edges or cfg.work_dir:
+        if cfg.emit_mention_edges or (cfg.work_dir and not fast_path):
             mentions_pred = persist(mentions_pred, "mentions_pred")
     else:
         mentions_pred = persist(
@@ -559,7 +623,6 @@ def run_linkage(
             "mentions_pred",
         )
 
-    # ── edges ────────────────────────────────────────────────────────────────
     def mention_entity_edges(batch: pa.Table) -> pa.Table:
         mask = pc.and_(pc.is_valid(batch["pred_id"]), pc.not_equal(batch["pred_id"], NIL_ID))
         keep = batch.filter(mask)
@@ -571,28 +634,7 @@ def run_linkage(
             }
         )
 
-    ee_edges = entity_dup_edges(catalog, cfg).materialize()  # tiny: catalog dups
-    e_nodes = ray.data.from_arrow(
-        pa.table(
-            {
-                "node": pc.binary_join_element_wise(
-                    pa.array([E_PREFIX] * catalog.num_rows, pa.string()), catalog["entity_id"], ""
-                )
-            }
-        )
-    )
-
-    if not cfg.emit_mention_edges:
-        # ── stage 3 FAST PATH: mentions attach to clusters only through their
-        # predicted entity, so the transitive state is the ENTITY graph alone
-        # (catalog-sized).  Cluster the entity graph, broadcast entity→label,
-        # and label mentions map-side — no mention-sized shuffle at all.
-        # Labels are identical to the full-graph result because "e:" < "m:"
-        # lexicographically (an anchored component's min node is always its
-        # min entity) and NIL mentions are singletons either way.
-        clusters = cluster_nodes(
-            ee_edges, e_nodes, mode=cfg.cluster_mode, num_partitions=cfg.join_partitions
-        ).materialize()
+    if fast_path:
         label_tbl = pa.Table.from_pandas(clusters.to_pandas(), preserve_index=False)
         label_ref = ray.put(label_tbl)
 
@@ -614,7 +656,11 @@ def run_linkage(
             cluster = pc.if_else(is_nil, own, ent_label)
             return batch.append_column("cluster_id", cluster)
 
-        mentions_out = mentions_pred.map_batches(attach_cluster, batch_format="pyarrow")
+        mentions_out = (
+            mentions_pred  # broadcast path already fused the cluster label in
+            if use_broadcast
+            else mentions_pred.map_batches(attach_cluster, batch_format="pyarrow")
+        )
         return LinkageResult(
             mentions=mentions_out,
             surface_preds=surface_preds,

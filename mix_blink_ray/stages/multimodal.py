@@ -21,6 +21,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import hash_strings
 
@@ -178,23 +179,27 @@ class VideoFrameSampler:
             )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # Vectorized flat-map: per-row frame counts → repeated row indices →
+        # one gather of all frame byte ranges (a real decoder would replace
+        # only the byte-slice step; the explode plumbing stays identical).
         data, offsets = _payload_matrix(batch["payload"])
-        ids, ts, blobs = [], [], []
-        for i in range(batch.num_rows):
-            dur = batch["duration_ms"][i].as_py()
-            n_frames = min(max(dur, 0) // self.every_ms, self.max_frames)
-            lo, hi = int(offsets[i]), int(offsets[i + 1])
-            payload = data[lo:hi]
-            for f in range(n_frames):
-                ids.append(batch["media_id"][i].as_py())
-                ts.append(f * self.every_ms)
-                # fake "frame": deterministic slice of the payload
-                step = max(len(payload) // max(n_frames, 1), 1)
-                blobs.append(payload[f * step : f * step + min(256, step)].tobytes())
+        dur = np.asarray(batch["duration_ms"], dtype=np.int64)
+        n_frames = np.minimum(np.maximum(dur, 0) // self.every_ms, self.max_frames)
+        row = np.repeat(np.arange(batch.num_rows, dtype=np.int64), n_frames)
+        frame = np.arange(row.size, dtype=np.int64) - np.repeat(
+            np.cumsum(n_frames) - n_frames, n_frames
+        )
+        plen = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        step = np.maximum(plen // np.maximum(n_frames, 1), 1)
+        starts = offsets[:-1][row] + frame * step[row]
+        ends = np.minimum(starts + np.minimum(256, step[row]), offsets[1:][row])
+        from ..functions.hashing import gather_substrings
+
+        blobs = gather_substrings(data, starts, ends).cast(pa.large_binary())
         return pa.table(
             {
-                "media_id": pa.array(ids, pa.string()),
-                "frame_ts_ms": pa.array(ts, pa.int32()),
-                "frame_payload": pa.array(blobs, pa.binary()),
+                "media_id": pc.take(batch["media_id"], pa.array(row)),
+                "frame_ts_ms": pa.array((frame * self.every_ms).astype(np.int32)),
+                "frame_payload": pc.cast(blobs, pa.binary()),
             }
         )
