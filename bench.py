@@ -79,7 +79,9 @@ def run_bench() -> dict:
     headline_sec = time.time() - t0
 
     # ── representative operator queries ─────────────────────────────────────
-    bench_queries = [
+    # (skipped in --scaling legs: the scaling criterion measures the headline
+    # pipeline, and the query suite at 2-4 CPUs costs minutes per leg)
+    bench_queries = [] if os.environ.get("GRAFT_SKIP_QUERIES") else [
         "q1_pricing_summary",
         "q3_top_orders",
         "events_hourly_window",
@@ -124,7 +126,7 @@ def run_scaling() -> None:
     for n in (lo, hi):
         runs = []
         for _ in range(reps):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SKIP_QUERIES="1")
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,

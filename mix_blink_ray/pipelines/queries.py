@@ -369,6 +369,42 @@ def events_user_sessions(sf_dir: str):
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def events_sessionized(sf_dir: str):
+    """Gap-based sessionization (split a user's event stream at >30 min
+    gaps) — the genuinely ORDER-DEPENDENT per-key window:
+    ``groupby(user_id).map_groups`` sorts each user's events by time and
+    assigns session ids by cumulative gap count.  Partitioning assumption
+    (documented): one user's events fit one worker — keys are users, so
+    skew is bounded by the most active user, not by data size."""
+    import pandas as pd
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+    prep = ds.map_batches(
+        lambda b: pa.table({"user_id": b["user_id"], "ts_us": pc.cast(b["ts"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts_us", kind="stable")
+        gap = g["ts_us"].diff()
+        sid = (gap.isna() | (gap > GAP_US)).cumsum()
+        agg = g.groupby(sid)["ts_us"].agg(["count", "min", "max"])
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].iloc[0],
+                "session_idx": agg.index.to_numpy(dtype="int64"),
+                "n_events": agg["count"].to_numpy(dtype="int64"),
+                "start_us": agg["min"].to_numpy(dtype="int64"),
+                "end_us": agg["max"].to_numpy(dtype="int64"),
+            }
+        )
+
+    out = prep.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 # ── documents: text operators ───────────────────────────────────────────────
 
 
@@ -584,6 +620,7 @@ QUERIES = {
     "events_hourly_window": events_hourly_window,
     "events_union_extremes": events_union_extremes,
     "events_user_sessions": events_user_sessions,
+    "events_sessionized": events_sessionized,
     "docs_normalize": docs_normalize,
     "docs_token_stats": docs_token_stats,
     "docs_tokens": docs_tokens,
@@ -672,6 +709,24 @@ ORACLE_SQL = {
         SELECT user_id, count(*) AS n_events,
                epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
         FROM events GROUP BY user_id
+    """,
+    "events_sessionized": """
+        WITH g AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+            SELECT user_id, ts,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+            FROM g
+        )
+        SELECT user_id, session_idx, count(*) AS n_events,
+               epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+        FROM s GROUP BY user_id, session_idx
     """,
     "docs_normalize": """
         SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text
