@@ -567,6 +567,27 @@ def emb_knn_lsh_top5(sf_dir: str):
     return knn_lsh(ds, query_ids=[0, 1, 2, 3, 4], cfg=AnnConfig(k=5))
 
 
+def emb_knn_ivf_top5(sf_dir: str):
+    """IVF (distributed k-means coarse quantizer + probed exact search) —
+    the partition-based ANN scale path; recall vs brute force asserted on
+    clustered corpora in tests (isotropic testdata ⇒ rows-only here)."""
+    from ..stages.ann import knn_ivf
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_ivf(ds, query_ids=[0, 1, 2, 3, 4], cfg=AnnConfig(k=5, n_clusters=16, n_probes=8))
+
+
+def docs_near_dup_verified(sf_dir: str):
+    """MinHash+LSH candidates → EXACT char-3-gram Jaccard verify (texts
+    hash-joined onto the pair set) — the full two-stage near-dup pipeline."""
+    from ..stages.dedup import ngram_jaccard_verify
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    cand = minhash_near_dup_pairs(ds, DedupConfig(jaccard_threshold=0.3)).select_columns(["a_id", "b_id"])
+    out = ngram_jaccard_verify(cand, ds, threshold=0.4)
+    return _round(pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"jaccard": 6})
+
+
 def emb_norms(sf_dir: str):
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
 
@@ -638,6 +659,8 @@ QUERIES = {
     "jsonl_mentions": jsonl_mentions,
     "emb_knn_top5": emb_knn_top5,
     "emb_knn_lsh_top5": emb_knn_lsh_top5,
+    "emb_knn_ivf_top5": emb_knn_ivf_top5,
+    "docs_near_dup_verified": docs_near_dup_verified,
     "emb_norms": emb_norms,
     "emb_near_dup": emb_near_dup,
     "emb_near_dup_exact": emb_near_dup_exact,
