@@ -369,6 +369,24 @@ def events_user_sessions(sf_dir: str):
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def events_top3_per_type(sf_dir: str):
+    """Per-group top-k (T-operator in grouped form): 3 highest-value events
+    per type, deterministic tie-break (value desc, event_id asc).  Groups are
+    event types (bounded cardinality), so map_groups holds one type's rows —
+    the per-key top-k pattern; for unbounded keys pre-contract with a
+    map-side partial top-k first."""
+    import pandas as pd
+
+    ds = _t(sf_dir, "events", ["event_type", "event_id", "value"])
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["value", "event_id"], ascending=[False, True], kind="stable").head(3)
+
+    out = ds.groupby("event_type").map_groups(top3, batch_format="pandas")
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _round(tbl.select(["event_type", "event_id", "value"]), {"value": 6})
+
+
 def events_sessionized(sf_dir: str):
     """Gap-based sessionization (split a user's event stream at >30 min
     gaps) — the genuinely ORDER-DEPENDENT per-key window:
@@ -642,6 +660,7 @@ QUERIES = {
     "events_union_extremes": events_union_extremes,
     "events_user_sessions": events_user_sessions,
     "events_sessionized": events_sessionized,
+    "events_top3_per_type": events_top3_per_type,
     "docs_normalize": docs_normalize,
     "docs_token_stats": docs_token_stats,
     "docs_tokens": docs_tokens,
@@ -732,6 +751,16 @@ ORACLE_SQL = {
         SELECT user_id, count(*) AS n_events,
                epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
         FROM events GROUP BY user_id
+    """,
+    "events_top3_per_type": """
+        SELECT event_type, event_id,
+               CAST(round(value * 1000000) AS BIGINT) / 1000000.0 AS value
+        FROM (
+            SELECT event_type, event_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value DESC, event_id) AS rn
+            FROM events
+        ) WHERE rn <= 3
     """,
     "events_sessionized": """
         WITH g AS (
