@@ -530,6 +530,45 @@ def docs_quality(sf_dir: str):
     )
 
 
+def docs_quality_filter(sf_dir: str):
+    """The C4-style corpus filter: keep docs passing quality + language
+    gates — the composition a training-data pipeline actually runs
+    (score → threshold → select), pruned at the read."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def gate(b: pa.Table) -> pa.Table:
+        q = quality_scores(b)
+        lang = LangId()(b)
+        keep = pc.and_(
+            pc.greater_equal(q["quality_score"], pa.scalar(0.5)),
+            pc.equal(lang["lang_pred"], "en"),
+        )
+        return pa.table({"doc_id": b["doc_id"]}).filter(keep)
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+def docs_truncate_tokens(sf_dir: str, max_tokens: int = 20):
+    """Token-budget truncation (the context-window prep op): keep the first
+    ``max_tokens`` whitespace tokens, single-space re-joined — vectorized
+    list-slice over the split column."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def trunc(b: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(b["text"]))
+        head = pc.list_slice(toks, 0, max_tokens)
+        out = pc.binary_join(head, " ")
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "text_trunc": pc.cast(out, pa.string()),
+                "n_tokens_kept": pc.cast(pc.list_value_length(head), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(trunc, batch_format="pyarrow")
+
+
 def docs_minhash_near_dup(sf_dir: str):
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
     out = minhash_near_dup_pairs(ds, DedupConfig(jaccard_threshold=0.5))
@@ -673,6 +712,8 @@ QUERIES = {
     "docs_fingerprint": docs_fingerprint,
     "docs_lang_id": docs_lang_id,
     "docs_quality": docs_quality,
+    "docs_quality_filter": docs_quality_filter,
+    "docs_truncate_tokens": docs_truncate_tokens,
     "docs_minhash_near_dup": docs_minhash_near_dup,
     "docs_simhash": docs_simhash,
     "jsonl_mentions": jsonl_mentions,
@@ -871,7 +912,11 @@ def _build_text_oracles() -> None:
     from ..stages.text_analysis import _STOPWORDS
 
     all_stop = _sql_list(set().union(*_STOPWORDS.values()))
-    ORACLE_SQL["docs_quality"] = f"""
+    score_expr = (
+        "(0.4 * length_score + 0.3 * (1.0 - punct_ratio) "
+        "+ 0.3 * greatest(least(1.0 - abs(mean_word_len - 5.0) / 5.0, 1.0), 0.0))"
+    )
+    quality_ctes = f"""
         WITH t AS (
             SELECT doc_id,
                    lower(text) AS tl,
@@ -892,15 +937,14 @@ def _build_text_oracles() -> None:
                    tok_len_sum / greatest(n_tok, 1) AS mean_word_len,
                    least(n_tok / 50.0, 1.0) AS length_score
             FROM f
-        )
+        )"""
+
+    ORACLE_SQL["docs_quality"] = f"""{quality_ctes}
         SELECT doc_id,
                CAST(round(punct_ratio * 1000000) AS BIGINT) / 1000000.0 AS punct_ratio,
                CAST(round(stopword_ratio * 1000000) AS BIGINT) / 1000000.0 AS stopword_ratio,
                CAST(round(mean_word_len * 1000000) AS BIGINT) / 1000000.0 AS mean_word_len,
-               CAST(round((0.4 * length_score
-                           + 0.3 * (1.0 - punct_ratio)
-                           + 0.3 * greatest(least(1.0 - abs(mean_word_len - 5.0) / 5.0, 1.0), 0.0))
-                          * 1000000) AS BIGINT) / 1000000.0 AS quality_score
+               CAST(round({score_expr} * 1000000) AS BIGINT) / 1000000.0 AS quality_score
         FROM r
     """
 
@@ -936,6 +980,28 @@ def _build_text_oracles() -> None:
                     {cascade_sql}
                END AS lang_pred
         FROM v
+    """
+
+    ORACLE_SQL["docs_quality_filter"] = f"""{quality_ctes}, v AS (
+            SELECT doc_id,
+                   {vote_cols},
+                   len(regexp_extract_all(tl, '[一-鿿]')) AS han,
+                   length(tl) AS n_chars
+            FROM t
+        )
+        SELECT r.doc_id FROM r JOIN v USING (doc_id)
+        WHERE {score_expr} >= 0.5
+          AND (CASE WHEN han / greatest(n_chars, 1) > 0.2 THEN 'zh'
+                    WHEN {max_expr} = 0 THEN 'unknown'
+                    {cascade_sql}
+               END) = 'en'
+    """
+
+    ORACLE_SQL["docs_truncate_tokens"] = """
+        SELECT doc_id,
+               array_to_string(list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 20), ' ') AS text_trunc,
+               least(len(regexp_split_to_array(trim(text), '\\s+')), 20) AS n_tokens_kept
+        FROM documents
     """
 
 
