@@ -77,6 +77,26 @@ def cmd_link(args) -> None:
     ray.shutdown()
 
 
+def cmd_link_incremental(args) -> None:
+    """Delta-batch linkage against a persisted surface-prediction state:
+    only surfaces never seen in prior runs are scored (the daily-increment
+    shape — see run_linkage_incremental)."""
+    import pyarrow.parquet as pq
+
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .pipelines.linkage import LinkageConfig, run_linkage_incremental
+
+    cfg = LinkageConfig()
+    labeled, metrics = run_linkage_incremental(
+        rd.read_parquet(args.transcripts), pq.read_table(args.catalog), cfg, args.state_dir
+    )
+    labeled.write_parquet(args.out)
+    print(json.dumps({**metrics, "out": args.out}))
+    ray.shutdown()
+
+
 def cmd_eval(args) -> None:
     import pyarrow.parquet as pq
 
@@ -127,6 +147,14 @@ def main(argv: list[str] | None = None) -> None:
     lp.add_argument("--strategy", default="auto", choices=["auto", "contract", "stream"])
     lp.add_argument("--num-cpus", type=int, default=None)
     lp.set_defaults(fn=cmd_link)
+
+    li = sub.add_parser("link-incremental", help="delta-batch linkage against persisted state")
+    li.add_argument("--transcripts", required=True)
+    li.add_argument("--catalog", required=True)
+    li.add_argument("--state-dir", required=True)
+    li.add_argument("--out", required=True)
+    li.add_argument("--num-cpus", type=int, default=None)
+    li.set_defaults(fn=cmd_link_incremental)
 
     ep = sub.add_parser("eval", help="pairwise P/R/F1 vs a gold mentions table")
     ep.add_argument("--transcripts", required=True)

@@ -57,7 +57,13 @@ from ..stages.scoring import (
     make_pair_generator,
 )
 
-__all__ = ["LinkageConfig", "LinkageResult", "run_linkage", "entity_dup_edges"]
+__all__ = [
+    "LinkageConfig",
+    "LinkageResult",
+    "run_linkage",
+    "run_linkage_incremental",
+    "entity_dup_edges",
+]
 
 M_PREFIX = "m:"
 E_PREFIX = "e:"
@@ -734,6 +740,150 @@ def run_linkage(
         clusters=clusters,
         stage_metrics=metrics,
     )
+
+
+def run_linkage_incremental(
+    transcripts: Dataset,
+    catalog: pa.Table,
+    cfg: LinkageConfig,
+    state_dir: str,
+    encoder: Encoder | None = None,
+) -> tuple[Dataset, dict]:
+    """Incremental (delta) linkage: link a NEW batch of transcripts against a
+    persisted surface-prediction state, scoring ONLY surfaces never seen in
+    prior runs.
+
+    This is the daily-increment shape of a 100-TB corpus: surface cardinality
+    grows sublinearly with turns, so after the first run almost every mention
+    hits the persisted state and the encoder/top-k work is proportional to
+    the NOVEL surfaces only.  State layout (``state_dir/surface_preds/``,
+    atomic tmp+rename parquet) is the same schema ``run_linkage`` produces,
+    so a state dir can be seeded from a full run.
+
+    Returns ``(labeled mentions Dataset, metrics)`` with
+    ``metrics = {"n_surfaces", "n_known", "n_novel"}``.  Output labels are
+    IDENTICAL to running ``run_linkage`` over the concatenated corpus
+    (asserted by the parity test): per-surface predictions depend only on the
+    surface and catalog, and entity clusters are catalog-sized (recomputed
+    per run, cheap).
+
+    Scale note: the known-surface membership check broadcasts the state's
+    ``norm_text`` column (exact strings — a hashed set would false-positive
+    and silently skip scoring a genuinely new surface).  Above
+    ``cfg.broadcast_threshold`` surfaces, switch the membership to the keyed
+    anti-join the attach path uses.
+    """
+    import os
+    import shutil
+
+    import pandas as pd
+
+    prev_path = os.path.join(state_dir, "surface_preds")
+    have_prev = os.path.isdir(prev_path) and os.listdir(prev_path)
+
+    mentions = transcripts.map_batches(extract_mentions, batch_format="pyarrow").materialize()
+    surfaces = _contract_surfaces(mentions).materialize()
+    n_surfaces = surfaces.count()
+
+    pred_cols = ["norm_text", "pred_id", "best_id", "best_score"]
+    if have_prev:
+        prev = ray.data.read_parquet(prev_path)
+        known_idx = pd.Index(prev.select_columns(["norm_text"]).to_pandas()["norm_text"].to_numpy())
+        known_ref = ray.put(known_idx)
+
+        def only_novel(b: pa.Table) -> pa.Table:
+            idx = ray.get(known_ref) if isinstance(known_ref, ray.ObjectRef) else known_ref
+            col = b["norm_text"]
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            pos = idx.get_indexer(col.to_numpy(zero_copy_only=False))
+            return b.filter(pa.array(pos < 0))
+
+        novel = surfaces.map_batches(only_novel, batch_format="pyarrow")
+    else:
+        prev = None
+        novel = surfaces
+
+    index = build_catalog_index(catalog, encoder, cfg.scoring, cache_path=cfg.catalog_index_path)
+    catalog_ref = ray.put(index)
+    sc_cfg = cfg.scoring
+
+    def scorer_fn(batch: pa.Table) -> pa.Table:
+        scorer = _cached_scorer(
+            f"{catalog_ref.hex()}:{sc_cfg!r}", lambda: SurfaceScorer(catalog_ref, sc_cfg, encoder)
+        )
+        return scorer(batch)
+
+    novel_preds = novel.map_batches(
+        scorer_fn, batch_format="pyarrow", batch_size=cfg.scorer_batch_size
+    ).select_columns(pred_cols).materialize()
+    n_novel = novel_preds.count()
+
+    all_preds = prev.select_columns(pred_cols).union(novel_preds) if prev is not None else novel_preds
+    tmp = prev_path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    all_preds.write_parquet(tmp)
+    old = prev_path + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if have_prev:
+        os.replace(prev_path, old)
+    os.replace(tmp, prev_path)
+    shutil.rmtree(old, ignore_errors=True)
+    all_preds = ray.data.read_parquet(prev_path)
+
+    # Label the new batch's mentions: entity clusters are catalog-sized.
+    ee_edges = entity_dup_edges(catalog, cfg).materialize()
+    e_nodes = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pc.binary_join_element_wise(
+                    pa.array([E_PREFIX] * catalog.num_rows, pa.string()), catalog["entity_id"], ""
+                )
+            }
+        )
+    )
+    clusters = cluster_nodes(ee_edges, e_nodes, mode=cfg.cluster_mode, num_partitions=cfg.join_partitions).materialize()
+    cdf = clusters.to_pandas()
+    label_lut = dict(zip(cdf["node"], cdf["label"]))
+
+    pred_df = all_preds.to_pandas()
+    pred_df["ent_label"] = [
+        label_lut.get(E_PREFIX + p) if isinstance(p, str) and p != NIL_ID else None
+        for p in pred_df["pred_id"]
+    ]
+    pred_ref = ray.put(pred_df)
+    attach_key = f"attach:{pred_ref.hex()}"
+
+    def attach_all(batch: pa.Table) -> pa.Table:
+        def build():
+            df = ray.get(pred_ref) if isinstance(pred_ref, ray.ObjectRef) else pred_ref
+            return (
+                pd.Index(df["norm_text"].to_numpy()),
+                pa.array(df["pred_id"], pa.string()),
+                pa.array(df["best_id"], pa.string()),
+                pa.array(df["best_score"], pa.float32()),
+                pa.array(df["ent_label"], pa.string()),
+            )
+
+        idx, pred_a, best_a, score_a, label_a = _cached_scorer(attach_key, build)
+        col = batch["norm_text"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        pos_np = idx.get_indexer(col.to_numpy(zero_copy_only=False))
+        pos = pa.array(np.where(pos_np >= 0, pos_np, None))
+        batch = batch.append_column("pred_id", pc.take(pred_a, pos))
+        batch = batch.append_column("best_id", pc.take(best_a, pos))
+        batch = batch.append_column("best_score", pc.take(score_a, pos))
+        ent_label = pc.take(label_a, pos)
+        own = pc.binary_join_element_wise(
+            pa.array([M_PREFIX] * batch.num_rows, pa.string()), batch["mention_uid"], ""
+        )
+        return batch.append_column("cluster_id", pc.if_else(pc.is_null(ent_label), own, ent_label))
+
+    labeled = mentions.map_batches(attach_all, batch_format="pyarrow")
+    return labeled, {
+        "n_surfaces": n_surfaces,
+        "n_novel": n_novel,
+        "n_known": n_surfaces - n_novel,
+    }
 
 
 def _mention_mention_edges(surface_preds: Dataset, cfg: LinkageConfig) -> Dataset:
