@@ -575,6 +575,17 @@ def docs_minhash_near_dup(sf_dir: str):
     return _round(pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"est_jaccard": 6})
 
 
+def docs_dedup_corpus(sf_dir: str):
+    """Full corpus dedup (exact + verified near-dup + transitive keep/drop
+    with reasons) — returns the drop list; kept+dropped partitions the
+    corpus exactly (asserted in tests)."""
+    from ..stages.dedup import dedup_corpus
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    _, dropped, _ = dedup_corpus(ds, DedupConfig(jaccard_threshold=0.5), verify_threshold=0.5)
+    return pa.Table.from_pandas(dropped.to_pandas(), preserve_index=False)
+
+
 def docs_simhash(sf_dir: str):
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
     return simhash_fingerprints(ds).select_columns(["doc_id", "simhash_hex"])
@@ -716,6 +727,7 @@ QUERIES = {
     "docs_truncate_tokens": docs_truncate_tokens,
     "docs_minhash_near_dup": docs_minhash_near_dup,
     "docs_simhash": docs_simhash,
+    "docs_dedup_corpus": docs_dedup_corpus,
     "jsonl_mentions": jsonl_mentions,
     "emb_knn_top5": emb_knn_top5,
     "emb_knn_lsh_top5": emb_knn_lsh_top5,

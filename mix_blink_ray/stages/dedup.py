@@ -39,6 +39,8 @@ __all__ = [
     "simhash_near_dup_pairs",
     "ngram_jaccard_verify",
     "embedding_near_dup_pairs",
+    "similarity_join_exact",
+    "dedup_corpus",
 ]
 
 
@@ -333,6 +335,154 @@ def ngram_jaccard_verify(
         return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def dedup_corpus(
+    docs: Dataset,
+    cfg: DedupConfig = DedupConfig(),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    verify_threshold: float | None = None,
+) -> tuple[Dataset, Dataset, dict]:
+    """The user-facing corpus dedup: exact + verified near-dup + transitive
+    clustering → (kept docs, drop list with reasons, metrics).
+
+    Composition (each stage a documented operator):
+      1. exact:  128-bit full-content-hash groupby — byte-identical docs
+         collapse to the min-id representative (reason ``exact_dup_of``).
+      2. near:   MinHash+LSH candidates over the EXACT-DEDUPED representatives
+         (so identical text never inflates bands), verified by exact char
+         n-gram Jaccard ≥ ``verify_threshold`` (default
+         ``cfg.jaccard_threshold``) via the pair-set hash-join verify.
+      3. transitive: verified pairs → connected components (min-id label);
+         every non-representative member drops with reason ``near_dup_of``.
+
+    Drop accounting is exact: ``len(kept) + len(dropped) == len(docs)``.
+    """
+    from .clustering import cluster_nodes
+
+    thr = cfg.jaccard_threshold if verify_threshold is None else verify_threshold
+
+    # 1. exact contraction: representative id per content + members list
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h1, h2 = hash_strings_full(*flat_utf8(batch[text_col]))
+        return pa.table(
+            {
+                "content_hash": pa.array(h1.view(np.int64)),
+                "content_hash2": pa.array(h2.view(np.int64)),
+                id_col: batch[id_col],
+            }
+        )
+
+    hashed = docs.map_batches(add_hash, batch_format="pyarrow").materialize()
+    reps = (
+        hashed.groupby(["content_hash", "content_hash2"])
+        .aggregate(Min(id_col, alias_name="rep_id"))
+        .materialize()
+    )
+    from .clustering import clamped_partitions
+
+    n_parts = clamped_partitions(max(reps.count(), 1), 8)
+    with_rep = hashed.join(reps, join_type="inner", num_partitions=n_parts, on=("content_hash", "content_hash2"))
+    exact_drops = with_rep.map_batches(
+        lambda b: pa.table(
+            {
+                id_col: b[id_col],
+                "dropped_for": b["rep_id"],
+                "reason": pa.array(["exact_dup_of"] * b.num_rows, pa.string()),
+            }
+        ).filter(pc.not_equal(b[id_col], b["rep_id"])),
+        batch_format="pyarrow",
+    ).materialize()
+
+    rep_ids = with_rep.map_batches(
+        lambda b: pa.table({id_col: b[id_col]}).filter(pc.equal(b[id_col], b["rep_id"])),
+        batch_format="pyarrow",
+    )
+    rep_docs = docs.join(
+        rep_ids.map_batches(lambda b: pa.table({"rid": b[id_col]}), batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=n_parts,
+        on=(id_col,),
+        right_on=("rid",),
+    ).select_columns([id_col, text_col]).materialize()
+
+    # 2. near-dup candidates over representatives, exact-verified
+    cand = minhash_near_dup_pairs(rep_docs, cfg, text_col=text_col, id_col=id_col).select_columns(["a_id", "b_id"])
+    verified = ngram_jaccard_verify(cand, rep_docs, threshold=thr, ngram=cfg.ngram, id_col=id_col, text_col=text_col)
+
+    # 3. transitive components over verified pairs; label = min id
+    edges = verified.map_batches(
+        lambda b: pa.table(
+            {
+                "src": pc.cast(b["a_id"], pa.string()),
+                "dst": pc.cast(b["b_id"], pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    # Zero-pad ids so lexicographic min == numeric min for int ids.
+    def pad(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.utf8_lpad(b["src"], 20, "0"),
+                "dst": pc.utf8_lpad(b["dst"], 20, "0"),
+            }
+        )
+
+    edges = edges.map_batches(pad, batch_format="pyarrow")
+    nodes = rep_docs.map_batches(
+        lambda b: pa.table({"node": pc.utf8_lpad(pc.cast(b[id_col], pa.string()), 20, "0")}),
+        batch_format="pyarrow",
+    )
+    labels = cluster_nodes(edges, nodes, mode="auto").materialize()
+
+    def near_drops(b: pa.Table) -> pa.Table:
+        nid = pc.cast(pc.cast(b["node"], pa.int64()), pa.int64())
+        lid = pc.cast(pc.cast(b["label"], pa.int64()), pa.int64())
+        out = pa.table(
+            {
+                id_col: nid,
+                "dropped_for": lid,
+                "reason": pa.array(["near_dup_of"] * b.num_rows, pa.string()),
+            }
+        )
+        return out.filter(pc.not_equal(out[id_col], out["dropped_for"]))
+
+    near_dropped = labels.map_batches(near_drops, batch_format="pyarrow").materialize()
+    dropped = exact_drops.union(near_dropped).materialize()
+
+    n_dropped = dropped.count()
+    if n_dropped <= 20_000_000:  # int64 ids ⇒ ≤ 160 MB broadcast
+        drop_ids = pa.array(sorted(dropped.select_columns([id_col]).to_pandas()[id_col]), pa.int64())
+        import ray
+
+        drop_ref = ray.put(drop_ids)
+
+        def keep(b: pa.Table) -> pa.Table:
+            ids = ray.get(drop_ref) if isinstance(drop_ref, ray.ObjectRef) else drop_ref
+            return b.filter(pc.invert(pc.is_in(b[id_col], value_set=ids)))
+
+        kept = docs.map_batches(keep, batch_format="pyarrow")
+    else:
+        # keyed anti-join: docs ⟕ dropped, keep rows with no drop marker
+        marks = dropped.map_batches(
+            lambda b: pa.table({"did": b[id_col], "is_dropped": pa.array([True] * b.num_rows)}),
+            batch_format="pyarrow",
+        )
+        kp = clamped_partitions(n_dropped, 16)
+        kept = docs.join(
+            marks, join_type="left_outer", num_partitions=kp, on=(id_col,), right_on=("did",)
+        ).map_batches(
+            lambda b: b.filter(pc.is_null(b["is_dropped"])).drop_columns(["is_dropped"]),
+            batch_format="pyarrow",
+        )
+    metrics = {
+        "n_docs": docs.count(),
+        "n_exact_dropped": exact_drops.count(),
+        "n_near_dropped": near_dropped.count(),
+    }
+    return kept, dropped, metrics
 
 
 def similarity_join_exact(

@@ -145,3 +145,33 @@ def test_truncation_counters_fire_on_hot_groups():
     # kept + dropped = all pairs of the bucket (identical vectors ⇒ every
     # within-salt pair passes the threshold)
     assert len(out) + dropped == 20 * 19 // 2
+
+
+def test_dedup_corpus_end_to_end():
+    """dedup_corpus: exact dups drop with exact_dup_of, verified near-dups
+    drop with near_dup_of (transitively, min-id representative kept), and
+    kept + dropped partitions the corpus exactly."""
+    from mix_blink_ray.stages.dedup import dedup_corpus
+
+    texts = [
+        BASE,                                   # 0  kept (representative)
+        BASE,                                   # 1  exact dup of 0
+        BASE.replace("quick", "swift"),         # 2  near dup of 0
+        BASE.replace("lazy dog", "sleepy cat"), # 3  near dup of 0 (transitive via 0)
+        "completely different content about databases and distributed query engines running on clusters",  # 4 kept
+        "yet another unrelated document mentioning tensors gradients and optimizers in training loops",     # 5 kept
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+    kept, dropped, metrics = dedup_corpus(
+        rd.from_arrow(tbl), DedupConfig(jaccard_threshold=0.5), verify_threshold=0.5
+    )
+    kdf = kept.to_pandas().sort_values("doc_id")
+    ddf = dropped.to_pandas().sort_values("doc_id")
+    assert list(kdf["doc_id"]) == [0, 4, 5]
+    assert set(kdf["doc_id"]) | set(ddf["doc_id"]) == set(range(6))
+    assert set(kdf["doc_id"]) & set(ddf["doc_id"]) == set()
+    by_id = ddf.set_index("doc_id")
+    assert by_id.loc[1, "reason"] == "exact_dup_of" and by_id.loc[1, "dropped_for"] == 0
+    assert by_id.loc[2, "reason"] == "near_dup_of" and by_id.loc[2, "dropped_for"] == 0
+    assert by_id.loc[3, "reason"] == "near_dup_of" and by_id.loc[3, "dropped_for"] == 0
+    assert metrics == {"n_docs": 6, "n_exact_dropped": 1, "n_near_dropped": 2}
