@@ -366,7 +366,7 @@ def events_user_sessions(sf_dir: str):
             batch_format="pyarrow",
         )
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return out  # lazy: per-user rows grow with data — never driver-materialized
 
 
 def events_top3_per_type(sf_dir: str):
@@ -419,8 +419,7 @@ def events_sessionized(sf_dir: str):
             }
         )
 
-    out = prep.groupby("user_id").map_groups(sessions, batch_format="pandas")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return prep.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
 # ── documents: text operators ───────────────────────────────────────────────
@@ -475,8 +474,9 @@ def docs_bpe_token_counts(sf_dir: str):
 def docs_exact_dedup(sf_dir: str):
     """Exact dedup keyed by full text (group → min id + copy count)."""
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    # Returned as a (lazy) Dataset — one row per distinct text is still
+    # corpus-sized, so it must never be driver-materialized here.
+    return ds.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
 
 
 def docs_exact_dedup_hash(sf_dir: str):
@@ -485,8 +485,7 @@ def docs_exact_dedup_hash(sf_dir: str):
     16-byte keys, never the text).  Oracle groups by full text; equal output
     proves the hash key is collision-free on this corpus."""
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
-    out = exact_dedup(ds).drop_columns(["content_hash", "content_hash2"])
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return exact_dedup(ds).drop_columns(["content_hash", "content_hash2"])
 
 
 def docs_distinct_sources(sf_dir: str):
