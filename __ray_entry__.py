@@ -252,27 +252,40 @@ def linkage_predictions(sf_dir: str):
     surf = res.surface_preds.select_columns(["norm_text", "candidates", "candidate_scores"])
 
     def explode_top5(b: pa.Table) -> pa.Table:
+        # Vectorized explode: slice each list to 5, flatten, derive row ids
+        # and 1-based ranks from the offsets; entity name/description attach
+        # via one index_in against the broadcast catalog arrays.
+        import numpy as np
+        import pyarrow.compute as pc
+
         names, descs = ray.get(lut_ref)
-        cand = b["candidates"].combine_chunks() if isinstance(b["candidates"], pa.ChunkedArray) else b["candidates"]
-        scores = b["candidate_scores"].combine_chunks() if isinstance(b["candidate_scores"], pa.ChunkedArray) else b["candidate_scores"]
-        rows, ranks, ids, sims = [], [], [], []
-        for i in range(b.num_rows):
-            cl = cand[i].as_py()[:5]
-            sl = scores[i].as_py()[:5]
-            for r, (cid, sc) in enumerate(zip(cl, sl), 1):
-                rows.append(i)
-                ranks.append(r)
-                ids.append(cid)
-                sims.append(round(float(sc), 4))  # M13
-        take = pa.array(rows, pa.int64())
+        cand = pc.list_slice(b["candidates"], 0, 5)
+        scores = pc.list_slice(b["candidate_scores"], 0, 5)
+        cand = cand.combine_chunks() if isinstance(cand, pa.ChunkedArray) else cand
+        scores = scores.combine_chunks() if isinstance(scores, pa.ChunkedArray) else scores
+        off = np.asarray(cand.offsets, dtype=np.int64)
+        row = np.repeat(np.arange(b.num_rows, dtype=np.int64), np.diff(off))
+        rank = (np.arange(len(row), dtype=np.int64) - np.repeat(off[:-1] - off[0], np.diff(off)) + 1).astype(np.int32)
+        ids = cand.flatten()
+        sims_raw = pc.cast(scores.flatten(), pa.float64())
+        # M13: round to 4, half-to-even — Python round() semantics, matching
+        # the reference's round(float(d), 4) (predict.py:46)
+        sims = pc.divide(
+            pc.cast(pc.round(pc.multiply(sims_raw, pa.scalar(10000.0)), round_mode="half_to_even"), pa.int64()),
+            pa.scalar(10000.0),
+        )
+        id_keys = pa.array(list(names.keys()), pa.string())
+        name_vals = pa.array([names[k] for k in names.keys()], pa.string())
+        desc_vals = pa.array([descs.get(k, "") for k in names.keys()], pa.string())
+        pos = pc.index_in(ids, value_set=id_keys)
         return pa.table(
             {
-                "norm_text": pa.compute.take(b["norm_text"], take),
-                "rank": pa.array(ranks, pa.int32()),
-                "entity_id": pa.array(ids, pa.string()),
-                "entity_name": pa.array([names.get(i, "") for i in ids], pa.string()),
-                "similarity": pa.array(sims, pa.float64()),
-                "description": pa.array([descs.get(i, "") for i in ids], pa.string()),
+                "norm_text": pc.take(b["norm_text"], pa.array(row)),
+                "rank": pa.array(rank, pa.int32()),
+                "entity_id": pc.cast(ids, pa.string()),
+                "entity_name": pc.fill_null(pc.take(name_vals, pos), ""),
+                "similarity": sims,
+                "description": pc.fill_null(pc.take(desc_vals, pos), ""),
             }
         )
 

@@ -225,15 +225,16 @@ def nation_customer_stats(sf_dir: str):
     lookup_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
     cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
 
-    def enrich(batch: pa.Table) -> pa.Table:
+    def enrich2(batch: pa.Table) -> pa.Table:
         import ray as _r
 
         lut = _r.get(lookup_ref)
-        names = pa.array([lut[k] for k in batch["c_nationkey"].to_pylist()], pa.string())
-        return batch.append_column("n_name", names)
-
-    def enrich2(batch: pa.Table) -> pa.Table:
-        return enrich(batch).append_column("acct_c", _cents(batch["c_acctbal"]))
+        keys = pa.array(list(lut.keys()), pa.int64())
+        vals = pa.array([lut[k] for k in lut.keys()], pa.string())
+        pos = pc.index_in(batch["c_nationkey"], value_set=keys)
+        return batch.append_column("n_name", pc.take(vals, pos)).append_column(
+            "acct_c", _cents(batch["c_acctbal"])
+        )
 
     out = (
         cust.map_batches(enrich2, batch_format="pyarrow")
