@@ -1,0 +1,101 @@
+"""Property-based tests (Hypothesis) for the flat-buffer kernels — the
+pieces every stage trusts.  No Ray needed: pure NumPy/Arrow."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mix_blink_ray.functions.hashing import (
+    _P,
+    _P2,
+    _SEED_MIX,
+    _splitmix64,
+    char_ngram_hashes,
+    flat_utf8,
+    gather_substrings,
+    hash_strings_full,
+)
+from mix_blink_ray.sources.conll import decode_bio_spans
+
+texts = st.lists(st.text(max_size=300), min_size=0, max_size=30)
+
+
+def _slow_full_hash(s: str) -> tuple[int, int]:
+    b = s.encode()
+    L = np.uint64(len(b))
+    out = []
+    with np.errstate(over="ignore"):
+        for base, seed in ((_P, _SEED_MIX), (_P2, ~_SEED_MIX)):
+            h = np.uint64(0)
+            for c in b:
+                h = h * base + np.uint64(c)
+            out.append(int(_splitmix64(np.array([L * base + seed + h], dtype=np.uint64))[0]))
+    return tuple(out)
+
+
+@settings(max_examples=50, deadline=None)
+@given(texts)
+def test_hash_strings_full_matches_bytewise_reference(strs):
+    arr = pa.array(strs, pa.string())
+    h1, h2 = hash_strings_full(*flat_utf8(arr))
+    for i, s in enumerate(strs):
+        assert (int(h1[i]), int(h2[i])) == _slow_full_hash(s)
+
+
+@settings(max_examples=50, deadline=None)
+@given(texts)
+def test_hash_strings_full_batch_independent(strs):
+    """Hashing a batch == hashing each row alone (no cross-row state)."""
+    arr = pa.array(strs, pa.string())
+    h1, h2 = hash_strings_full(*flat_utf8(arr))
+    for i, s in enumerate(strs):
+        s1, s2 = hash_strings_full(*flat_utf8(pa.array([s], pa.string())))
+        assert (h1[i], h2[i]) == (s1[0], s2[0])
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(codec="ascii"), max_size=100), max_size=20))
+def test_gather_substrings_roundtrip(strs):
+    """Gathering each row's full byte range reproduces the strings."""
+    arr = pa.array(strs, pa.string())
+    data, off = flat_utf8(arr)
+    out = gather_substrings(data, off[:-1], off[1:])
+    assert out.to_pylist() == strs
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=40), max_size=10), st.integers(2, 4))
+def test_char_ngram_hashes_counts(strs, n):
+    """Row i contributes max(len_i - n + 1, 0) grams, plus one whole-string
+    hash for nonempty rows shorter than n."""
+    arr = pa.array(strs, pa.string())
+    data, off = flat_utf8(arr)
+    grams, rows = char_ngram_hashes(data, off, n=n)
+    counts = np.bincount(rows, minlength=len(strs)) if len(rows) else np.zeros(len(strs), int)
+    for i, s in enumerate(strs):
+        b = len(s.encode())
+        expect = b - n + 1 if b >= n else (1 if b > 0 else 0)
+        assert counts[i] == expect, (s, n)
+    assert np.all(np.diff(rows) >= 0)  # sorted row ids (reduceat contract)
+
+
+_tag = st.sampled_from(["O", "B-PER", "I-PER", "B-ORG", "I-ORG"])
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_tag, max_size=20))
+def test_decode_bio_spans_invariants(tags):
+    links = ["B-l" + str(i) if t != "O" else "" for i, t in enumerate(tags)]
+    spans = decode_bio_spans(tags, links)
+    covered = set()
+    for s, e, label, link in spans:
+        assert 0 <= s < e <= len(tags)
+        assert not link.startswith(("B-", "I-"))  # prefixes stripped
+        for i in range(s, e):
+            assert tags[i] != "O"
+            assert tags[i][2:] == label
+            assert i not in covered  # spans never overlap
+            covered.add(i)
+    # every non-O token is covered by exactly one span
+    assert covered == {i for i, t in enumerate(tags) if t != "O"}
