@@ -58,7 +58,6 @@ def linkage_clusters(sf_dir: str):
 
 
 GOLD_BROADCAST_THRESHOLD = 5_000_000  # gold rows ≤ this → broadcast; else hash join
-_GOLD_BLOB_SEP = "\x1f"
 
 
 def _attach_lists(mentions, surf_preds, gold_path: str, gold_broadcast_threshold: int | None = None):
@@ -85,59 +84,14 @@ def _attach_lists(mentions, surf_preds, gold_path: str, gold_broadcast_threshold
             "candidates", pa.array([list(c) for c in cands], pa.list_(pa.string()))
         )
 
-    # Gold attaches FIRST (its join path can't carry the list-typed
+    # Gold attaches FIRST (the join fallback can't carry the list-typed
     # candidates column through acero); candidates broadcast-attach after.
-    out = mentions
+    from mix_blink_ray.stages.attach import attach_list_column
 
-    import pyarrow.dataset as pads
-
-    n_gold = pads.dataset(gold_path).count_rows()  # metadata-only, handles dirs
-    if n_gold <= threshold:
-        gold_df = pq.read_table(gold_path, columns=["mention_uid", "gold_ids"]).to_pandas().set_index("mention_uid")["gold_ids"]
-        gold_ref = ray.put(gold_df)
-
-        def attach_gold(b: pa.Table) -> pa.Table:
-            gd = ray.get(gold_ref) if isinstance(gold_ref, ray.ObjectRef) else gold_ref
-            golds = gd.reindex(b["mention_uid"].to_pylist()).map(
-                lambda v: list(v) if v is not None and not isinstance(v, float) else []
-            ).tolist()
-            return b.append_column("gold_ids", pa.array(golds, pa.list_(pa.string())))
-
-        return out.map_batches(attach_gold, batch_format="pyarrow").map_batches(
-            attach_cands, batch_format="pyarrow"
-        )
-
-    from mix_blink_ray.stages.clustering import clamped_partitions
-
-    def serialize_gold(b: pa.Table) -> pa.Table:
-        col = b["gold_ids"]
-        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        blob = pa.compute.binary_join(col, _GOLD_BLOB_SEP)
-        return pa.table({"mention_uid": b["mention_uid"], "gold_blob": blob})
-
-    gold_ds = rd.read_parquet(gold_path, columns=["mention_uid", "gold_ids"]).map_batches(
-        serialize_gold, batch_format="pyarrow"
+    with_gold = attach_list_column(
+        mentions, gold_path, "mention_uid", "gold_ids", broadcast_threshold=threshold
     )
-    import ray as _ray
-
-    n_parts = clamped_partitions(n_gold, max(8, int(_ray.cluster_resources().get("CPU", 8))))
-    joined = out.join(gold_ds, join_type="left_outer", num_partitions=n_parts, on=("mention_uid",))
-
-    def split_gold(b: pa.Table) -> pa.Table:
-        blob = pa.compute.fill_null(b["gold_blob"], "")
-        lists = pa.compute.split_pattern(blob, _GOLD_BLOB_SEP)
-        # '' splits to [''] — normalize truly-absent gold to [].
-        empty = pa.compute.equal(pa.compute.list_value_length(lists), 1)
-        first_empty = pa.compute.equal(pa.compute.list_element(lists, 0), "")
-        none_lists = pa.array([[]] * b.num_rows, pa.list_(pa.string()))
-        golds = pa.compute.if_else(pa.compute.and_(empty, first_empty), none_lists, lists)
-        return b.drop_columns(["gold_blob"]).append_column(
-            "gold_ids", pa.compute.cast(golds, pa.list_(pa.string()))
-        )
-
-    return joined.map_batches(split_gold, batch_format="pyarrow").map_batches(
-        attach_cands, batch_format="pyarrow"
-    )
+    return with_gold.map_batches(attach_cands, batch_format="pyarrow")
 
 
 def linkage_candidates(sf_dir: str):

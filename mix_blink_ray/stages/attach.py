@@ -1,0 +1,101 @@
+"""Keyed attach of a list<string> column onto a Dataset, with the
+broadcast / partitioned-join duality used everywhere in this engine:
+
+- small side (≤ ``broadcast_threshold`` rows): ``ray.put`` once, per-worker
+  pandas-index lookup inside ``map_batches`` — no shuffle;
+- large side: partitioned hash join on the key with the list payload
+  serialized to a ``\\x1f``-joined string blob (Arrow's acero join rejects
+  list-typed non-key columns) and re-split after the join.
+
+Both paths produce identical output (equivalence-tested); rows with no match
+get an empty list.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+__all__ = ["attach_list_column", "BLOB_SEP"]
+
+BLOB_SEP = "\x1f"
+
+
+def _as_dataset(source, columns: list[str]):
+    import ray.data as rd
+
+    if isinstance(source, str):
+        return rd.read_parquet(source, columns=columns)
+    if isinstance(source, pa.Table):
+        return rd.from_arrow(source.select(columns))
+    return source.select_columns(columns)
+
+
+def _count(source, ds) -> int:
+    if isinstance(source, str):
+        import pyarrow.dataset as pads
+
+        return pads.dataset(source).count_rows()
+    if isinstance(source, pa.Table):
+        return source.num_rows
+    return ds.count()
+
+
+def attach_list_column(
+    target: Dataset,
+    source,
+    key_col: str,
+    list_col: str,
+    broadcast_threshold: int = 5_000_000,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Attach ``source``'s ``list_col`` (list<string>) onto ``target`` rows by
+    ``key_col``.  ``source`` may be a parquet path, a pa.Table, or a Dataset.
+    Missing keys get ``[]``."""
+    import ray
+
+    ds_src = _as_dataset(source, [key_col, list_col])
+    n_src = _count(source, ds_src)
+
+    if n_src <= broadcast_threshold:
+        import pandas as pd
+
+        df = ds_src.to_pandas().set_index(key_col)[list_col]
+        ref = ray.put(df)
+
+        def attach(b: pa.Table) -> pa.Table:
+            d = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            vals = d.reindex(b[key_col].to_pylist()).map(
+                lambda v: list(v) if v is not None and not isinstance(v, float) else []
+            ).tolist()
+            return b.append_column(list_col, pa.array(vals, pa.list_(pa.string())))
+
+        return target.map_batches(attach, batch_format="pyarrow")
+
+    from .clustering import clamped_partitions
+
+    def serialize(b: pa.Table) -> pa.Table:
+        col = b[list_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return pa.table({key_col: b[key_col], "__blob": pc.binary_join(col, BLOB_SEP)})
+
+    blobs = ds_src.map_batches(serialize, batch_format="pyarrow")
+    n_parts = clamped_partitions(n_src, max(num_partitions, 8))
+    joined = target.join(blobs, join_type="left_outer", num_partitions=n_parts, on=(key_col,))
+
+    def split(b: pa.Table) -> pa.Table:
+        blob = pc.fill_null(b["__blob"], "")
+        lists = pc.split_pattern(blob, BLOB_SEP)
+        empty = pc.and_(
+            pc.equal(pc.list_value_length(lists), 1),
+            pc.equal(pc.list_element(lists, 0), ""),
+        )
+        none_lists = pa.array([[]] * b.num_rows, pa.list_(pa.string()))
+        out_col = pc.if_else(empty, none_lists, lists)
+        return b.drop_columns(["__blob"]).append_column(
+            list_col, pc.cast(out_col, pa.list_(pa.string()))
+        )
+
+    return joined.map_batches(split, batch_format="pyarrow")

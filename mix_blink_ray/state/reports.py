@@ -31,87 +31,106 @@ from ray.data import Dataset
 __all__ = ["predict_report", "write_predicts_jsonl", "write_eval_results_json", "merge_rank_counters"]
 
 
-def predict_report(res, catalog: pa.Table, gold: pa.Table | None = None, top_k: int = 5) -> Dataset:
+def predict_report(
+    res,
+    catalog: pa.Table,
+    gold: pa.Table | None = None,
+    top_k: int = 5,
+    gold_broadcast_threshold: int = 5_000_000,
+) -> Dataset:
     """Build the nested per-mention prediction report from a LinkageResult.
 
     ``text`` carries the mention's source surface (the engine never re-ships
     full turn text through the pipeline; ``pid`` keys back to the turn).
-    """
+    Fully vectorized: candidate lists slice + explode on Arrow offsets, one
+    ``index_in`` against the broadcast catalog arrays, and the nested
+    ``predict`` column is rebuilt as list<struct> from the same offsets.
+    Gold (mention-sized) attaches via :func:`..stages.attach.attach_list_column`
+    (broadcast below the threshold, keyed blob-join above)."""
+    import pyarrow.compute as pc
     import ray
 
-    cat_df = catalog.to_pandas().set_index("entity_id")
-    desc = {
-        i: (d if d else f"{n} is an entity in this dictionary.")[:300]
-        for i, n, d in zip(cat_df.index, cat_df["name"], cat_df["description"])
-    }
-    names = dict(zip(cat_df.index, cat_df["name"]))
+    from ..stages.attach import attach_list_column
+
+    cat_df = catalog.to_pandas()
+    id_keys = pa.array(cat_df["entity_id"], pa.string())
+    name_vals = pa.array(cat_df["name"], pa.string())
+    desc_vals = pa.array(
+        [
+            (d if d else f"{n} is an entity in this dictionary.")[:300]
+            for n, d in zip(cat_df["name"], cat_df["description"])
+        ],
+        pa.string(),
+    )
     surf_df = (
         res.surface_preds.select_columns(["norm_text", "candidates", "candidate_scores"])
         .to_pandas()
         .set_index("norm_text")
     )
-    gold_lut = (
-        gold.to_pandas().set_index("mention_uid")["gold_ids"] if gold is not None else None
-    )
-    lut_ref = ray.put((names, desc, surf_df, gold_lut))
+    lut_ref = ray.put((id_keys, name_vals, desc_vals, surf_df))
+
+    mentions = res.mentions.select_columns(["mention_uid", "norm_text", "surface"])
+    if gold is not None:
+        mentions = attach_list_column(
+            mentions, gold.select(["mention_uid", "gold_ids"]), "mention_uid", "gold_ids",
+            broadcast_threshold=gold_broadcast_threshold,
+        )
 
     def build(b: pa.Table) -> pa.Table:
-        nm, dc, sd, gl = ray.get(lut_ref)
-        rows = []
-        cands = sd["candidates"].loc[b["norm_text"].to_pylist()].tolist()
-        scores = sd["candidate_scores"].loc[b["norm_text"].to_pylist()].tolist()
-        uids = b["mention_uid"].to_pylist()
-        surfaces = b["surface"].to_pylist()
-        golds = (
-            gl.reindex(uids).map(lambda v: list(v) if v is not None and not isinstance(v, float) else []).tolist()
-            if gl is not None
-            else [[] for _ in uids]
-        )
-        for uid, surface, cl, sl, gs in zip(uids, surfaces, cands, scores, golds):
-            predict = [
-                {
-                    "name": nm.get(cid, ""),
-                    "id": cid,
-                    "similarity": round(float(sc), 4),
-                    "description": dc.get(cid, ""),
-                }
-                for cid, sc in zip(list(cl)[:top_k], list(sl)[:top_k])
-            ]
-            rows.append(
-                {
-                    "pid": uid,
-                    "text": surface,
-                    "mention": surface,
-                    "gold": [f"{nm.get(g, g)}({g})" for g in gs],
-                    "predict": predict,  # nested list<struct> → native JSON on write
-                }
-            )
-        schema = pa.schema(
-            [
-                ("pid", pa.string()),
-                ("text", pa.string()),
-                ("mention", pa.string()),
-                ("gold", pa.list_(pa.string())),
-                (
-                    "predict",
-                    pa.list_(
-                        pa.struct(
-                            [
-                                ("name", pa.string()),
-                                ("id", pa.string()),
-                                ("similarity", pa.float64()),
-                                ("description", pa.string()),
-                            ]
-                        )
-                    ),
-                ),
-            ]
-        )
-        return pa.Table.from_pylist(rows, schema=schema)
+        keys, nm, dc, sd = ray.get(lut_ref)
+        texts = b["norm_text"].to_pylist()
+        cand = pc.list_slice(pa.array(sd["candidates"].loc[texts].tolist(), pa.list_(pa.string())), 0, top_k)
+        scores = pc.list_slice(pa.array(sd["candidate_scores"].loc[texts].tolist(), pa.list_(pa.float64())), 0, top_k)
+        off = np.asarray(cand.offsets, dtype=np.int32)
+        ids = cand.flatten()
+        pos = pc.index_in(ids, value_set=keys)
+        sims = pc.divide(
+            pc.cast(
+                pc.round(pc.multiply(scores.flatten(), pa.scalar(10000.0)), round_mode="half_to_even"),
+                pa.int64(),
+            ),
+            pa.scalar(10000.0),
+        )  # Python round() semantics (reference predict.py:46)
+        def _flat(a):
+            return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
 
-    return res.mentions.select_columns(["mention_uid", "norm_text", "surface"]).map_batches(
-        build, batch_format="pyarrow"
-    )
+        struct = pa.StructArray.from_arrays(
+            [
+                _flat(pc.fill_null(pc.take(nm, pos), "")),
+                _flat(pc.cast(ids, pa.string())),
+                _flat(pc.cast(sims, pa.float64())),
+                _flat(pc.fill_null(pc.take(dc, pos), "")),
+            ],
+            ["name", "id", "similarity", "description"],
+        )
+        predict_col = pa.ListArray.from_arrays(pa.array(off), struct)
+
+        if "gold_ids" in b.column_names:
+            gcol = b["gold_ids"]
+            gcol = gcol.combine_chunks() if isinstance(gcol, pa.ChunkedArray) else gcol
+            g_off = np.asarray(gcol.offsets, dtype=np.int32)
+            g_ids = pc.cast(gcol.flatten(), pa.string())
+            g_pos = pc.index_in(g_ids, value_set=keys)
+            g_names = pc.if_else(pc.is_null(g_pos), g_ids, pc.take(nm, g_pos))  # unknown id → the id itself
+            n_el = len(g_ids)
+            rendered = pc.binary_join_element_wise(
+                g_names, pa.array(["("] * n_el, pa.string()), g_ids, pa.array([")"] * n_el, pa.string()), ""
+            )
+            gold_col = pa.ListArray.from_arrays(pa.array(g_off), rendered.combine_chunks() if isinstance(rendered, pa.ChunkedArray) else rendered)
+        else:
+            gold_col = pa.array([[]] * b.num_rows, pa.list_(pa.string()))
+
+        return pa.table(
+            {
+                "pid": b["mention_uid"],
+                "text": b["surface"],
+                "mention": b["surface"],
+                "gold": gold_col,
+                "predict": predict_col,
+            }
+        )
+
+    return mentions.map_batches(build, batch_format="pyarrow")
 
 
 def write_predicts_jsonl(report: Dataset, out_dir: str) -> str:
