@@ -48,6 +48,7 @@ __all__ = [
     "save_catalog_index",
     "load_catalog_index",
     "SurfaceScorer",
+    "score_surfaces_sharded",
     "make_pair_generator",
     "PairScorer",
     "split_candidates_hard_negatives",
@@ -309,6 +310,139 @@ class SurfaceScorer:
         out = out.append_column("pred_id", pa.array(pred_id, pa.string()))
         out = out.append_column("pred_score", pa.array(pred_score))
         return out
+
+
+def score_surfaces_sharded(
+    surfaces,
+    catalog,
+    cfg: ScoringConfig = ScoringConfig(),
+    encoder: Encoder | None = None,
+):
+    """LARGE-catalog scoring: the transpose of :class:`SurfaceScorer`.
+
+    SurfaceScorer broadcasts the catalog index and streams surfaces — right
+    when the catalog fits the object store (≤ ~10⁷ entities).  Beyond that,
+    THIS path broadcasts the (contracted, small) surface matrix instead and
+    streams the CATALOG:
+
+        catalog Dataset → per-block: encode names, (surfaces × block) scores,
+        per-surface block-local top-k rows → groupby(norm_text) merge.
+
+    Per-block top-k under the same deterministic total order (score desc,
+    entity_id asc; catalog pre-sorted by id so block-local index order IS id
+    order) provably preserves the global top-k, so output candidates /
+    predictions are IDENTICAL to SurfaceScorer (parity-tested) including the
+    Jaro-Winkler rerank and NIL threshold, which run on the merged global
+    list.  Shuffle volume: surfaces × (k + extra_k) × n_blocks rows of
+    (text, id, score, name) — independent of catalog size per surface.
+
+    ``surfaces``: Dataset or pa.Table with ``norm_text``; ``catalog``:
+    Dataset or pa.Table with entity_id / name.  Returns a Dataset with the
+    SurfaceScorer output schema.
+    """
+    import ray
+    import ray.data as rd
+
+    from ..functions.text import normalize
+
+    if isinstance(surfaces, pa.Table):
+        surfaces = rd.from_arrow(surfaces)
+    if isinstance(catalog, pa.Table):
+        cat_ds = rd.from_arrow(catalog)
+    else:
+        cat_ds = catalog
+    if cfg.nil_sentinel:
+        nil_row = pa.table(
+            {"entity_id": pa.array([NIL_ID], pa.string()), "name": pa.array([cfg.nil_name], pa.string())}
+        )
+        cat_ds = cat_ds.select_columns(["entity_id", "name"]).union(rd.from_arrow(nil_row))
+    else:
+        cat_ds = cat_ds.select_columns(["entity_id", "name"])
+
+    encoder = encoder or HashNgramEncoder(dim=cfg.encoder_dim)
+    surf_tbl = surfaces.select_columns(["norm_text"]).to_pandas()
+    surf_texts = pa.array(surf_tbl["norm_text"], pa.string())
+    q_emb = encoder.encode(surf_texts)
+    surf_ref = ray.put((surf_texts, q_emb))
+    k = cfg.top_k + cfg.extra_k
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        texts, q = ray.get(surf_ref) if isinstance(surf_ref, ray.ObjectRef) else surf_ref
+        order = pc.sort_indices(batch["entity_id"])
+        batch = batch.take(order)  # local index order == id order (tie-break)
+        names = batch["name"]
+        norm = normalize(names)
+        emb = encoder.encode(norm)
+        idx, scores = _tiled_topk(q, emb, min(k, batch.num_rows), cfg.measure, cfg.catalog_tile)
+        nq, kk = idx.shape
+        flat_idx = idx.reshape(-1)
+        take = pa.array(flat_idx)
+        return pa.table(
+            {
+                "norm_text": pc.take(texts, pa.array(np.repeat(np.arange(nq, dtype=np.int64), kk))),
+                "entity_id": pc.take(batch["entity_id"], take),
+                "norm_name": pc.take(pc.cast(norm, pa.string()), take),
+                "score": pa.array(scores.reshape(-1).astype(np.float32)),
+            }
+        )
+
+    rows = cat_ds.map_batches(block_topk, batch_format="pyarrow", batch_size=cfg.catalog_tile)
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g["entity_id"].to_pylist(), dtype=object)
+        names = np.asarray(g["norm_name"].to_pylist(), dtype=object)
+        scores = np.asarray(g["score"], dtype=np.float32)
+        order = np.lexsort((ids, -scores.astype(np.float64)))[: min(k, len(ids))]
+        ids, names, scores = ids[order], names[order], scores[order]
+        text = g["norm_text"][0].as_py()
+        kk = len(ids)
+        cand_list = pa.ListArray.from_arrays(
+            pa.array([0, kk], pa.int32()), pa.array(ids, pa.string())
+        )
+        score_list = pa.ListArray.from_arrays(pa.array([0, kk], pa.int32()), pa.array(scores))
+        best_id, best_score = (ids[0], float(scores[0])) if kk else (NIL_ID, 0.0)
+
+        if cfg.rerank_jw and kk:
+            rk = min(cfg.rerank_k, kk)
+            qm, ql = pad_codes(pa.array([text], pa.string()))
+            nm, nl = pad_codes(pa.array(names[:rk], pa.string()))
+            L = max(qm.shape[1], nm.shape[1], 1)
+
+            def padto(m: np.ndarray) -> np.ndarray:
+                if m.shape[1] == L:
+                    return m
+                out = np.zeros((m.shape[0], L), np.uint8)
+                out[:, : m.shape[1]] = m
+                return out
+
+            jw = jaro_winkler_pairs(
+                padto(np.repeat(qm, rk, axis=0)), np.repeat(ql, rk), padto(nm), nl
+            )
+            w = min(cfg.jw_weight + 0.15, 1.0) if ql[0] < 8 else cfg.jw_weight
+            comb = (1.0 - w) * scores[:rk] + w * jw
+            ri = int(np.lexsort((np.arange(rk), -comb))[0])
+            pred_score = float(comb[ri])
+            chosen = ids[ri]
+        else:
+            pred_score = best_score
+            chosen = best_id
+        if cfg.nil_sentinel:
+            pred_id = chosen
+        else:
+            pred_id = chosen if pred_score >= cfg.tau_nil else NIL_ID
+        return pa.table(
+            {
+                "norm_text": pa.array([text], pa.string()),
+                "candidates": cand_list,
+                "candidate_scores": score_list,
+                "best_id": pa.array([best_id], pa.string()),
+                "best_score": pa.array([best_score], pa.float32()),
+                "pred_id": pa.array([pred_id], pa.string()),
+                "pred_score": pa.array([pred_score], pa.float32()),
+            }
+        )
+
+    return rows.groupby("norm_text").map_groups(merge_group, batch_format="pyarrow")
 
 
 def make_pair_generator(cfg: ScoringConfig, id_col: str = "node_id", text_col: str = "norm_text"):

@@ -203,3 +203,41 @@ def test_catalog_index_persistence_roundtrip(tmp_path):
     assert CountingEncoder.calls == 1
     assert len(out2.entity_ids) == 4
     assert len(load_catalog_index(path).entity_ids) == 4
+
+
+def test_sharded_catalog_scoring_matches_broadcast(synth_small):
+    """score_surfaces_sharded (catalog streams, surfaces broadcast) must be
+    output-identical to SurfaceScorer (catalog broadcast, surfaces stream) —
+    candidates, scores, predictions, including JW rerank + NIL threshold."""
+    import ray.data as rd
+
+    from mix_blink_ray.stages.mentions import extract_mentions
+    from mix_blink_ray.stages.scoring import score_surfaces_sharded
+
+    cfg = ScoringConfig()
+    mentions = extract_mentions(synth_small["transcripts"])
+    surf = pa.table({"norm_text": pa.array(sorted(set(mentions["norm_text"].to_pylist())), pa.string())})
+
+    scorer = make_scorer(synth_small["catalog"])
+    want = scorer(surf).to_pandas().sort_values("norm_text").reset_index(drop=True)
+
+    # small batch_size forces MANY catalog blocks → the merge path is real
+    cat_ds = rd.from_arrow(synth_small["catalog"]).repartition(6)
+    got = (
+        score_surfaces_sharded(rd.from_arrow(surf), cat_ds, cfg)
+        .to_pandas()
+        .sort_values("norm_text")
+        .reset_index(drop=True)
+    )
+    assert list(got["norm_text"]) == list(want["norm_text"])
+    assert list(got["pred_id"]) == list(want["pred_id"])
+    assert list(got["best_id"]) == list(want["best_id"])
+    assert [list(c) for c in got["candidates"]] == [list(c) for c in want["candidates"]]
+    import numpy as np
+
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(s) for s in got["candidate_scores"]]),
+        np.concatenate([np.asarray(s) for s in want["candidate_scores"]]),
+        rtol=0, atol=1e-6,
+    )
+    np.testing.assert_allclose(got["pred_score"], want["pred_score"], rtol=0, atol=1e-6)
