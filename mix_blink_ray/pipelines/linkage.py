@@ -297,18 +297,26 @@ def _empty_result(catalog: pa.Table) -> "LinkageResult":
     )
 
 
-def _contract_surfaces(mentions: Dataset) -> Dataset:
+def _contract_surfaces(mentions: Dataset, n_buckets: int | None = None) -> Dataset:
     """Distinct-surface contraction: map-side combine (hot repeated text
-    collapses per batch), then a groupby on a 256-way integer hash bucket —
+    collapses per batch), then a groupby on an integer hash bucket —
     shuffling/sorting int64 keys is several times faster than sorting the
-    surface strings themselves — with an exact vectorized per-bucket distinct."""
+    surface strings themselves — with an exact vectorized per-bucket distinct.
+
+    Bucket count scales with the cluster (≥ 2 per CPU, min 256) so the
+    per-bucket distinct stays a bounded-size task at any surface cardinality
+    — 256 fixed buckets would cap reduce parallelism on a big cluster."""
     from ..functions.hashing import flat_utf8, hash_strings
+
+    if n_buckets is None:
+        n_buckets = max(256, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    nb = np.uint64(n_buckets)
 
     def partial_distinct_bucket(b: pa.Table) -> pa.Table:
         g = b.group_by("norm_text").aggregate([("norm_text", "count")]).rename_columns(
             ["norm_text", "n_mentions"]
         )
-        h = (hash_strings(*flat_utf8(g["norm_text"])) % np.uint64(256)).astype(np.int64)
+        h = (hash_strings(*flat_utf8(g["norm_text"])) % nb).astype(np.int64)
         return g.append_column("bucket", pa.array(h))
 
     def bucket_distinct(g: pa.Table) -> pa.Table:

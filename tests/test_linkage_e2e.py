@@ -155,3 +155,49 @@ def test_pairwise_counts_equals_enumeration(linkage_run, synth_small):
     fast = pairwise_prf_counts(gold_sets, clusters)
     for k in ("tp", "fp", "fn", "precision", "recall", "f1"):
         assert fast[k] == slow[k], (k, fast[k], slow[k])
+
+
+def test_non_ascii_transcripts_safe():
+    """Non-ASCII turn text must flow through extract → score → cluster with
+    valid UTF-8 surfaces (byte-offset contract: mentions are ASCII
+    capitalized runs by design; multi-byte codepoints act as separators and
+    never get split mid-codepoint)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mix_blink_ray.pipelines.linkage import LinkageConfig, run_linkage
+    from mix_blink_ray.stages.mentions import extract_mentions
+
+    texts = [
+        "the café in Zürich hired Acme Corp — naïve plan",
+        "中文文本 with Globex Inc mentioned 日本語",
+        "emoji 🎉 before Initech and after 🎊 done",
+        "Ünïcödé only here, nothing else",
+    ]
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([f"c{i}" for i in range(len(texts))]),
+            "turn_idx": pa.array([0] * len(texts), pa.int32()),
+            "role": pa.array(["user"] * len(texts)),
+            "text": pa.array(texts),
+            "tool": pa.array([""] * len(texts)),
+            "ts": pa.array([0] * len(texts), pa.timestamp("us")),
+        }
+    )
+    m = extract_mentions(tbl)
+    surfaces = m["surface"].to_pylist()
+    for s in surfaces:
+        s.encode()  # valid text, never split mid-codepoint
+    assert "Acme Corp" in surfaces and "Globex Inc" in surfaces and "Initech" in surfaces
+
+    catalog = pa.table(
+        {
+            "entity_id": pa.array(["000001", "000002"]),
+            "name": pa.array(["Acme Corp", "Globex Inc"]),
+            "description": pa.array(["", ""]),
+        }
+    )
+    res = run_linkage(rd.from_arrow(tbl), catalog, LinkageConfig())
+    out = res.mentions.to_pandas()
+    assert len(out) == len(m)
+    assert out["cluster_id"].notna().all()
