@@ -20,6 +20,16 @@ import json
 import sys
 
 
+def _fresh_dir(path: str) -> str:
+    """CLI output dirs are replaced wholesale: Dataset.write_parquet APPENDS
+    part files into an existing directory, which silently duplicates rows on
+    a rerun — exactly the surprise a CLI must not have."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
 def _ray_session(num_cpus: int | None):
     import ray
 
@@ -71,9 +81,46 @@ def cmd_link(args) -> None:
 
     cfg = LinkageConfig(work_dir=args.work_dir, scoring_strategy=args.strategy)
     res = run_linkage(rd.read_parquet(args.transcripts), pq.read_table(args.catalog), cfg)
-    res.mentions.write_parquet(args.out)
+    res.mentions.write_parquet(_fresh_dir(args.out))
     n = rd.read_parquet(args.out).count()
     print(json.dumps({"mentions": n, "out": args.out}))
+    ray.shutdown()
+
+
+def cmd_ingest_jsonl(args) -> None:
+    """Reference-format JSONL dataset → flattened mention parquet
+    (read_json → flatten → resolve labels; see sources/jsonl.py)."""
+    ray = _ray_session(args.num_cpus)
+
+    from .sources.jsonl import mixblink_mentions
+
+    labels = open(args.labels).read().split() if args.labels else []
+    # Reference coupling (tests/test_dataset.py:44): remove_nil goes with a
+    # dictionary built WITHOUT the NIL row; keeping NIL adds the sentinel id.
+    if not args.remove_nil and args.nil_id:
+        labels.append(args.nil_id)
+    ds = mixblink_mentions(args.jsonl, labels, remove_nil=args.remove_nil)
+    ds.write_parquet(_fresh_dir(args.out))
+    import ray.data as rd
+
+    print(json.dumps({"mentions": rd.read_parquet(args.out).count(), "out": args.out}))
+    ray.shutdown()
+
+
+def cmd_dedup(args) -> None:
+    """Corpus dedup: kept docs + drop list with reasons (stages/dedup.py)."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .stages.dedup import DedupConfig, dedup_corpus
+
+    docs = rd.read_parquet(args.docs)
+    kept, dropped, metrics = dedup_corpus(
+        docs, DedupConfig(jaccard_threshold=args.threshold), verify_threshold=args.threshold
+    )
+    kept.write_parquet(_fresh_dir(args.out_kept))
+    dropped.write_parquet(_fresh_dir(args.out_dropped))
+    print(json.dumps({**metrics, "out_kept": args.out_kept, "out_dropped": args.out_dropped}))
     ray.shutdown()
 
 
@@ -92,7 +139,7 @@ def cmd_link_incremental(args) -> None:
     labeled, metrics = run_linkage_incremental(
         rd.read_parquet(args.transcripts), pq.read_table(args.catalog), cfg, args.state_dir
     )
-    labeled.write_parquet(args.out)
+    labeled.write_parquet(_fresh_dir(args.out))
     print(json.dumps({**metrics, "out": args.out}))
     ray.shutdown()
 
@@ -147,6 +194,23 @@ def main(argv: list[str] | None = None) -> None:
     lp.add_argument("--strategy", default="auto", choices=["auto", "contract", "stream"])
     lp.add_argument("--num-cpus", type=int, default=None)
     lp.set_defaults(fn=cmd_link)
+
+    ij = sub.add_parser("ingest-jsonl", help="reference-format JSONL dataset → mention parquet")
+    ij.add_argument("--jsonl", required=True)
+    ij.add_argument("--labels", default=None, help="file of whitespace-separated catalog ids")
+    ij.add_argument("--nil-id", default="-1")
+    ij.add_argument("--remove-nil", action="store_true")
+    ij.add_argument("--out", required=True)
+    ij.add_argument("--num-cpus", type=int, default=None)
+    ij.set_defaults(fn=cmd_ingest_jsonl)
+
+    dp = sub.add_parser("dedup", help="corpus dedup: kept docs + drop list with reasons")
+    dp.add_argument("--docs", required=True)
+    dp.add_argument("--threshold", type=float, default=0.7)
+    dp.add_argument("--out-kept", required=True)
+    dp.add_argument("--out-dropped", required=True)
+    dp.add_argument("--num-cpus", type=int, default=None)
+    dp.set_defaults(fn=cmd_dedup)
 
     li = sub.add_parser("link-incremental", help="delta-batch linkage against persisted state")
     li.add_argument("--transcripts", required=True)

@@ -162,6 +162,18 @@ def minhash_near_dup_pairs(
     from .clustering import clamped_partitions
 
     pairs = pairs.materialize()
+    if pairs.count() == 0:  # empty join side loses its schema (Ray 2.49)
+        import ray.data as rd_
+
+        return rd_.from_arrow(
+            pa.table(
+                {
+                    "a_id": pa.array([], pa.int64()),
+                    "b_id": pa.array([], pa.int64()),
+                    "est_jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
     n_parts = clamped_partitions(max(pairs.count(), 1), 8)
     a_sigs = sigs.map_batches(
         lambda b: pa.table({"a_id": b[id_col], "a_sig": b["sig"]}), batch_format="pyarrow"
@@ -294,6 +306,18 @@ def ngram_jaccard_verify(
     from .clustering import clamped_partitions
 
     pairs = pairs.materialize()
+    if pairs.count() == 0:
+        # Ray 2.49's hash join rejects an empty side (schema-less blocks);
+        # return a schema-correct empty result instead.
+        import ray.data as rd_
+
+        try:
+            sch = pairs.schema()
+            cols = {n: pa.array([], t) for n, t in zip(sch.names, sch.types)}
+        except Exception:
+            cols = {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())}
+        cols["jaccard"] = pa.array([], pa.float64())
+        return rd_.from_arrow(pa.table(cols))
     n_parts = clamped_partitions(max(pairs.count(), 1), 8)
     a_texts = docs.map_batches(
         lambda b: pa.table({"a_id": b[id_col], "a_text": b[text_col]}), batch_format="pyarrow"
