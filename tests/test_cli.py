@@ -1,0 +1,71 @@
+"""CLI smoke tests (subprocess-owned Ray sessions — the CLI's contract is
+that IT owns init/shutdown, so these never touch the test fixture's session)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args: list[str]) -> dict:
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, "-m", "mix_blink_ray.cli", *args],
+        env=env,
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=180,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+@pytest.mark.parametrize("remove_nil,want", [(True, 6), (False, 8)])
+def test_cli_ingest_jsonl_count_contract(tmp_path, remove_nil, want):
+    """The reference's 6-vs-8 mention count contract, end to end through the
+    CLI (test_dataset.py:64-67)."""
+    from mix_blink_ray.sources.jsonl import TOY_LABELS, write_toy_fixture
+
+    jsonl = write_toy_fixture(str(tmp_path / "toy.jsonl"))
+    labels = tmp_path / "labels.txt"
+    labels.write_text(" ".join(TOY_LABELS))
+    out = str(tmp_path / "mentions")
+    args = ["ingest-jsonl", "--jsonl", jsonl, "--labels", str(labels), "--out", out, "--num-cpus", "2"]
+    if remove_nil:
+        args.insert(1, "--remove-nil")
+    res = _run(args)
+    assert res["mentions"] == want
+    # rerun replaces the output dir — no silent row duplication
+    res2 = _run(args)
+    assert res2["mentions"] == want
+
+
+def test_cli_dedup(tmp_path):
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(
+                ["same text here", "same text here", "completely other words", "third unique document body"]
+            ),
+        }
+    )
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, p)
+    res = _run(
+        [
+            "dedup", "--docs", p,
+            "--out-kept", str(tmp_path / "kept"),
+            "--out-dropped", str(tmp_path / "dropped"),
+            "--num-cpus", "2",
+        ]
+    )
+    assert res["n_docs"] == 4 and res["n_exact_dropped"] == 1
+    kept = pq.read_table(str(tmp_path / "kept"))
+    assert kept.num_rows == 3
