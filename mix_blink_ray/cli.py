@@ -144,6 +144,49 @@ def cmd_link_incremental(args) -> None:
     ray.shutdown()
 
 
+def cmd_candidates(args) -> None:
+    """Reference ``get_candidate`` workflow (cli/get_candidates.py): per
+    mention, top-k candidates + gold-excluded hard negatives, written as a
+    sharded JSONL directory."""
+    import pyarrow.parquet as pq
+
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .pipelines.linkage import LinkageConfig, run_linkage
+    from .stages.attach import attach_list_column
+    from .stages.scoring import split_candidates_hard_negatives
+
+    catalog = pq.read_table(args.catalog)
+    res = run_linkage(rd.read_parquet(args.transcripts), catalog, LinkageConfig())
+
+    import pyarrow as pa
+    import ray as _r
+
+    surf_df = (
+        res.surface_preds.select_columns(["norm_text", "candidates"])
+        .to_pandas()
+        .set_index("norm_text")["candidates"]
+    )
+    surf_ref = _r.put(surf_df)
+
+    def attach_cands(b: pa.Table) -> pa.Table:
+        sd = _r.get(surf_ref) if isinstance(surf_ref, _r.ObjectRef) else surf_ref
+        cands = sd.loc[b["norm_text"].to_pylist()].tolist()
+        return b.append_column("candidates", pa.array([list(c) for c in cands], pa.list_(pa.string())))
+
+    m = res.mentions.select_columns(["mention_uid", "norm_text"])
+    joined = attach_list_column(m, args.gold, "mention_uid", "gold_ids").map_batches(
+        attach_cands, batch_format="pyarrow"
+    )
+    out_ds = joined.map_batches(
+        lambda b: split_candidates_hard_negatives(b, top_k=args.top_k), batch_format="pyarrow"
+    ).select_columns(["mention_uid", "candidates", "hard_negatives"])
+    out_ds.write_json(_fresh_dir(args.out))
+    print(json.dumps({"mentions": rd.read_json(args.out).count(), "out": args.out}))
+    ray.shutdown()
+
+
 def cmd_eval(args) -> None:
     import pyarrow.parquet as pq
 
@@ -219,6 +262,15 @@ def main(argv: list[str] | None = None) -> None:
     li.add_argument("--out", required=True)
     li.add_argument("--num-cpus", type=int, default=None)
     li.set_defaults(fn=cmd_link_incremental)
+
+    cp = sub.add_parser("candidates", help="per-mention top-k candidates + hard negatives (JSONL)")
+    cp.add_argument("--transcripts", required=True)
+    cp.add_argument("--catalog", required=True)
+    cp.add_argument("--gold", required=True)
+    cp.add_argument("--top-k", type=int, default=10)
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--num-cpus", type=int, default=None)
+    cp.set_defaults(fn=cmd_candidates)
 
     ep = sub.add_parser("eval", help="pairwise P/R/F1 vs a gold mentions table")
     ep.add_argument("--transcripts", required=True)
