@@ -109,7 +109,10 @@ class LinkageConfig:
     #   caches, ZERO mention-sized shuffles — the fast path when mentions
     #   anchor to entities only.  "contract": distinct-surface groupby before
     #   scoring — wins when distinct cardinality ≫ worker cache budget or
-    #   when mention-mention edges are on.  "auto" picks stream when legal.
+    #   when mention-mention edges are on.  "sharded_catalog": contract flow
+    #   but the catalog STREAMS in blocks while the (small) surface matrix
+    #   broadcasts — for catalogs too big to broadcast as a dense index
+    #   (≳10⁷ entities); output-identical (parity-tested).  "auto" = contract.
     scoring_strategy: str = "auto"
     # Materialize the extracted mention table in the object store (one
     # barrier) vs re-executing extract per consumer.  MEASURED at 64M turns /
@@ -505,10 +508,19 @@ def run_linkage(
 
     surfaces = _contract_surfaces(mentions)
 
-    # ── stage 2a: surface → catalog top-k on a broadcast index ───────────────
-    index = build_catalog_index(catalog, encoder, cfg.scoring, cache_path=cfg.catalog_index_path)
-    catalog_ref = ray.put(index)
-    if cfg.use_scorer_actors:
+    # ── stage 2a: surface → catalog top-k ────────────────────────────────────
+    if strategy == "sharded_catalog":
+        # Catalogs too big to broadcast: surfaces broadcast, catalog streams
+        # (output-identical to the broadcast scorer — see
+        # stages.scoring.score_surfaces_sharded).
+        from ..stages.scoring import score_surfaces_sharded
+
+        surface_preds = score_surfaces_sharded(
+            surfaces.materialize(), catalog, cfg.scoring, encoder
+        ).materialize()
+    elif cfg.use_scorer_actors:
+        index = build_catalog_index(catalog, encoder, cfg.scoring, cache_path=cfg.catalog_index_path)
+        catalog_ref = ray.put(index)
         surface_preds = surfaces.map_batches(
             SurfaceScorer,
             fn_constructor_kwargs={"catalog_ref": catalog_ref, "cfg": cfg.scoring, "encoder": encoder},
@@ -517,6 +529,8 @@ def run_linkage(
             batch_size=cfg.scorer_batch_size,
         ).materialize()
     else:
+        index = build_catalog_index(catalog, encoder, cfg.scoring, cache_path=cfg.catalog_index_path)
+        catalog_ref = ray.put(index)
         scorer_key = f"{catalog_ref.hex()}:{cfg.scoring!r}"
         sc_cfg = cfg.scoring
 

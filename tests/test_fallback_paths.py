@@ -158,3 +158,18 @@ def test_q3_join_fallback_equals_broadcast(monkeypatch):
     monkeypatch.setattr(qmod, "_SEMI_BROADCAST_LIMIT", 0)
     b = qmod.q3_top_orders(sf).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_sharded_catalog_strategy_equals_default(synth_small):
+    """scoring_strategy='sharded_catalog' (catalog streams, surfaces
+    broadcast) must produce the same mention output as the default."""
+    tr = rd.from_arrow(synth_small["transcripts"])
+    a = run_linkage(tr, synth_small["catalog"], LinkageConfig()).mentions.to_pandas()
+    b = run_linkage(
+        tr, synth_small["catalog"], LinkageConfig(scoring_strategy="sharded_catalog")
+    ).mentions.to_pandas()
+    cols = ["mention_uid", "pred_id", "best_id", "cluster_id"]
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values("mention_uid").reset_index(drop=True),
+        b[cols].sort_values("mention_uid").reset_index(drop=True),
+    )
