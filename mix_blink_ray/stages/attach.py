@@ -13,7 +13,6 @@ get an empty list.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset

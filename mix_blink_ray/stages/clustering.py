@@ -22,7 +22,6 @@ component), which the parity tests assert.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset, from_arrow

@@ -23,7 +23,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import hash_strings
 
 __all__ = [
     "MEDIA_SCHEMA",
