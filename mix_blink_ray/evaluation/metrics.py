@@ -230,7 +230,10 @@ def pairwise_prf_distributed(mentions, gold, num_partitions: int = 8) -> dict[st
     gk = gold.map_batches(gold_key_batch, batch_format="pyarrow")
     m = mentions.select_columns(["mention_uid", "pred_id", "cluster_id"])
     n_parts = clamped_partitions(max(gk.count(), 1), num_partitions)
-    joined = gk.join(m, join_type="inner", num_partitions=n_parts, on=("mention_uid",))
+    # LEFT join from gold: a gold mention absent from the linkage output must
+    # still count in the gold-pairs denominator (as an unclustered singleton)
+    # — an inner join would silently inflate recall.
+    joined = gk.join(m, join_type="left_outer", num_partitions=n_parts, on=("mention_uid",))
 
     def eff_cluster(b: pa.Table) -> pa.Table:
         # A mention participates in predicted pairs iff its prediction is a

@@ -351,13 +351,23 @@ def score_surfaces_sharded(
         cat_ds = rd.from_arrow(catalog)
     else:
         cat_ds = catalog
+    cat_ds = cat_ds.select_columns(["entity_id", "name"])
     if cfg.nil_sentinel:
-        nil_row = pa.table(
-            {"entity_id": pa.array([NIL_ID], pa.string()), "name": pa.array([cfg.nil_name], pa.string())}
+        # Append the sentinel only if absent (mirrors build_catalog_index);
+        # the membership probe streams — no full catalog materialization.
+        has_nil = (
+            cat_ds.map_batches(
+                lambda b: b.filter(pc.equal(b["entity_id"], NIL_ID)), batch_format="pyarrow"
+            )
+            .limit(1)
+            .count()
+            > 0
         )
-        cat_ds = cat_ds.select_columns(["entity_id", "name"]).union(rd.from_arrow(nil_row))
-    else:
-        cat_ds = cat_ds.select_columns(["entity_id", "name"])
+        if not has_nil:
+            nil_row = pa.table(
+                {"entity_id": pa.array([NIL_ID], pa.string()), "name": pa.array([cfg.nil_name], pa.string())}
+            )
+            cat_ds = cat_ds.union(rd.from_arrow(nil_row))
 
     encoder = encoder or HashNgramEncoder(dim=cfg.encoder_dim)
     surf_tbl = surfaces.select_columns(["norm_text"]).to_pandas()

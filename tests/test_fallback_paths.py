@@ -173,3 +173,38 @@ def test_sharded_catalog_strategy_equals_default(synth_small):
         a[cols].sort_values("mention_uid").reset_index(drop=True),
         b[cols].sort_values("mention_uid").reset_index(drop=True),
     )
+
+
+def test_pairwise_prf_counts_gold_rows_missing_from_mentions():
+    """A gold mention absent from the linkage output must count in the
+    gold-pairs denominator as an unclustered singleton (left-join semantics),
+    matching the local count-based math."""
+    from mix_blink_ray.evaluation.metrics import (
+        pairwise_prf_counts,
+        pairwise_prf_distributed,
+    )
+
+    mentions = rd.from_arrow(
+        pa.table(
+            {
+                "mention_uid": pa.array(["m1", "m2"]),
+                "pred_id": pa.array(["E1", "E1"]),
+                "cluster_id": pa.array(["e:E1", "e:E1"]),
+            }
+        )
+    )
+    gold = rd.from_arrow(
+        pa.table(
+            {
+                "mention_uid": pa.array(["m1", "m2", "m3"]),  # m3 missing from mentions
+                "gold_ids": pa.array([["E1"], ["E1"], ["E1"]], pa.list_(pa.string())),
+            }
+        )
+    )
+    dist = pairwise_prf_distributed(mentions, gold)
+    local = pairwise_prf_counts(
+        [frozenset({"E1"})] * 3, ["e:E1", "e:E1", None]  # m3 unclustered
+    )
+    for k in ("precision", "recall", "f1", "tp", "fp", "fn"):
+        assert dist[k] == local[k], (k, dist[k], local[k])
+    assert dist["fn"] == 2  # pairs (m1,m3), (m2,m3) missed
