@@ -810,17 +810,36 @@ def run_linkage_incremental(
     pred_cols = ["norm_text", "pred_id", "best_id", "best_score"]
     if have_prev:
         prev = ray.data.read_parquet(prev_path)
-        known_idx = pd.Index(prev.select_columns(["norm_text"]).to_pandas()["norm_text"].to_numpy())
-        known_ref = ray.put(known_idx)
+        n_prev = prev.count()
+        if n_prev <= cfg.broadcast_threshold:
+            known_idx = pd.Index(prev.select_columns(["norm_text"]).to_pandas()["norm_text"].to_numpy())
+            known_ref = ray.put(known_idx)
 
-        def only_novel(b: pa.Table) -> pa.Table:
-            idx = ray.get(known_ref) if isinstance(known_ref, ray.ObjectRef) else known_ref
-            col = b["norm_text"]
-            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            pos = idx.get_indexer(col.to_numpy(zero_copy_only=False))
-            return b.filter(pa.array(pos < 0))
+            def only_novel(b: pa.Table) -> pa.Table:
+                idx = ray.get(known_ref) if isinstance(known_ref, ray.ObjectRef) else known_ref
+                col = b["norm_text"]
+                col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                pos = idx.get_indexer(col.to_numpy(zero_copy_only=False))
+                return b.filter(pa.array(pos < 0))
 
-        novel = surfaces.map_batches(only_novel, batch_format="pyarrow")
+            novel = surfaces.map_batches(only_novel, batch_format="pyarrow")
+        else:
+            # keyed anti-join: surfaces ⟕ known-marker, keep unmatched
+            from ..stages.clustering import clamped_partitions
+
+            marks = prev.map_batches(
+                lambda b: pa.table(
+                    {"known_text": b["norm_text"], "is_known": pa.array([True] * b.num_rows)}
+                ),
+                batch_format="pyarrow",
+            )
+            kp = clamped_partitions(n_prev, max(8, int(ray.cluster_resources().get("CPU", 8))))
+            novel = surfaces.join(
+                marks, join_type="left_outer", num_partitions=kp, on=("norm_text",), right_on=("known_text",)
+            ).map_batches(
+                lambda b: b.filter(pc.is_null(b["is_known"])).drop_columns(["is_known"]),
+                batch_format="pyarrow",
+            )
     else:
         prev = None
         novel = surfaces

@@ -129,11 +129,18 @@ def kmeans_centroids(
     Deterministic: init = unit vectors of the ``n_clusters`` smallest ids;
     empty clusters keep their previous centroid."""
     k = cfg.n_clusters
+
+    # Init = the k smallest-id vectors, found via per-batch partial min-k +
+    # a tiny driver merge — no corpus-wide sort.
+    def partial_min_k(b: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(b[id_col])
+        return b.select([id_col, vec_col]).take(order.slice(0, k))
+
     init = (
-        embeddings.select_columns([id_col, vec_col])
-        .sort(id_col)
-        .limit(k)
+        embeddings.map_batches(partial_min_k, batch_format="pyarrow")
         .to_pandas()
+        .sort_values(id_col, kind="stable")
+        .head(k)
     )
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in init[vec_col]])
     norms = np.linalg.norm(mat, axis=1, keepdims=True)

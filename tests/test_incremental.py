@@ -66,3 +66,19 @@ def test_incremental_state_resumable_layout(synth_small, tmp_path):
     _, s_again = run_linkage_incremental(rd.from_arrow(t1), synth_small["catalog"], cfg, state)
     assert s_again["n_novel"] == 0
     assert s_again["n_known"] == s1["n_surfaces"]
+
+
+def test_incremental_antijoin_membership_equals_broadcast(synth_small, tmp_path):
+    """broadcast_threshold=0 forces the keyed anti-join membership check; the
+    second-batch output and novel counts must match the broadcast path."""
+    t1, t2 = _halves(synth_small["transcripts"])
+    s_a = str(tmp_path / "a")
+    s_b = str(tmp_path / "b")
+    cfg_b = LinkageConfig()
+    cfg_j = LinkageConfig(broadcast_threshold=0)
+    run_linkage_incremental(rd.from_arrow(t1), synth_small["catalog"], cfg_b, s_a)
+    run_linkage_incremental(rd.from_arrow(t1), synth_small["catalog"], cfg_b, s_b)
+    m_a, st_a = run_linkage_incremental(rd.from_arrow(t2), synth_small["catalog"], cfg_b, s_a)
+    m_b, st_b = run_linkage_incremental(rd.from_arrow(t2), synth_small["catalog"], cfg_j, s_b)
+    assert st_a["n_novel"] == st_b["n_novel"] and st_a["n_known"] == st_b["n_known"]
+    pd.testing.assert_frame_equal(_sorted(m_a.to_pandas()), _sorted(m_b.to_pandas()))
