@@ -271,6 +271,17 @@ def simhash_near_dup_pairs(
             return empty
         ids = np.asarray(group[id_col], dtype=np.int64)
         f = np.asarray(group["simhash"], dtype=np.int64).view(np.uint64)
+        # Hot-chunk cap (same rule as MinHash bands): a 16-bit chunk value
+        # shared by k docs is O(k²); beyond the cap keep the deterministic
+        # lowest ids and COUNT the dropped pairs (other chunks recover most).
+        if n > cfg.hot_band_cap:
+            from ..state.counters import incr
+
+            c = cfg.hot_band_cap
+            incr("simhash_hot_chunk_truncated_pairs", n * (n - 1) // 2 - c * (c - 1) // 2)
+            keep_idx = np.argsort(ids, kind="stable")[:c]
+            ids, f = ids[keep_idx], f[keep_idx]
+            n = c
         iu, ju = np.triu_indices(n, k=1)
         x = f[iu] ^ f[ju]
         ham = np.zeros(len(x), dtype=np.int64)

@@ -175,3 +175,15 @@ def test_dedup_corpus_end_to_end():
     assert by_id.loc[2, "reason"] == "near_dup_of" and by_id.loc[2, "dropped_for"] == 0
     assert by_id.loc[3, "reason"] == "near_dup_of" and by_id.loc[3, "dropped_for"] == 0
     assert metrics == {"n_docs": 6, "n_exact_dropped": 1, "n_near_dropped": 2}
+
+
+def test_simhash_hot_chunk_cap_counted():
+    from mix_blink_ray.state.counters import read_counters, reset_counters
+
+    reset_counters()
+    texts = ["identical duplicated content for the cap test"] * 12
+    tbl = pa.table({"doc_id": pa.array(range(12), pa.int64()), "text": pa.array(texts)})
+    pairs = simhash_near_dup_pairs(tbl_ds := rd.from_arrow(tbl), DedupConfig(hot_band_cap=8)).to_pandas()
+    counts = read_counters()
+    assert counts.get("simhash_hot_chunk_truncated_pairs", 0) >= 38  # C(12,2)-C(8,2) per chunk
+    assert len(pairs) <= 8 * 7 // 2
