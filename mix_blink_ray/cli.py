@@ -143,6 +143,31 @@ def cmd_link_incremental(args) -> None:
     ray.shutdown()
 
 
+def cmd_build_index(args) -> None:
+    """Reference ``build_index`` console script analog: entity dictionary →
+    persisted catalog-embedding artifact (one parquet table; see
+    stages/scoring.py save_catalog_index).  Accepts the engine's catalog
+    parquet or the reference's dictionary JSONL ({id, name, description})."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .stages.scoring import ScoringConfig, build_catalog_index
+
+    if args.catalog.endswith((".jsonl", ".json")):
+        from pyarrow import json as pa_json
+
+        tbl = pa_json.read_json(args.catalog)
+        names = {"id": "entity_id"}
+        tbl = tbl.rename_columns([names.get(c, c) for c in tbl.column_names])
+        if "description" not in tbl.column_names:
+            tbl = tbl.append_column("description", pa.nulls(tbl.num_rows, pa.string()))
+    else:
+        tbl = pq.read_table(args.catalog)
+    cfg = ScoringConfig(measure=args.measure, nil_sentinel=args.nil)
+    index = build_catalog_index(tbl, cfg=cfg, cache_path=args.out)
+    print(json.dumps({"entities": len(index.entity_ids), "dim": int(index.emb.shape[1]), "out": args.out}))
+
+
 def cmd_candidates(args) -> None:
     """Reference ``get_candidate`` workflow (cli/get_candidates.py): per
     mention, top-k candidates + gold-excluded hard negatives, written as a
@@ -261,6 +286,13 @@ def main(argv: list[str] | None = None) -> None:
     li.add_argument("--out", required=True)
     li.add_argument("--num-cpus", type=int, default=None)
     li.set_defaults(fn=cmd_link_incremental)
+
+    bi = sub.add_parser("build-index", help="entity dictionary → persisted embedding index parquet")
+    bi.add_argument("--catalog", required=True, help="catalog parquet or dictionary JSONL")
+    bi.add_argument("--measure", default="ip", choices=["ip", "cos", "l2"])
+    bi.add_argument("--nil", action="store_true", help="append the [NIL] sentinel row")
+    bi.add_argument("--out", required=True)
+    bi.set_defaults(fn=cmd_build_index)
 
     cp = sub.add_parser("candidates", help="per-mention top-k candidates + hard negatives (JSONL)")
     cp.add_argument("--transcripts", required=True)
