@@ -491,11 +491,17 @@ def run_linkage(
             return ray.data.read_parquet(path)
         return ds.materialize()
 
+    import time as _time
+
     # ── stage 0: mentions (flat-map) + distinct-surface contraction ──────────
+    _t0 = _time.time()
     mentions_lazy = transcripts.map_batches(extract_mentions, batch_format="pyarrow")
     if cfg.work_dir or cfg.materialize_mentions:
         mentions = persist(mentions_lazy, "mentions")
-        if mentions.count() == 0:
+        metrics["sec_extract"] = round(_time.time() - _t0, 3)
+        n_mentions = mentions.count()
+        metrics["n_mentions"] = n_mentions
+        if n_mentions == 0:
             return _empty_result(catalog)
     else:
         # Lazy: each consumer re-runs the cheap extract flat-map instead of
@@ -509,6 +515,7 @@ def run_linkage(
     surfaces = _contract_surfaces(mentions)
 
     # ── stage 2a: surface → catalog top-k ────────────────────────────────────
+    _t0 = _time.time()
     if strategy == "sharded_catalog":
         # Catalogs too big to broadcast: surfaces broadcast, catalog streams
         # (output-identical to the broadcast scorer — see
@@ -543,9 +550,13 @@ def run_linkage(
         surface_preds = surfaces.map_batches(
             scorer_fn, batch_format="pyarrow", batch_size=cfg.scorer_batch_size
         ).materialize()  # small: one row per DISTINCT surface; reused below
+    metrics["sec_contract_score"] = round(_time.time() - _t0, 3)
 
     # ── entity graph (independent of mentions — catalog-sized) ───────────────
+    _t0 = _time.time()
+    metrics["n_entities"] = catalog.num_rows
     ee_edges = entity_dup_edges(catalog, cfg).materialize()  # tiny: catalog dups
+    metrics["n_entity_edges"] = ee_edges.count()
     e_nodes = ray.data.from_arrow(
         pa.table(
             {
@@ -572,6 +583,7 @@ def run_linkage(
         ).materialize()
         cdf = clusters.to_pandas()
         label_lut = dict(zip(cdf["node"], cdf["label"]))
+        metrics["sec_entity_graph"] = round(_time.time() - _t0, 3)
 
     # ── join predictions back to mentions (keyed, order-free) ────────────────
     # The contracted surface table is usually ≪ mentions: broadcast it and do
@@ -580,6 +592,7 @@ def run_linkage(
     from ..stages.clustering import clamped_partitions
 
     n_surfaces = surface_preds.count()
+    metrics["n_surfaces"] = n_surfaces
     n_parts = clamped_partitions(
         n_surfaces, max(cfg.join_partitions, int(ray.cluster_resources().get("CPU", 8)))
     )
