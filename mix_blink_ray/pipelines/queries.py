@@ -301,7 +301,70 @@ def customer_segments(sf_dir: str):
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def parts_by_brand(sf_dir: str):
+    """Grouped aggregate over the part table (retail-price stats per brand,
+    integer-cents exact)."""
+    ds = _t(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"])
+    out = (
+        ds.map_batches(
+            lambda b: pa.table(
+                {"p_brand": b["p_brand"], "p_size": b["p_size"], "price_c": _cents(b["p_retailprice"])}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("p_brand")
+        .aggregate(
+            Count(alias_name="n_parts"),
+            Sum("price_c", alias_name="price_c"),
+            Max("p_size", alias_name="max_size"),
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "p_brand": b["p_brand"],
+                    "n_parts": b["n_parts"],
+                    "total_retail": pc.divide(pc.cast(b["price_c"], pa.float64()), pa.scalar(100.0)),
+                    "max_size": b["max_size"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def region_nation_counts(sf_dir: str):
+    """region ⋈ nation ⋈ supplier chained dimension joins → suppliers per
+    region (two small-side joins)."""
+    region = _t(sf_dir, "region", ["r_regionkey", "r_name"])
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    j1 = supp.join(nation, join_type="inner", num_partitions=2, on=("s_nationkey",), right_on=("n_nationkey",))
+    j2 = j1.join(region, join_type="inner", num_partitions=2, on=("n_regionkey",), right_on=("r_regionkey",))
+    out = j2.groupby("r_name").aggregate(Count(alias_name="n_suppliers"))
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 # ── events: stream-shaped table (windowed aggregate, union, filters) ────────
+
+
+def events_props_k_stats(sf_dir: str):
+    """JSON scalar extraction (§2.8): pull the integer ``k`` out of the
+    ``props`` JSON string column — RE2 ``extract_regex`` on the Arrow side,
+    so both engines parse the same pattern — then aggregate per type."""
+    ds = _t(sf_dir, "events", ["event_type", "props"])
+
+    def extract_k(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": b["event_type"], "k": k}).filter(pc.is_valid(k))
+
+    out = (
+        ds.map_batches(extract_k, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"), Max("k", alias_name="max_k"))
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
 def events_by_type(sf_dir: str):
@@ -705,6 +768,9 @@ QUERIES = {
     "orders_top10_value": orders_top10_value,
     "supplier_nation_counts": supplier_nation_counts,
     "customer_segments": customer_segments,
+    "parts_by_brand": parts_by_brand,
+    "region_nation_counts": region_nation_counts,
+    "events_props_k_stats": events_props_k_stats,
     "events_by_type": events_by_type,
     "events_hourly_window": events_hourly_window,
     "events_union_extremes": events_union_extremes,
@@ -784,6 +850,27 @@ ORACLE_SQL = {
         SELECT c_mktsegment, count(*) AS n,
                CAST(round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / (count(*) * 100.0) * 10000) AS BIGINT) / 10000.0 AS avg_acctbal
         FROM customer GROUP BY c_mktsegment
+    """,
+    "parts_by_brand": """
+        SELECT p_brand, count(*) AS n_parts,
+               sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0 AS total_retail,
+               max(p_size) AS max_size
+        FROM part GROUP BY p_brand
+    """,
+    "region_nation_counts": """
+        SELECT r_name, count(*) AS n_suppliers
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "events_props_k_stats": """
+        SELECT event_type, count(*) AS n,
+               sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+               max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        FROM events
+        WHERE json_extract(props, '$.k') IS NOT NULL
+        GROUP BY event_type
     """,
     "events_by_type": """
         SELECT event_type, count(*) AS n, CAST(round(sum(value) * 100) AS BIGINT) / 100.0 AS total_value,
