@@ -94,26 +94,43 @@ def propagate_labels(
             .materialize()
         )
         # pointer jump: node's label ← label(label) — halves the remaining
-        # pointer-chain depth every round.
-        jump_msgs = hop.join(
-            hop.map_batches(
-                lambda b: pa.table({"jnode": b["node"], "jlabel": b["label"]}),
+        # pointer-chain depth every round.  The self-join keys on `label`,
+        # whose value distribution DEGENERATES as components converge (late
+        # rounds: most rows share one label) — a hash partition can then
+        # receive rows of only one side, which Ray 2.49 rejects
+        # (ArrowInvalid, the empty-block schema loss).  The jump is a pure
+        # accelerator — the fixpoint is identical without it — so on that
+        # failure retry single-partition, then fall back to skipping the
+        # jump for this round.
+        def _jump(parts: int):
+            return hop.join(
+                hop.map_batches(
+                    lambda b: pa.table({"jnode": b["node"], "jlabel": b["label"]}),
+                    batch_format="pyarrow",
+                ),
+                join_type="inner",
+                num_partitions=parts,
+                on=("label",),
+                right_on=("jnode",),
+            ).map_batches(
+                lambda b: pa.table({"node": b["node"], "label": b["jlabel"]}),
                 batch_format="pyarrow",
-            ),
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("label",),
-            right_on=("jnode",),
-        ).map_batches(
-            lambda b: pa.table({"node": b["node"], "label": b["jlabel"]}),
-            batch_format="pyarrow",
-        )
-        new_labels = (
-            hop.union(jump_msgs)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
-        )
+            )
+
+        new_labels = None
+        for parts in (num_partitions, 1):
+            try:
+                new_labels = (
+                    hop.union(_jump(parts))
+                    .groupby("node")
+                    .aggregate(Min("label", alias_name="label"))
+                    .materialize()
+                )
+                break
+            except Exception:
+                continue
+        if new_labels is None:  # jump skipped entirely this round
+            new_labels = hop
         # changed count: nodes whose label shrank this round.
         changed = (
             new_labels.join(
