@@ -866,7 +866,7 @@ ORACLE_SQL = {
     """,
     "events_props_k_stats": """
         SELECT event_type, count(*) AS n,
-               sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         FROM events
         WHERE json_extract(props, '$.k') IS NOT NULL
@@ -912,8 +912,8 @@ ORACLE_SQL = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         ), s AS (
             SELECT user_id, ts,
-                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+                   CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
             FROM g
         )
         SELECT user_id, session_idx, count(*) AS n_events,

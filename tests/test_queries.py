@@ -64,6 +64,20 @@ def test_rows_only_queries_run(name):
     assert len(df.columns) > 0
 
 
+@pytest.mark.parametrize("name", SQL_ORACLED)
+def test_oracle_output_types_not_hugeint(name, con):
+    """Driver value-hash compares dtypes: DuckDB silently widens bare integer
+    sum() to HUGEINT (int128), which pandas renders as object/float and the
+    hash diverges even when values are identical (round-2 VERDICT items 1-2).
+    Every oracle must emit only hashable-width types."""
+    rel = con.sql(entrymod.oracle_sql()[name])
+    bad = [
+        (c, str(t)) for c, t in zip(rel.columns, rel.types)
+        if str(t).upper() in ("HUGEINT", "UHUGEINT")
+    ]
+    assert not bad, f"oracle {name} emits int128 columns {bad}: wrap in CAST(... AS BIGINT)"
+
+
 def test_every_oracle_has_query():
     qs, sqls = set(entrymod.queries()), set(entrymod.oracle_sql())
     assert sqls <= qs
