@@ -17,7 +17,26 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-__all__ = ["AnnConfig", "knn_bruteforce", "knn_lsh", "knn_ivf", "kmeans_centroids", "vectors_from_batch"]
+__all__ = [
+    "AnnConfig",
+    "knn_bruteforce",
+    "knn_lsh",
+    "knn_ivf",
+    "kmeans_centroids",
+    "vectors_from_batch",
+    "l2_normalize_rows",
+]
+
+
+def l2_normalize_rows(mat: np.ndarray) -> np.ndarray:
+    """Row-wise L2 unit vectors; zero-norm rows become zero vectors.
+
+    ``np.divide(..., where=...)`` WITHOUT ``out=`` leaves unmasked entries
+    uninitialized (garbage unit vectors → nondeterministic cosines); always
+    pair ``where=`` with a zeroed output buffer (matches
+    ``functions/similarity.py`` / ``functions/encoder.py``)."""
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    return np.divide(mat, norms, out=np.zeros_like(mat), where=norms > 0)
 
 
 @dataclass(frozen=True)
@@ -55,14 +74,11 @@ class _PartialTopK:
     def __init__(self, queries_ref, k: int):
         self.k = k
         q_ids, q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
-        norms = np.linalg.norm(q, axis=1, keepdims=True)
-        self.q_unit = np.divide(q, norms, where=norms > 0)
+        self.q_unit = l2_normalize_rows(q)
         self.q_ids = q_ids
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = vectors_from_batch(batch["embedding"])
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        unit = np.divide(vecs, norms, where=norms > 0)
+        unit = l2_normalize_rows(vectors_from_batch(batch["embedding"]))
         sims = self.q_unit @ unit.T  # (Q, n)
         k = min(self.k, sims.shape[1])
         ids = np.asarray(batch["vec_id"], dtype=np.int64)
@@ -143,8 +159,7 @@ def kmeans_centroids(
         .head(k)
     )
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in init[vec_col]])
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    centroids = np.divide(mat, norms, where=norms > 0)
+    centroids = l2_normalize_rows(mat)
     dim = centroids.shape[1]
 
     for _ in range(cfg.kmeans_iters):
@@ -152,9 +167,7 @@ def kmeans_centroids(
 
         def partial_sums(batch: pa.Table) -> pa.Table:
             cents = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
-            vecs = vectors_from_batch(batch[vec_col])
-            n_ = np.linalg.norm(vecs, axis=1, keepdims=True)
-            unit = np.divide(vecs, n_, where=n_ > 0)
+            unit = l2_normalize_rows(vectors_from_batch(batch[vec_col]))
             assign = np.argmax(unit @ cents.T, axis=1)
             sums = np.zeros((len(cents), dim), dtype=np.float64)
             np.add.at(sums, assign, unit)
@@ -176,8 +189,7 @@ def kmeans_centroids(
         nonempty = counts > 0
         new = centroids.copy()
         new[nonempty] = sums[nonempty] / counts[nonempty, None]
-        nn = np.linalg.norm(new, axis=1, keepdims=True)
-        centroids = np.divide(new, nn, where=nn > 0)
+        centroids = l2_normalize_rows(new)
     return centroids
 
 
@@ -200,8 +212,7 @@ def knn_ivf(embeddings: Dataset, query_ids: list[int], cfg: AnnConfig = AnnConfi
     ).select_columns(["vec_id", "embedding"]).to_pandas()
     q_ids = q_tbl["vec_id"].to_numpy()
     q = np.stack([np.asarray(v, dtype=np.float64) for v in q_tbl["embedding"]])
-    qn = np.linalg.norm(q, axis=1, keepdims=True)
-    q_unit = np.divide(q, qn, where=qn > 0)
+    q_unit = l2_normalize_rows(q)
 
     n_probes = min(cfg.n_probes, len(centroids))
     c_sims = q_unit @ centroids.T                      # (Q, k_cl)
@@ -212,9 +223,7 @@ def knn_ivf(embeddings: Dataset, query_ids: list[int], cfg: AnnConfig = AnnConfi
 
     def scan(batch: pa.Table) -> pa.Table:
         ids_, qu, cents, pmask = ray.get(state_ref)
-        vecs = vectors_from_batch(batch["embedding"])
-        n_ = np.linalg.norm(vecs, axis=1, keepdims=True)
-        unit = np.divide(vecs, n_, where=n_ > 0)
+        unit = l2_normalize_rows(vectors_from_batch(batch["embedding"]))
         assign = np.argmax(unit @ cents.T, axis=1)     # candidate → cluster
         any_probed = pmask[:, assign].any(axis=0)      # probed by ANY query
         if not any_probed.any():
@@ -267,8 +276,7 @@ def knn_lsh(embeddings: Dataset, query_ids: list[int], cfg: AnnConfig = AnnConfi
     ).select_columns(["vec_id", "embedding"]).to_pandas()
     q_ids = q_tbl["vec_id"].to_numpy()
     q = np.stack([np.asarray(v, dtype=np.float64) for v in q_tbl["embedding"]])
-    qn = np.linalg.norm(q, axis=1, keepdims=True)
-    q_unit = np.divide(q, qn, where=qn > 0)
+    q_unit = l2_normalize_rows(q)
 
     rng = np.random.RandomState(cfg.seed)
     # dimension discovered from the first query vector
@@ -289,9 +297,7 @@ def knn_lsh(embeddings: Dataset, query_ids: list[int], cfg: AnnConfig = AnnConfi
 
     def scan(batch: pa.Table) -> pa.Table:
         ids_, qu, probes = ray.get(probe_arr)
-        vecs = vectors_from_batch(batch["embedding"])
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        unit = np.divide(vecs, norms, where=norms > 0)
+        unit = l2_normalize_rows(vectors_from_batch(batch["embedding"]))
         keys = bucket_keys(unit)
         mask = np.zeros(len(keys), dtype=bool)
         for t in range(cfg.n_tables):

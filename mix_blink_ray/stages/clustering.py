@@ -40,6 +40,28 @@ def clamped_partitions(count: int, requested: int, min_rows_per_part: int = 8) -
     return max(1, min(requested, count // min_rows_per_part + 1))
 
 
+def _is_empty_partition_join_error(e: BaseException) -> bool:
+    """True iff the exception (or its Ray-wrapped cause chain) is the Ray 2.49
+    empty-hash-partition join failure: an empty block loses its schema and the
+    acero join raises ``pa.ArrowInvalid`` ("No match for FieldRef...")."""
+    seen: BaseException | None = e
+    for _ in range(8):  # cause chains are short; avoid cycles
+        if seen is None:
+            return False
+        if isinstance(seen, pa.ArrowInvalid):
+            return True
+        cause = getattr(seen, "cause", None)  # ray.exceptions.RayTaskError
+        if isinstance(cause, BaseException):
+            seen = cause
+            continue
+        # RayTaskError raised cross-process reconstructs the original type as
+        # a dynamic subclass ("RayTaskError(ArrowInvalid)") — match by name.
+        if "ArrowInvalid" in type(seen).__name__:
+            return True
+        seen = seen.__cause__
+    return False
+
+
 def _symmetrize(edges: Dataset) -> Dataset:
     """(src, dst) → both directions, so one groupby(dst) propagates everywhere."""
 
@@ -127,9 +149,22 @@ def propagate_labels(
                     .materialize()
                 )
                 break
-            except Exception:
+            except Exception as e:  # noqa: BLE001 — filtered just below
+                # Only the known Ray 2.49 degenerate-key failure is retryable
+                # (empty hash-partition loses its schema → ArrowInvalid /
+                # "No match ... FieldRef").  Everything else — OOM, lost
+                # workers, schema bugs — must surface, not silently degrade.
+                if not _is_empty_partition_join_error(e):
+                    raise
                 continue
         if new_labels is None:  # jump skipped entirely this round
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "propagate_labels: pointer jump skipped in round %d "
+                "(degenerate label distribution at both partition counts); "
+                "falling back to plain hop for this round", round_idx
+            )
             new_labels = hop
         # changed count: nodes whose label shrank this round.
         changed = (

@@ -549,7 +549,7 @@ def similarity_join_exact(
     ids_all = np.asarray(full[id_col], dtype=np.int64)
     v = vectors_from_batch(full[vec_col]).astype(np.float64)
     norms = np.linalg.norm(v, axis=1)
-    unit_all = np.divide(v, norms[:, None], where=norms[:, None] > 0)
+    unit_all = np.divide(v, norms[:, None], out=np.zeros_like(v), where=norms[:, None] > 0)
     mat_ref = ray.put((ids_all, unit_all))
 
     def pairs(batch: pa.Table) -> pa.Table:
@@ -557,7 +557,7 @@ def similarity_join_exact(
         ids_b = np.asarray(batch[id_col], dtype=np.int64)
         vb = vectors_from_batch(batch[vec_col]).astype(np.float64)
         nb = np.linalg.norm(vb, axis=1)
-        ub = np.divide(vb, nb[:, None], where=nb[:, None] > 0)
+        ub = np.divide(vb, nb[:, None], out=np.zeros_like(vb), where=nb[:, None] > 0)
         cos = ub @ unit_c.T
         bi, ci = np.nonzero((cos >= threshold) & (ids_b[:, None] < ids_c[None, :]))
         return pa.table(
@@ -590,7 +590,7 @@ def embedding_near_dup_pairs(
         for j in range(n_planes):
             key |= signs[:, j].astype(np.int64) << j
         norm = np.linalg.norm(vecs, axis=1, keepdims=True)
-        unit = np.divide(vecs, norm, where=norm > 0)
+        unit = np.divide(vecs, norm, out=np.zeros_like(vecs), where=norm > 0)
         return pa.table(
             {
                 "bucket": pa.array(key),

@@ -190,7 +190,11 @@ class VideoFrameSampler:
         )
         plen = (offsets[1:] - offsets[:-1]).astype(np.int64)
         step = np.maximum(plen // np.maximum(n_frames, 1), 1)
-        starts = offsets[:-1][row] + frame * step[row]
+        # Clamp starts too: when n_frames (duration-derived) exceeds the
+        # payload length, frame*step overshoots the row's end and unclamped
+        # starts would violate gather_substrings' ends>=starts contract —
+        # overshooting frames degrade to empty slices instead.
+        starts = np.minimum(offsets[:-1][row] + frame * step[row], offsets[1:][row])
         ends = np.minimum(starts + np.minimum(256, step[row]), offsets[1:][row])
         from ..functions.hashing import gather_substrings
 

@@ -208,3 +208,35 @@ def test_pairwise_prf_counts_gold_rows_missing_from_mentions():
     for k in ("precision", "recall", "f1", "tp", "fp", "fn"):
         assert dist[k] == local[k], (k, dist[k], local[k])
     assert dist["fn"] == 2  # pairs (m1,m3), (m2,m3) missed
+
+
+def test_l2_normalize_rows_zero_norm_is_deterministic_zero():
+    """Round-2 ADVICE: np.divide(where=) without out= left zero-norm rows
+    uninitialized. The shared helper must emit exact zero vectors."""
+    import numpy as np
+
+    from mix_blink_ray.stages.ann import l2_normalize_rows
+
+    m = np.array([[3.0, 4.0], [0.0, 0.0], [0.0, 1.0]])
+    u = l2_normalize_rows(m)
+    np.testing.assert_array_equal(u[1], np.zeros(2))
+    np.testing.assert_allclose(np.linalg.norm(u[[0, 2]], axis=1), 1.0)
+    np.testing.assert_array_equal(u, l2_normalize_rows(m.copy()))
+
+
+def test_empty_partition_join_error_filter():
+    """propagate_labels retries ONLY the Ray 2.49 empty-partition ArrowInvalid;
+    everything else re-raises."""
+    import pyarrow as pa
+
+    from mix_blink_ray.stages.clustering import _is_empty_partition_join_error
+
+    assert _is_empty_partition_join_error(pa.ArrowInvalid("No match for FieldRef"))
+    wrapped = RuntimeError("task failed")
+    wrapped.cause = pa.ArrowInvalid("No match for FieldRef")  # RayTaskError shape
+    assert _is_empty_partition_join_error(wrapped)
+    chained = RuntimeError("boom")
+    chained.__cause__ = pa.ArrowInvalid("x")
+    assert _is_empty_partition_join_error(chained)
+    assert not _is_empty_partition_join_error(ValueError("schema bug"))
+    assert not _is_empty_partition_join_error(MemoryError("oom"))

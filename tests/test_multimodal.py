@@ -64,6 +64,26 @@ def test_video_frame_sampler_flatmap():
     assert out["frame_payload"].map(len).max() <= 256
 
 
+def test_video_frame_sampler_short_payload():
+    """Regression (round-2 ADVICE): duration implies more frames than the
+    payload has bytes — overshooting starts must clamp to empty slices, not
+    raise ValueError from gather_substrings."""
+    tbl = synth_media_batch(3, "video", payload_bytes=8)  # 30s dur, 8-byte payload
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(
+            VideoFrameSampler,
+            fn_constructor_kwargs={"backend": "fake", "every_ms": 1000, "max_frames": 16},
+            batch_format="pyarrow", concurrency=1, batch_size=4,
+        )
+        .to_pandas()
+    )
+    assert len(out) == 3 * 16
+    lens = out["frame_payload"].map(len)
+    assert lens.min() == 0  # overshooting frames degrade to empty slices
+    assert lens.max() <= 8
+
+
 def test_real_backend_is_explicitly_stubbed():
     with pytest.raises(NotImplementedError):
         ImageFeatures(backend="real")
