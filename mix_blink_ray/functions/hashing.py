@@ -63,6 +63,34 @@ def flat_utf8(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
     return data, offsets
 
 
+def char_to_byte_offsets(
+    data: np.ndarray, offsets: np.ndarray, char_offs: np.ndarray
+) -> np.ndarray:
+    """Convert per-row CHARACTER offsets to byte offsets into the flat UTF-8
+    buffer of :func:`flat_utf8`.
+
+    ``char_offs[i]`` is a Python-``str`` character index into row ``i``'s text
+    (the reference's contract — ``mix_blink/data/dataset.py:85-92`` slices the
+    str, so a dataset with non-ASCII text before a mention has char ≠ byte
+    offsets).  Returns global byte positions suitable for
+    :func:`gather_substrings`.  Char offsets past the row's length clamp to
+    the row end (Python slice semantics).  ASCII-only buffers short-circuit to
+    pure arithmetic.
+    """
+    char_offs = np.asarray(char_offs, dtype=np.int64)
+    if len(data) == 0:
+        return offsets[:-1] + np.minimum(char_offs, 0)
+    # UTF-8 char starts = every byte that is NOT a continuation byte (0b10xxxxxx).
+    start_pos = np.flatnonzero((data & 0xC0) != 0x80).astype(np.int64)
+    if len(start_pos) == len(data):  # pure ASCII: char offset == byte offset
+        return offsets[:-1] + np.minimum(char_offs, offsets[1:] - offsets[:-1])
+    # global char index of each row boundary (rows are contiguous, so row
+    # r's chars occupy start_pos[cum[r]:cum[r+1]])
+    cum = np.searchsorted(start_pos, offsets, side="left")
+    start_pos_ext = np.append(start_pos, np.int64(len(data)))
+    return start_pos_ext[np.minimum(cum[:-1] + char_offs, cum[1:])]
+
+
 def gather_substrings(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> pa.Array:
     """Vectorized substring gather: byte ranges ``[starts[i], ends[i])`` of the
     flat buffer → a new ``large_string`` array.  The per-row-offset slicing

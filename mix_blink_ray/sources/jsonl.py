@@ -56,7 +56,8 @@ def flatten_documents(batch: pa.Table) -> pa.Table:
     Output: ``doc_id, example_id, text, start:int32, end:int32, surface,
     labels:list<string>, hard_negatives:list<string>`` — ``surface`` is the
     ``text[start:end]`` slice (reference ``entity_span`` semantics,
-    ``dataset.py:91``; offsets are UTF-8 byte offsets in the engine contract).
+    ``dataset.py:91``; start/end are CHARACTER offsets exactly as the
+    reference's str slicing treats them, converted to byte offsets internally).
     """
     examples = _combine(batch["examples"])
     ex_doc = pc.list_parent_indices(examples)              # example → doc row
@@ -72,17 +73,19 @@ def flatten_documents(batch: pa.Table) -> pa.Table:
     start = pc.cast(ent.field("start"), pa.int32())
     end = pc.cast(ent.field("end"), pa.int32())
 
-    data, offsets = (
-        np.zeros(0, dtype=np.uint8),
-        np.zeros(1, dtype=np.int64),
-    )
     if len(ent):
-        from ..functions.hashing import flat_utf8
+        from ..functions.hashing import char_to_byte_offsets, flat_utf8
 
         data, offsets = flat_utf8(text)
-    starts = offsets[:-1] + np.asarray(start, dtype=np.int64)
-    ends = offsets[:-1] + np.asarray(end, dtype=np.int64)
-    surface = gather_substrings(data, starts, ends) if len(ent) else pa.array([], pa.large_string())
+        # start/end are CHARACTER offsets (reference dataset.py:85-92 slices
+        # the Python str); convert per row to byte offsets before slicing the
+        # flat UTF-8 buffer — byte-indexing directly would cut mid-codepoint
+        # on any non-ASCII text preceding a mention.
+        starts = char_to_byte_offsets(data, offsets, np.asarray(start, dtype=np.int64))
+        ends = char_to_byte_offsets(data, offsets, np.asarray(end, dtype=np.int64))
+        surface = gather_substrings(data, starts, ends)
+    else:
+        surface = pa.array([], pa.large_string())
 
     has_hard = any(f.name == "hard_negatives" for f in ent.type)
     hard = (

@@ -71,3 +71,65 @@ def test_resolve_preserves_order_and_columns(toy_path):
     out = resolve_mention_labels(ds, TOY_LABELS + [NIL]).to_pandas()
     assert list(out.columns)[:6] == ["doc_id", "example_id", "text", "start", "end", "surface"]
     assert len(out) == 8
+
+
+def test_non_ascii_char_offsets(tmp_path):
+    """Round-2 ADVICE: entity start/end are CHARACTER offsets (the reference
+    slices the Python str, dataset.py:85-92). Non-ASCII text before a mention
+    must still yield the exact str slice, not a byte-shifted / mid-codepoint
+    cut."""
+    import json
+
+    docs = [
+        {
+            "doc-id": "u001",
+            "examples": [
+                {
+                    # 'Café Über — ' precedes the mention; chars != bytes
+                    "id": "u001-P1",
+                    "text": "Café Über — Steel Hawk flog über die Straße.",
+                    "entities": [{"start": 12, "end": 22, "label": ["E01"], "hard_negatives": []}],
+                },
+                {
+                    # mention itself is non-ASCII, mixed with CJK + emoji before it
+                    "id": "u001-P2",
+                    "text": "老虎🐯機 Überstraße ançienne",
+                    "entities": [
+                        {"start": 5, "end": 15, "label": ["E02"], "hard_negatives": []},
+                        {"start": 16, "end": 24, "label": ["E03"], "hard_negatives": []},
+                    ],
+                },
+            ],
+        }
+    ]
+    p = tmp_path / "nonascii.jsonl"
+    p.write_text("\n".join(json.dumps(d, ensure_ascii=False) for d in docs) + "\n", encoding="utf-8")
+    flat = read_mixblink_jsonl(str(p)).map_batches(
+        flatten_documents, batch_format="pyarrow"
+    ).to_pandas()
+    assert len(flat) == 3
+    for _, r in flat.iterrows():
+        assert r["surface"] == r["text"][r["start"] : r["end"]]
+    assert set(flat["surface"]) == {"Steel Hawk", "Überstraße", "ançienne"}
+
+
+def test_char_to_byte_offsets_unit():
+    import numpy as np
+
+    from mix_blink_ray.functions.hashing import char_to_byte_offsets, flat_utf8, gather_substrings
+
+    texts = ["abc", "héllo wörld", "", "老虎x", "plain"]
+    arr = pa.array(texts, pa.large_string())
+    data, offsets = flat_utf8(arr)
+    starts_c = np.array([1, 6, 0, 2, 0])
+    ends_c = np.array([3, 11, 0, 3, 99])  # 99 clamps to row length
+    b0 = char_to_byte_offsets(data, offsets, starts_c)
+    b1 = char_to_byte_offsets(data, offsets, ends_c)
+    got = gather_substrings(data, b0, b1).to_pylist()
+    assert got == [t[s:e] for t, s, e in zip(texts, starts_c, ends_c)]
+    # ASCII-only fast path agrees
+    arr2 = pa.array(["abcd", "xyz"], pa.large_string())
+    d2, o2 = flat_utf8(arr2)
+    np.testing.assert_array_equal(
+        char_to_byte_offsets(d2, o2, np.array([2, 1])), o2[:-1] + np.array([2, 1])
+    )
