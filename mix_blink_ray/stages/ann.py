@@ -67,6 +67,68 @@ def vectors_from_batch(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
     return np.asarray(col.flatten(), dtype=np.float64).reshape(len(col), int(widths[0]))
 
 
+_EMPTY_PARTIAL = pa.table(
+    {
+        "query_id": pa.array([], pa.int64()),
+        "vec_id": pa.array([], pa.int64()),
+        "cosine": pa.array([], pa.float64()),
+    }
+)
+
+
+def _emit_query_topk(q_ids: np.ndarray, cand_ids: np.ndarray, sims: np.ndarray, k: int) -> pa.Table:
+    """Per-batch per-query top-k over a (Q, C) sims matrix (−inf marks "not a
+    candidate for this query") → ≤ Q·k rows.  This truncation is what keeps
+    the driver merge at Q × k × n_batches rows instead of Q × candidates
+    (reference analog: ``retriever/dense.py:86-99`` returns only top-k per
+    query) — emitting untruncated candidate sets is a driver OOM at scale."""
+    if sims.size == 0:
+        return _EMPTY_PARTIAL
+    kk = min(k, sims.shape[1])
+    if kk < sims.shape[1]:
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    else:
+        part = np.broadcast_to(np.arange(sims.shape[1]), sims.shape)
+    top = np.take_along_axis(sims, part, axis=1)
+    keep = np.isfinite(top).reshape(-1)
+    return pa.table(
+        {
+            "query_id": pa.array(np.repeat(q_ids, kk)[keep]),
+            "vec_id": pa.array(cand_ids[part.reshape(-1)][keep]),
+            "cosine": pa.array(top.reshape(-1)[keep]),
+        }
+    )
+
+
+def _merge_topk(partials, k: int) -> pa.Table:
+    """Driver-side final merge of per-batch partials (tiny: ≤ Q·k·n_batches
+    rows).  Deterministic tie-break (cosine desc, vec_id asc) → ranks."""
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True], kind="stable").head(k)
+        for rank, vec_id in enumerate(g["vec_id"], 1):
+            out.append((int(qid), int(vec_id), rank))
+    out.sort()
+    return pa.table(
+        {
+            "query_id": pa.array([o[0] for o in out], pa.int64()),
+            "vec_id": pa.array([o[1] for o in out], pa.int64()),
+            "rank": pa.array([o[2] for o in out], pa.int64()),
+        }
+    )
+
+
+def _query_matrix(embeddings: Dataset, query_ids: list[int]) -> tuple[np.ndarray, np.ndarray]:
+    """Fetch the (small) query vectors: (q_ids, unit-normalized matrix)."""
+    q_tbl = embeddings.map_batches(
+        lambda b: b.filter(pa.compute.is_in(b["vec_id"], value_set=pa.array(query_ids, pa.int64()))),
+        batch_format="pyarrow",
+    ).select_columns(["vec_id", "embedding"]).to_pandas()
+    q_ids = q_tbl["vec_id"].to_numpy()
+    q = np.stack([np.asarray(v, dtype=np.float64) for v in q_tbl["embedding"]])
+    return q_ids, l2_normalize_rows(q)
+
+
 class _PartialTopK:
     """Actor: holds the broadcast unit-normalized query matrix; emits per-batch
     partial top-k rows (query_id, vec_id, cosine)."""
@@ -80,18 +142,8 @@ class _PartialTopK:
     def __call__(self, batch: pa.Table) -> pa.Table:
         unit = l2_normalize_rows(vectors_from_batch(batch["embedding"]))
         sims = self.q_unit @ unit.T  # (Q, n)
-        k = min(self.k, sims.shape[1])
         ids = np.asarray(batch["vec_id"], dtype=np.int64)
-        part = np.argpartition(-sims, k - 1, axis=1)[:, :k] if k < sims.shape[1] else np.broadcast_to(
-            np.arange(sims.shape[1]), (sims.shape[0], sims.shape[1])
-        )
-        qn, kk = part.shape
-        rows = {
-            "query_id": pa.array(np.repeat(self.q_ids, kk)),
-            "vec_id": pa.array(ids[part.reshape(-1)]),
-            "cosine": pa.array(np.take_along_axis(sims, part, axis=1).reshape(-1)),
-        }
-        return pa.table(rows)
+        return _emit_query_topk(self.q_ids, ids, sims, self.k)
 
 
 def knn_bruteforce(embeddings: Dataset, query_ids: list[int], cfg: AnnConfig = AnnConfig()) -> pa.Table:
@@ -101,13 +153,8 @@ def knn_bruteforce(embeddings: Dataset, query_ids: list[int], cfg: AnnConfig = A
     result is float-roundoff-proof for oracle comparison.  Deterministic
     tie-break: (cosine desc, vec_id asc).
     """
-    q_tbl = embeddings.map_batches(
-        lambda b: b.filter(pa.compute.is_in(b["vec_id"], value_set=pa.array(query_ids, pa.int64()))),
-        batch_format="pyarrow",
-    ).select_columns(["vec_id", "embedding"]).to_pandas()
-    q_ids = q_tbl["vec_id"].to_numpy()
-    q = np.stack([np.asarray(v, dtype=np.float64) for v in q_tbl["embedding"]])
-    queries_ref = ray.put((q_ids, q))
+    q_ids, q_unit = _query_matrix(embeddings, query_ids)
+    queries_ref = ray.put((q_ids, q_unit))
 
     partials = embeddings.map_batches(
         _PartialTopK,
@@ -116,21 +163,7 @@ def knn_bruteforce(embeddings: Dataset, query_ids: list[int], cfg: AnnConfig = A
         concurrency=(1, 4),
         batch_size=4096,
     ).to_pandas()
-
-    # final merge: tiny (Q × k × n_batches rows)
-    out = []
-    for qid, g in partials.groupby("query_id"):
-        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True], kind="stable").head(cfg.k)
-        for rank, vec_id in enumerate(g["vec_id"], 1):
-            out.append((int(qid), int(vec_id), rank))
-    out.sort()
-    return pa.table(
-        {
-            "query_id": pa.array([o[0] for o in out], pa.int64()),
-            "vec_id": pa.array([o[1] for o in out], pa.int64()),
-            "rank": pa.array([o[2] for o in out], pa.int64()),
-        }
-    )
+    return _merge_topk(partials, cfg.k)
 
 
 def kmeans_centroids(
@@ -193,26 +226,33 @@ def kmeans_centroids(
     return centroids
 
 
-def knn_ivf(embeddings: Dataset, query_ids: list[int], cfg: AnnConfig = AnnConfig()) -> pa.Table:
+def knn_ivf(
+    embeddings: Dataset,
+    query_ids: list[int],
+    cfg: AnnConfig = AnnConfig(),
+    centroids: np.ndarray | None = None,
+    _stats: dict | None = None,
+) -> pa.Table:
     """IVF approximate top-k: k-means coarse quantizer → each query probes
     its ``n_probes`` nearest centroids → exact cosine only against vectors
     assigned to a probed cluster.  Work touched ≈ corpus × n_probes /
     n_clusters; recall vs brute force asserted on clustered corpora in tests
     (on isotropic data no partition-based index is selective — same caveat
-    as :func:`knn_lsh`).  Returns (query_id, vec_id, rank)."""
+    as :func:`knn_lsh`).  Returns (query_id, vec_id, rank).
+
+    ``centroids``: a prebuilt coarse quantizer (:func:`kmeans_centroids` or
+    :func:`load_ann_index`) — skips the k-means rounds entirely, the
+    repeated-querying path over a fixed corpus.  ``_stats``: test hook,
+    receives ``partial_rows`` (the driver-merge input size, bounded by
+    Q × k × n_batches)."""
     from dataclasses import replace
 
-    k_cl = min(cfg.n_clusters, max(embeddings.count(), 1))
-    cfg_eff = cfg if k_cl == cfg.n_clusters else replace(cfg, n_clusters=k_cl)
-    centroids = kmeans_centroids(embeddings, cfg_eff)
+    if centroids is None:
+        k_cl = min(cfg.n_clusters, max(embeddings.count(), 1))
+        cfg_eff = cfg if k_cl == cfg.n_clusters else replace(cfg, n_clusters=k_cl)
+        centroids = kmeans_centroids(embeddings, cfg_eff)
 
-    q_tbl = embeddings.map_batches(
-        lambda b: b.filter(pa.compute.is_in(b["vec_id"], value_set=pa.array(query_ids, pa.int64()))),
-        batch_format="pyarrow",
-    ).select_columns(["vec_id", "embedding"]).to_pandas()
-    q_ids = q_tbl["vec_id"].to_numpy()
-    q = np.stack([np.asarray(v, dtype=np.float64) for v in q_tbl["embedding"]])
-    q_unit = l2_normalize_rows(q)
+    q_ids, q_unit = _query_matrix(embeddings, query_ids)
 
     n_probes = min(cfg.n_probes, len(centroids))
     c_sims = q_unit @ centroids.T                      # (Q, k_cl)
@@ -221,66 +261,49 @@ def knn_ivf(embeddings: Dataset, query_ids: list[int], cfg: AnnConfig = AnnConfi
     np.put_along_axis(probe_mask, probe_idx, True, axis=1)
     state_ref = ray.put((q_ids, q_unit, centroids, probe_mask))
 
+    k_final = cfg.k
+
     def scan(batch: pa.Table) -> pa.Table:
         ids_, qu, cents, pmask = ray.get(state_ref)
         unit = l2_normalize_rows(vectors_from_batch(batch["embedding"]))
         assign = np.argmax(unit @ cents.T, axis=1)     # candidate → cluster
         any_probed = pmask[:, assign].any(axis=0)      # probed by ANY query
         if not any_probed.any():
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "vec_id": pa.array([], pa.int64()),
-                    "cosine": pa.array([], pa.float64()),
-                }
-            )
+            return _EMPTY_PARTIAL
         cand_ids = np.asarray(batch["vec_id"], dtype=np.int64)[any_probed]
         cand_cl = assign[any_probed]
         sims = qu @ unit[any_probed].T                 # (Q, C)
         member = pmask[:, cand_cl]                     # (Q, C): in THIS query's probes
         sims = np.where(member, sims, -np.inf)
-        qn_, cn = sims.shape
-        keep = member.reshape(-1)
-        return pa.table(
-            {
-                "query_id": pa.array(np.repeat(ids_, cn)[keep]),
-                "vec_id": pa.array(np.tile(cand_ids, qn_)[keep]),
-                "cosine": pa.array(sims.reshape(-1)[keep]),
-            }
-        )
+        # per-batch per-query top-k: ≤ Q·k rows leave the worker, never Q·C
+        return _emit_query_topk(ids_, cand_ids, sims, k_final)
 
     partials = embeddings.map_batches(scan, batch_format="pyarrow").to_pandas()
-    out = []
-    for qid, g in partials.groupby("query_id"):
-        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True], kind="stable").head(cfg.k)
-        for rank, vec_id in enumerate(g["vec_id"], 1):
-            out.append((int(qid), int(vec_id), rank))
-    out.sort()
-    return pa.table(
-        {
-            "query_id": pa.array([o[0] for o in out], pa.int64()),
-            "vec_id": pa.array([o[1] for o in out], pa.int64()),
-            "rank": pa.array([o[2] for o in out], pa.int64()),
-        }
-    )
+    if _stats is not None:
+        _stats["partial_rows"] = len(partials)
+    return _merge_topk(partials, cfg.k)
 
 
-def knn_lsh(embeddings: Dataset, query_ids: list[int], cfg: AnnConfig = AnnConfig()) -> pa.Table:
+def knn_lsh(
+    embeddings: Dataset,
+    query_ids: list[int],
+    cfg: AnnConfig = AnnConfig(),
+    _stats: dict | None = None,
+) -> pa.Table:
     """Approximate top-k: multi-table random-hyperplane LSH — a vector is a
-    candidate if it shares a bucket with the query in ANY of ``n_tables``
-    independent tables (the classic recall lever).  Returns
-    (query_id, vec_id, rank); recall vs brute force is asserted in tests."""
-    q_tbl = embeddings.map_batches(
-        lambda b: b.filter(pa.compute.is_in(b["vec_id"], value_set=pa.array(query_ids, pa.int64()))),
-        batch_format="pyarrow",
-    ).select_columns(["vec_id", "embedding"]).to_pandas()
-    q_ids = q_tbl["vec_id"].to_numpy()
-    q = np.stack([np.asarray(v, dtype=np.float64) for v in q_tbl["embedding"]])
-    q_unit = l2_normalize_rows(q)
+    candidate FOR A QUERY iff it shares a bucket with THAT query in ANY of
+    ``n_tables`` independent tables (the classic recall lever).  Returns
+    (query_id, vec_id, rank); recall vs brute force is asserted in tests.
+
+    Scale shape: the candidate prefilter is per-batch (bucket keys of the
+    batch vs the union of query buckets), the similarity mask is PER QUERY
+    (a vector bucket-matched only by query A contributes nothing to query B),
+    and each batch emits at most Q·k rows (:func:`_emit_query_topk`)."""
+    q_ids, q_unit = _query_matrix(embeddings, query_ids)
 
     rng = np.random.RandomState(cfg.seed)
     # dimension discovered from the first query vector
-    planes = rng.randn(q.shape[1], cfg.n_tables * cfg.n_planes)
+    planes = rng.randn(q_unit.shape[1], cfg.n_tables * cfg.n_planes)
 
     def bucket_keys(mat: np.ndarray) -> np.ndarray:
         """(n, n_tables) int64 bucket keys, one per hash table."""
@@ -293,45 +316,32 @@ def knn_lsh(embeddings: Dataset, query_ids: list[int], cfg: AnnConfig = AnnConfi
 
     q_keys = bucket_keys(q_unit)
     probe_sets = [np.unique(q_keys[:, t]) for t in range(cfg.n_tables)]
-    probe_arr = ray.put((q_ids, q_unit, probe_sets))
+    probe_arr = ray.put((q_ids, q_unit, q_keys, probe_sets))
+    k_final = cfg.k
+    n_tables = cfg.n_tables
 
     def scan(batch: pa.Table) -> pa.Table:
-        ids_, qu, probes = ray.get(probe_arr)
+        ids_, qu, qk, probes = ray.get(probe_arr)
         unit = l2_normalize_rows(vectors_from_batch(batch["embedding"]))
         keys = bucket_keys(unit)
+        # cheap prefilter: bucket-matched by ANY query, any table
         mask = np.zeros(len(keys), dtype=bool)
-        for t in range(cfg.n_tables):
+        for t in range(n_tables):
             mask |= np.isin(keys[:, t], probes[t])
         if not mask.any():
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "vec_id": pa.array([], pa.int64()),
-                    "cosine": pa.array([], pa.float64()),
-                }
-            )
+            return _EMPTY_PARTIAL
         cand_ids = np.asarray(batch["vec_id"], dtype=np.int64)[mask]
-        sims = qu @ unit[mask].T
-        qn_, cn = sims.shape
-        return pa.table(
-            {
-                "query_id": pa.array(np.repeat(ids_, cn)),
-                "vec_id": pa.array(np.tile(cand_ids, qn_)),
-                "cosine": pa.array(sims.reshape(-1)),
-            }
-        )
+        cand_keys = keys[mask]
+        # per-query membership: (Q, C) true iff same bucket in SOME table —
+        # without this, every query scores every union-candidate and the
+        # index degrades toward brute force.
+        member = np.zeros((len(ids_), len(cand_ids)), dtype=bool)
+        for t in range(n_tables):
+            member |= qk[:, t][:, None] == cand_keys[:, t][None, :]
+        sims = np.where(member, qu @ unit[mask].T, -np.inf)
+        return _emit_query_topk(ids_, cand_ids, sims, k_final)
 
     partials = embeddings.map_batches(scan, batch_format="pyarrow").to_pandas()
-    out = []
-    for qid, g in partials.groupby("query_id"):
-        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True], kind="stable").head(cfg.k)
-        for rank, vec_id in enumerate(g["vec_id"], 1):
-            out.append((int(qid), int(vec_id), rank))
-    out.sort()
-    return pa.table(
-        {
-            "query_id": pa.array([o[0] for o in out], pa.int64()),
-            "vec_id": pa.array([o[1] for o in out], pa.int64()),
-            "rank": pa.array([o[2] for o in out], pa.int64()),
-        }
-    )
+    if _stats is not None:
+        _stats["partial_rows"] = len(partials)
+    return _merge_topk(partials, cfg.k)

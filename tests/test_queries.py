@@ -187,3 +187,74 @@ def test_kmeans_centroids_deterministic():
     np.testing.assert_array_equal(c1, c2)  # retries/reruns must be idempotent
     assert c1.shape == (8, 8)
     np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0, rtol=1e-9)
+
+
+def _clustered_embeddings(n_per=50, n_centers=10, dim=16, seed=7):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_centers, dim) * 5
+    vecs = np.vstack([c + 0.05 * rng.randn(n_per, dim) for c in centers])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    return rd.from_arrow(tbl)
+
+
+def test_ann_scan_emits_only_topk_partials():
+    """Round-2 VERDICT item 2: the IVF/LSH driver merge must see at most
+    Q x k x n_batches rows — per-batch per-query top-k inside scan, never the
+    untruncated candidate set."""
+    from mix_blink_ray.stages.ann import AnnConfig, knn_ivf, knn_lsh
+
+    ds = _clustered_embeddings().repartition(4)
+    qids = [0, 60, 120, 260, 430]
+    cfg = AnnConfig(k=5, n_clusters=16, n_probes=4, kmeans_iters=4)
+    stats_ivf, stats_lsh = {}, {}
+    ivf = knn_ivf(ds, qids, cfg, _stats=stats_ivf).to_pandas()
+    lsh = knn_lsh(ds, qids, cfg, _stats=stats_lsh).to_pandas()
+    bound = len(qids) * cfg.k * 4  # Q * k * n_blocks (batches never split blocks)
+    assert 0 < stats_ivf["partial_rows"] <= bound, stats_ivf
+    assert 0 < stats_lsh["partial_rows"] <= bound, stats_lsh
+    for df in (ivf, lsh):
+        assert df.groupby("query_id")["rank"].max().max() <= cfg.k
+
+
+def test_emit_query_topk_unit():
+    import numpy as np
+
+    from mix_blink_ray.stages.ann import _emit_query_topk
+
+    q_ids = np.array([10, 20], dtype=np.int64)
+    cand = np.array([1, 2, 3, 4], dtype=np.int64)
+    sims = np.array(
+        [[0.9, 0.8, -np.inf, 0.7],       # 3 candidates, k=2 -> top 2
+         [-np.inf, -np.inf, -np.inf, -np.inf]]  # no candidates -> no rows
+    )
+    t = _emit_query_topk(q_ids, cand, sims, k=2).to_pandas()
+    assert len(t) == 2
+    assert set(t["query_id"]) == {10}
+    assert set(t["vec_id"]) == {1, 2}
+    # k >= C path keeps all finite entries
+    t2 = _emit_query_topk(q_ids, cand, sims, k=10).to_pandas()
+    assert len(t2) == 3
+
+
+def test_knn_ivf_exact_mode_equals_bruteforce():
+    """n_probes == n_clusters probes everything -> IVF must equal brute force
+    exactly (this is the oracled configuration of emb_knn_ivf_top5)."""
+    from mix_blink_ray.stages.ann import AnnConfig, knn_bruteforce, knn_ivf
+
+    ds = _clustered_embeddings()
+    qids = [0, 60, 120, 260, 430]
+    cfg = AnnConfig(k=5, n_clusters=8, n_probes=8, kmeans_iters=3)
+    exact = knn_bruteforce(ds, qids, cfg).to_pandas()
+    ivf = knn_ivf(ds, qids, cfg).to_pandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(exact, ivf)
