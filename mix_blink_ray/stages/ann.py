@@ -25,6 +25,9 @@ __all__ = [
     "kmeans_centroids",
     "vectors_from_batch",
     "l2_normalize_rows",
+    "IvfIndex",
+    "save_ann_index",
+    "load_ann_index",
 ]
 
 
@@ -224,6 +227,99 @@ def kmeans_centroids(
         new[nonempty] = sums[nonempty] / counts[nonempty, None]
         centroids = l2_normalize_rows(new)
     return centroids
+
+
+@dataclass(frozen=True)
+class IvfIndex:
+    """Persisted IVF artifact: the coarse quantizer (+ optional assignment
+    map).  ``centroids``: (k, d) float64 unit rows.  ``assignments_path``:
+    parquet dir of (vec_id, cluster) when saved with the corpus, else None."""
+
+    centroids: np.ndarray
+    assignments_path: str | None = None
+
+
+def save_ann_index(
+    path: str,
+    centroids: np.ndarray,
+    embeddings: Dataset | None = None,
+    cfg: AnnConfig = AnnConfig(),
+) -> str:
+    """Persist an IVF index under directory ``path``: ``centroids.parquet``
+    (atomic tmp+rename, dim/k in the schema) and — when ``embeddings`` is
+    given — ``assignments/`` parquet (vec_id → cluster), computed as one
+    streaming ``map_batches`` pass with the centroids broadcast.
+
+    Engine analog of the reference's serialized retrieval index round-trip
+    (``mix_blink/retriever/dense.py:124-151`` ``build_index`` →
+    ``index.serialize`` / ``deserialize``): for repeated querying over a
+    fixed corpus, :func:`knn_ivf` with the loaded centroids skips every
+    k-means round (mirrors ``save_catalog_index``, ``stages/scoring.py``)."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    os.makedirs(path, exist_ok=True)
+    k, dim = centroids.shape
+    tbl = pa.table(
+        {
+            "cluster": pa.array(np.arange(k, dtype=np.int64)),
+            "centroid": pa.FixedSizeListArray.from_arrays(
+                pa.array(centroids.reshape(-1).astype(np.float64)), dim
+            ),
+        }
+    )
+    cpath = os.path.join(path, "centroids.parquet")
+    tmp = cpath + ".tmp"
+    pq_.write_table(tbl, tmp)
+    os.replace(tmp, cpath)  # atomic: a crashed run never leaves a torn index
+
+    if embeddings is not None:
+        import shutil
+
+        cref = ray.put(centroids)
+
+        def assign_batch(batch: pa.Table) -> pa.Table:
+            cents = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+            unit = l2_normalize_rows(vectors_from_batch(batch["embedding"]))
+            return pa.table(
+                {
+                    "vec_id": batch["vec_id"],
+                    "cluster": pa.array(np.argmax(unit @ cents.T, axis=1).astype(np.int64)),
+                }
+            )
+
+        apath = os.path.join(path, "assignments")
+        atmp = apath + ".tmp"
+        shutil.rmtree(atmp, ignore_errors=True)
+        embeddings.map_batches(assign_batch, batch_format="pyarrow").write_parquet(atmp)
+        shutil.rmtree(apath, ignore_errors=True)
+        os.replace(atmp, apath)
+    return path
+
+
+def load_ann_index(path: str) -> IvfIndex:
+    """Load a :func:`save_ann_index` artifact.  Raises on a malformed table
+    (a torn/foreign file must never be silently trusted as an index)."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    tbl = pq_.read_table(os.path.join(path, "centroids.parquet"))
+    col = tbl["centroid"].combine_chunks()
+    if not pa.types.is_fixed_size_list(col.type) or tbl.num_rows == 0:
+        raise ValueError(f"{path}: not a valid IVF centroids table")
+    dim = col.type.list_size
+    cents = np.asarray(col.flatten(), dtype=np.float64).reshape(tbl.num_rows, dim)
+    order = np.asarray(tbl["cluster"], dtype=np.int64)
+    if not np.array_equal(np.sort(order), np.arange(len(order))):
+        raise ValueError(f"{path}: cluster ids are not a dense 0..k-1 range")
+    cents = cents[np.argsort(order)]
+    apath = os.path.join(path, "assignments")
+    return IvfIndex(
+        centroids=cents,
+        assignments_path=apath if os.path.isdir(apath) else None,
+    )
 
 
 def knn_ivf(

@@ -258,3 +258,54 @@ def test_knn_ivf_exact_mode_equals_bruteforce():
     import pandas as pd
 
     pd.testing.assert_frame_equal(exact, ivf)
+
+
+def test_ann_index_roundtrip_skips_kmeans(tmp_path, monkeypatch):
+    """save_ann_index/load_ann_index: rebuild-free second query — knn_ivf with
+    loaded centroids must not call kmeans_centroids and must match the fresh
+    run exactly (reference dense.py:124-151 serialize/deserialize parity)."""
+    import numpy as np
+
+    from mix_blink_ray.stages import ann as annmod
+
+    ds = _clustered_embeddings()
+    qids = [0, 60, 120, 260, 430]
+    cfg = annmod.AnnConfig(k=5, n_clusters=16, n_probes=4, kmeans_iters=4)
+
+    cents = annmod.kmeans_centroids(ds, cfg)
+    fresh = annmod.knn_ivf(ds, qids, cfg).to_pandas()
+
+    idx_dir = str(tmp_path / "ivf")
+    annmod.save_ann_index(idx_dir, cents, embeddings=ds, cfg=cfg)
+    loaded = annmod.load_ann_index(idx_dir)
+    np.testing.assert_array_equal(loaded.centroids, cents)
+    assert loaded.assignments_path is not None
+    import ray.data as rd
+
+    adf = rd.read_parquet(loaded.assignments_path).to_pandas()
+    assert len(adf) == 500 and set(adf.columns) == {"vec_id", "cluster"}
+
+    calls = {"n": 0}
+    real = annmod.kmeans_centroids
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(annmod, "kmeans_centroids", counting)
+    cached = annmod.knn_ivf(ds, qids, cfg, centroids=loaded.centroids).to_pandas()
+    assert calls["n"] == 0  # no k-means recomputation
+    pd.testing.assert_frame_equal(fresh, cached)
+
+
+def test_load_ann_index_rejects_torn_artifact(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mix_blink_ray.stages.ann import load_ann_index
+
+    d = tmp_path / "bad"
+    d.mkdir()
+    pq.write_table(pa.table({"x": [1]}), d / "centroids.parquet")
+    with pytest.raises((ValueError, KeyError)):
+        load_ann_index(str(d))
