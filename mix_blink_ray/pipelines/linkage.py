@@ -802,11 +802,14 @@ def run_linkage_incremental(
     surface and catalog, and entity clusters are catalog-sized (recomputed
     per run, cheap).
 
-    Scale note: the known-surface membership check broadcasts the state's
-    ``norm_text`` column (exact strings — a hashed set would false-positive
-    and silently skip scoring a genuinely new surface).  Above
-    ``cfg.broadcast_threshold`` surfaces, switch the membership to the keyed
-    anti-join the attach path uses.
+    Scale note: BOTH state-sized steps respect ``cfg.broadcast_threshold`` —
+    the known-surface membership check broadcasts the state's ``norm_text``
+    column below it (exact strings — a hashed set would false-positive and
+    silently skip scoring a genuinely new surface) and switches to the keyed
+    anti-join above it; the final attach broadcasts the state below it and
+    switches to the partitioned hash join on ``norm_text`` above it (the
+    ``run_linkage`` join branch).  Both dualities are parity-tested with
+    ``broadcast_threshold=0``.
     """
     import os
     import shutil
@@ -899,40 +902,85 @@ def run_linkage_incremental(
     cdf = clusters.to_pandas()
     label_lut = dict(zip(cdf["node"], cdf["label"]))
 
-    pred_df = all_preds.to_pandas()
-    pred_df["ent_label"] = [
-        label_lut.get(E_PREFIX + p) if isinstance(p, str) and p != NIL_ID else None
-        for p in pred_df["pred_id"]
-    ]
-    pred_ref = ray.put(pred_df)
-    attach_key = f"attach:{pred_ref.hex()}"
+    n_state = n_surfaces if prev is None else all_preds.count()
+    if n_state <= cfg.broadcast_threshold:
+        pred_df = all_preds.to_pandas()
+        pred_df["ent_label"] = [
+            label_lut.get(E_PREFIX + p) if isinstance(p, str) and p != NIL_ID else None
+            for p in pred_df["pred_id"]
+        ]
+        pred_ref = ray.put(pred_df)
+        attach_key = f"attach:{pred_ref.hex()}"
 
-    def attach_all(batch: pa.Table) -> pa.Table:
-        def build():
-            df = ray.get(pred_ref) if isinstance(pred_ref, ray.ObjectRef) else pred_ref
-            return (
-                pd.Index(df["norm_text"].to_numpy()),
-                pa.array(df["pred_id"], pa.string()),
-                pa.array(df["best_id"], pa.string()),
-                pa.array(df["best_score"], pa.float32()),
-                pa.array(df["ent_label"], pa.string()),
+        def attach_all(batch: pa.Table) -> pa.Table:
+            def build():
+                df = ray.get(pred_ref) if isinstance(pred_ref, ray.ObjectRef) else pred_ref
+                return (
+                    pd.Index(df["norm_text"].to_numpy()),
+                    pa.array(df["pred_id"], pa.string()),
+                    pa.array(df["best_id"], pa.string()),
+                    pa.array(df["best_score"], pa.float32()),
+                    pa.array(df["ent_label"], pa.string()),
+                )
+
+            idx, pred_a, best_a, score_a, label_a = _cached_scorer(attach_key, build)
+            col = batch["norm_text"]
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            pos_np = idx.get_indexer(col.to_numpy(zero_copy_only=False))
+            pos = pa.array(np.where(pos_np >= 0, pos_np, None))
+            batch = batch.append_column("pred_id", pc.take(pred_a, pos))
+            batch = batch.append_column("best_id", pc.take(best_a, pos))
+            batch = batch.append_column("best_score", pc.take(score_a, pos))
+            ent_label = pc.take(label_a, pos)
+            own = pc.binary_join_element_wise(
+                pa.array([M_PREFIX] * batch.num_rows, pa.string()), batch["mention_uid"], ""
+            )
+            return batch.append_column("cluster_id", pc.if_else(pc.is_null(ent_label), own, ent_label))
+
+        labeled = mentions.map_batches(attach_all, batch_format="pyarrow")
+    else:
+        # The accumulated surface state grows with the corpus — above the
+        # broadcast threshold it must NOT be to_pandas()'d onto the driver.
+        # Mirror run_linkage's join branch: ent_label rides along map-side
+        # from the tiny catalog-sized cluster lut, then the mentions join the
+        # state on norm_text in a partitioned hash join.
+        from ..stages.clustering import clamped_partitions
+
+        lut_keys = pa.array(list(label_lut.keys()), pa.string())
+        lut_vals = pa.array([label_lut[k] for k in label_lut], pa.string())
+        lut_ref = ray.put((lut_keys, lut_vals))
+
+        def add_ent_label(b: pa.Table) -> pa.Table:
+            keys, vals = ray.get(lut_ref) if isinstance(lut_ref, ray.ObjectRef) else lut_ref
+            e_node = pc.binary_join_element_wise(
+                pa.array([E_PREFIX] * b.num_rows, pa.string()),
+                pc.fill_null(b["pred_id"], NIL_ID),
+                "",
+            )
+            ent = pc.take(vals, pc.index_in(e_node, value_set=keys))
+            is_nil = pc.or_(pc.is_null(b["pred_id"]), pc.equal(b["pred_id"], NIL_ID))
+            return b.append_column(
+                "ent_label", pc.if_else(is_nil, pa.nulls(b.num_rows, pa.string()), ent)
             )
 
-        idx, pred_a, best_a, score_a, label_a = _cached_scorer(attach_key, build)
-        col = batch["norm_text"]
-        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        pos_np = idx.get_indexer(col.to_numpy(zero_copy_only=False))
-        pos = pa.array(np.where(pos_np >= 0, pos_np, None))
-        batch = batch.append_column("pred_id", pc.take(pred_a, pos))
-        batch = batch.append_column("best_id", pc.take(best_a, pos))
-        batch = batch.append_column("best_score", pc.take(score_a, pos))
-        ent_label = pc.take(label_a, pos)
-        own = pc.binary_join_element_wise(
-            pa.array([M_PREFIX] * batch.num_rows, pa.string()), batch["mention_uid"], ""
+        state_lab = all_preds.map_batches(add_ent_label, batch_format="pyarrow")
+        jp = clamped_partitions(
+            n_state, max(cfg.join_partitions, int(ray.cluster_resources().get("CPU", 8)))
         )
-        return batch.append_column("cluster_id", pc.if_else(pc.is_null(ent_label), own, ent_label))
+        joined = mentions.join(
+            state_lab, join_type="left_outer", num_partitions=jp, on=("norm_text",)
+        )
 
-    labeled = mentions.map_batches(attach_all, batch_format="pyarrow")
+        def finish(b: pa.Table) -> pa.Table:
+            own = pc.binary_join_element_wise(
+                pa.array([M_PREFIX] * b.num_rows, pa.string()), b["mention_uid"], ""
+            )
+            out = b.append_column(
+                "cluster_id", pc.if_else(pc.is_null(b["ent_label"]), own, b["ent_label"])
+            )
+            return out.drop_columns(["ent_label"])
+
+        labeled = joined.map_batches(finish, batch_format="pyarrow")
     return labeled, {
         "n_surfaces": n_surfaces,
         "n_novel": n_novel,

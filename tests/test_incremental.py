@@ -69,8 +69,10 @@ def test_incremental_state_resumable_layout(synth_small, tmp_path):
 
 
 def test_incremental_antijoin_membership_equals_broadcast(synth_small, tmp_path):
-    """broadcast_threshold=0 forces the keyed anti-join membership check; the
-    second-batch output and novel counts must match the broadcast path."""
+    """broadcast_threshold=0 forces BOTH state-sized fallbacks — the keyed
+    anti-join membership check and the partitioned join attach (the round-2
+    scale hole: the attach used to to_pandas() the accumulated state
+    unconditionally); output and novel counts must match the broadcast path."""
     t1, t2 = _halves(synth_small["transcripts"])
     s_a = str(tmp_path / "a")
     s_b = str(tmp_path / "b")
