@@ -70,28 +70,18 @@ def _attach_lists(mentions, surf_preds, gold_path: str, gold_broadcast_threshold
     partitioned hash join on ``mention_uid`` with the list column serialized
     to a join-safe string blob (Arrow's hash join can't carry list-typed
     payload columns) and re-split after the join — mirroring the linkage
-    pipeline's ``broadcast_threshold`` fallback."""
-    import ray
-
-    threshold = GOLD_BROADCAST_THRESHOLD if gold_broadcast_threshold is None else gold_broadcast_threshold
-    surf_df = surf_preds.select_columns(["norm_text", "candidates"]).to_pandas().set_index("norm_text")["candidates"]
-    surf_ref = ray.put(surf_df)
-
-    def attach_cands(b: pa.Table) -> pa.Table:
-        sd = ray.get(surf_ref) if isinstance(surf_ref, ray.ObjectRef) else surf_ref
-        cands = sd.loc[b["norm_text"].to_pylist()].tolist()
-        return b.append_column(
-            "candidates", pa.array([list(c) for c in cands], pa.list_(pa.string()))
-        )
-
-    # Gold attaches FIRST (the join fallback can't carry the list-typed
-    # candidates column through acero); candidates broadcast-attach after.
+    pipeline's ``broadcast_threshold`` fallback.  Both attaches are the
+    vectorized keyed list-attach (one ``pc.index_in`` + ListArray take per
+    batch — no per-row Python on the mention-sized path)."""
     from mix_blink_ray.stages.attach import attach_list_column
 
+    threshold = GOLD_BROADCAST_THRESHOLD if gold_broadcast_threshold is None else gold_broadcast_threshold
+    # Gold attaches FIRST (the join fallback can't carry the list-typed
+    # candidates column through acero); candidates broadcast-attach after.
     with_gold = attach_list_column(
         mentions, gold_path, "mention_uid", "gold_ids", broadcast_threshold=threshold
     )
-    return with_gold.map_batches(attach_cands, batch_format="pyarrow")
+    return attach_list_column(with_gold, surf_preds, "norm_text", "candidates")
 
 
 def linkage_candidates(sf_dir: str):
@@ -143,9 +133,17 @@ def linkage_eval(sf_dir: str):
         # design and are excluded.
         if eval_cfg.nil_sentinel:
             return rank_stats_batch(b, ks=(1, 10, 50, 100))
-        has_real = pa.array(
-            [any(g != NIL_ID for g in row) for row in b["gold_ids"].to_pylist()], pa.bool_()
+        # vectorized "any gold != NIL" per row: flatten + parent-index bincount
+        import numpy as np
+        import pyarrow.compute as pc
+
+        gold = b["gold_ids"]
+        gold = gold.combine_chunks() if isinstance(gold, pa.ChunkedArray) else gold
+        parents = pc.list_parent_indices(gold).to_numpy(zero_copy_only=False)
+        ne = pc.fill_null(pc.not_equal(pc.list_flatten(gold), NIL_ID), False).to_numpy(
+            zero_copy_only=False
         )
+        has_real = pa.array(np.bincount(parents[ne], minlength=b.num_rows) > 0)
         return rank_stats_batch(b.filter(has_real), ks=(1, 10, 50, 100))
 
     partials = joined.map_batches(non_nil_rank_stats, batch_format="pyarrow")

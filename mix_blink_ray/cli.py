@@ -184,24 +184,12 @@ def cmd_candidates(args) -> None:
     catalog = pq.read_table(args.catalog)
     res = run_linkage(rd.read_parquet(args.transcripts), catalog, LinkageConfig())
 
-    import pyarrow as pa
-    import ray as _r
-
-    surf_df = (
-        res.surface_preds.select_columns(["norm_text", "candidates"])
-        .to_pandas()
-        .set_index("norm_text")["candidates"]
-    )
-    surf_ref = _r.put(surf_df)
-
-    def attach_cands(b: pa.Table) -> pa.Table:
-        sd = _r.get(surf_ref) if isinstance(surf_ref, _r.ObjectRef) else surf_ref
-        cands = sd.loc[b["norm_text"].to_pylist()].tolist()
-        return b.append_column("candidates", pa.array([list(c) for c in cands], pa.list_(pa.string())))
-
     m = res.mentions.select_columns(["mention_uid", "norm_text"])
-    joined = attach_list_column(m, args.gold, "mention_uid", "gold_ids").map_batches(
-        attach_cands, batch_format="pyarrow"
+    joined = attach_list_column(
+        attach_list_column(m, args.gold, "mention_uid", "gold_ids"),
+        res.surface_preds,
+        "norm_text",
+        "candidates",
     )
     out_ds = joined.map_batches(
         lambda b: split_candidates_hard_negatives(b, top_k=args.top_k), batch_format="pyarrow"
