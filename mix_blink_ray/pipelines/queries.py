@@ -205,15 +205,16 @@ def q3_top_orders(sf_dir: str):
         batch_format="pyarrow",
     )
     agg = rev.groupby("l_orderkey").aggregate(Sum("rev_c4", alias_name="rev_c4"))
-    top = agg.sort(["rev_c4", "l_orderkey"], descending=[True, False]).limit(10)
-    return top.map_batches(
-        lambda b: pa.table(
-            {
-                "l_orderkey": b["l_orderkey"],
-                "revenue": pc.divide(pc.cast(b["rev_c4"], pa.float64()), pa.scalar(10000.0)),
-            }
-        ),
-        batch_format="pyarrow",
+    # top-10 via per-block partial top-k + tiny driver merge, not a full sort
+    # shuffle of every aggregated order (round-2 VERDICT item 7)
+    from ..stages.topk import topk_rows
+
+    top = topk_rows(agg, ["rev_c4", "l_orderkey"], [True, False], 10)
+    return pa.table(
+        {
+            "l_orderkey": top["l_orderkey"],
+            "revenue": pc.divide(pc.cast(top["rev_c4"], pa.float64()), pa.scalar(10000.0)),
+        }
     )
 
 
@@ -255,12 +256,14 @@ def nation_customer_stats(sf_dir: str):
 
 
 def orders_top10_value(sf_dir: str):
-    out = (
-        _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
-        .limit(10)
+    from ..stages.topk import topk_rows
+
+    return topk_rows(
+        _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"]),
+        ["o_totalprice", "o_orderkey"],
+        [True, False],
+        10,
     )
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
 def supplier_nation_counts(sf_dir: str):

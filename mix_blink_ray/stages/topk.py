@@ -1,0 +1,43 @@
+"""Global top-k rows without a full sort: per-block partial top-k + a tiny
+driver merge.
+
+``Dataset.sort(...).limit(k)`` is an all-to-all range shuffle of EVERY row to
+produce k of them; for small k that is the classic waste (round-2 VERDICT
+item 7).  Here each block emits only its local top-k (one ``pc.sort_indices``
++ take per block), so the driver merges at most ``k × n_blocks`` rows — the
+same partial/merge shape the ANN and k-means stages use.  Ties break
+deterministically by the full key list, identical to the sort+limit result
+(asserted by equivalence tests).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+__all__ = ["topk_rows"]
+
+
+def topk_rows(ds: Dataset, keys: list[str], descending: list[bool], k: int) -> pa.Table:
+    """Top ``k`` rows of ``ds`` ordered by ``keys`` (per-column ``descending``
+    flags).  The key list must be a total order (append a unique id column as
+    the last key) for a deterministic result.  Returns a ``pa.Table`` of at
+    most ``k`` rows."""
+    import ray
+
+    sort_keys = [(c, "descending" if d else "ascending") for c, d in zip(keys, descending)]
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        return b.take(pc.sort_indices(b, sort_keys=sort_keys).slice(0, k))
+
+    refs = ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    tables = [t for t in ray.get(refs) if t.num_rows]
+    if not tables:
+        empty = ds.schema()
+        base = getattr(empty, "base_schema", None)
+        return pa.table({f: pa.array([], t) for f, t in zip(base.names, base.types)}) if base else pa.table({})
+    full = pa.concat_tables(tables).combine_chunks()
+    return full.take(pc.sort_indices(full, sort_keys=sort_keys).slice(0, k))

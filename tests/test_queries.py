@@ -309,3 +309,26 @@ def test_load_ann_index_rejects_torn_artifact(tmp_path):
     pq.write_table(pa.table({"x": [1]}), d / "centroids.parquet")
     with pytest.raises((ValueError, KeyError)):
         load_ann_index(str(d))
+
+
+def test_topk_rows_equals_sort_limit():
+    """Partial top-k + driver merge must equal sort().limit() exactly,
+    including deterministic tie-breaks, across block boundaries."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mix_blink_ray.stages.topk import topk_rows
+
+    rng = np.random.RandomState(11)
+    vals = rng.randint(0, 50, size=1000)  # many ties
+    tbl = pa.table({"v": pa.array(vals, pa.int64()), "id": pa.array(range(1000), pa.int64())})
+    ds = rd.from_arrow(tbl).repartition(7)
+    got = topk_rows(ds, ["v", "id"], [True, False], 10).to_pandas()
+    want = (
+        rd.from_arrow(tbl).sort(["v", "id"], descending=[True, False]).limit(10).to_pandas()
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want.reset_index(drop=True))
+    # k larger than the dataset degrades to a plain sorted table
+    small = topk_rows(rd.from_arrow(tbl).limit(3), ["v", "id"], [True, False], 10)
+    assert small.num_rows == 3
