@@ -657,6 +657,95 @@ def docs_simhash(sf_dir: str):
     return simhash_fingerprints(ds).select_columns(["doc_id", "simhash_hex"])
 
 
+def _window_pair_table(docs, window: int):
+    """Deterministic sliding-window candidate pairs (a, a+1..a+window) — a
+    seedless, SQL-expressible candidate generator used to oracle the verify
+    and clustering stages (the production LSH candidate generator is seeded →
+    rows-only).  O(n·window) pairs, no shuffle; nonexistent b ids drop in the
+    verify's inner text join exactly as in the SQL twin."""
+
+    def pairs(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        a = np.repeat(ids, window)
+        off = np.tile(np.arange(1, window + 1, dtype=np.int64), len(ids))
+        return pa.table({"a_id": pa.array(a), "b_id": pa.array(a + off)})
+
+    return docs.map_batches(pairs, batch_format="pyarrow")
+
+
+def docs_window_jaccard(sf_dir: str):
+    """EXACT char-3-gram Jaccard over deterministic window pairs — the
+    SQL-oracled twin of ``ngram_jaccard_verify`` (pins the vectorized
+    sort-merge gram intersection + threshold filter against DuckDB's
+    list algebra)."""
+    from ..stages.dedup import ngram_jaccard_verify
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = ngram_jaccard_verify(_window_pair_table(ds, 5), ds, threshold=0.2)
+    return _round(pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"jaccard": 6})
+
+
+def docs_window_jaccard_clusters(sf_dir: str):
+    """Transitive closure (connected components, min-id label) over the
+    window-verified pair set — the SQL-oracled twin of the dedup clustering
+    stage (DuckDB recursive-CTE reachability on the oracle side)."""
+    from ..stages.clustering import cluster_nodes
+    from ..stages.dedup import ngram_jaccard_verify
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    verified = ngram_jaccard_verify(_window_pair_table(ds, 5), ds, threshold=0.5)
+    # zero-pad ids so lexicographic min == numeric min (dedup_corpus pattern)
+    edges = verified.map_batches(
+        lambda b: pa.table(
+            {
+                "src": pc.utf8_lpad(pc.cast(b["a_id"], pa.string()), 20, "0"),
+                "dst": pc.utf8_lpad(pc.cast(b["b_id"], pa.string()), 20, "0"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    nodes = ds.map_batches(
+        lambda b: pa.table({"node": pc.utf8_lpad(pc.cast(b["doc_id"], pa.string()), 20, "0")}),
+        batch_format="pyarrow",
+    )
+    labels = cluster_nodes(edges, nodes, mode="auto")
+    return labels.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(b["node"], pa.int64()),
+                "cluster_id": pc.cast(b["label"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def docs_dedup_corpus_exact(sf_dir: str):
+    """Corpus dedup with the near-dup stage disabled (verify threshold > 1):
+    drops are exactly the non-representative members of byte-identical text
+    groups — the SQL-oracled twin of the exact stage + drop assembly.  The
+    testdata documents are all-distinct, so deterministic duplicate rows
+    (ids +10⁶ / +2·10⁶) are unioned in to exercise multi-member groups."""
+    from ..stages.dedup import dedup_corpus
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def dup_rows(b: pa.Table, offset: int, limit: int) -> pa.Table:
+        keep = b.filter(pc.less(b["doc_id"], pa.scalar(limit)))
+        return pa.table(
+            {
+                "doc_id": pc.add(keep["doc_id"], pa.scalar(offset, pa.int64())),
+                "text": keep["text"],
+            }
+        )
+
+    corpus = ds.union(
+        ds.map_batches(lambda b: dup_rows(b, 1_000_000, 50), batch_format="pyarrow")
+    ).union(ds.map_batches(lambda b: dup_rows(b, 2_000_000, 20), batch_format="pyarrow"))
+    _, dropped, _ = dedup_corpus(corpus, DedupConfig(jaccard_threshold=0.5), verify_threshold=1.01)
+    return pa.Table.from_pandas(dropped.to_pandas(), preserve_index=False)
+
+
 # ── JSONL nested-document ingest (reference on-disk dataset shape) ──────────
 
 _JSONL_FIXTURE_PATH = "/tmp/mbr_jsonl/dataset_toy.jsonl"
@@ -702,13 +791,16 @@ def emb_knn_lsh_top5(sf_dir: str):
 
 
 def emb_knn_ivf_top5(sf_dir: str):
-    """IVF (distributed k-means coarse quantizer + probed exact search) —
-    the partition-based ANN scale path; recall vs brute force asserted on
-    clustered corpora in tests (isotropic testdata ⇒ rows-only here)."""
+    """IVF (distributed k-means coarse quantizer + probed exact search) run
+    in EXACT mode (n_probes == n_clusters probes every cluster) so the full
+    IVF machinery — k-means rounds, probe masking, truncated per-batch
+    emit — is SQL-oracled against the brute-force top-k; the genuinely
+    approximate path (n_probes < n_clusters) is recall-tested on clustered
+    corpora in pytest where partitioning is actually selective."""
     from ..stages.ann import knn_ivf
 
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return knn_ivf(ds, query_ids=[0, 1, 2, 3, 4], cfg=AnnConfig(k=5, n_clusters=16, n_probes=8))
+    return knn_ivf(ds, query_ids=[0, 1, 2, 3, 4], cfg=AnnConfig(k=5, n_clusters=16, n_probes=16))
 
 
 def docs_near_dup_verified(sf_dir: str):
@@ -797,6 +889,9 @@ QUERIES = {
     "docs_minhash_near_dup": docs_minhash_near_dup,
     "docs_simhash": docs_simhash,
     "docs_dedup_corpus": docs_dedup_corpus,
+    "docs_dedup_corpus_exact": docs_dedup_corpus_exact,
+    "docs_window_jaccard": docs_window_jaccard,
+    "docs_window_jaccard_clusters": docs_window_jaccard_clusters,
     "jsonl_mentions": jsonl_mentions,
     "emb_knn_top5": emb_knn_top5,
     "emb_knn_lsh_top5": emb_knn_lsh_top5,
@@ -994,6 +1089,71 @@ ORACLE_SQL = {
                    ) AS rank
             FROM q CROSS JOIN embeddings e
         ) WHERE rank <= 5
+    """,
+    "emb_knn_ivf_top5": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5)
+        SELECT query_id, vec_id, rank FROM (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id
+                   ) AS rank
+            FROM q CROSS JOIN embeddings e
+        ) WHERE rank <= 5
+    """,
+    "docs_window_jaccard": """
+        WITH g AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) >= 3
+                        THEN list_distinct(list_transform(
+                                 generate_series(1, length(text) - 2),
+                                 i -> substring(text, i, 3)))
+                        WHEN length(text) > 0 THEN [text]
+                        ELSE CAST([] AS VARCHAR[]) END AS grams
+            FROM documents
+        ), j AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) AS jac
+            FROM g a JOIN g b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+        )
+        SELECT a_id, b_id, CAST(round(jac * 1000000) AS BIGINT) / 1000000.0 AS jaccard
+        FROM j WHERE jac >= 0.2
+    """,
+    "docs_window_jaccard_clusters": """
+        WITH RECURSIVE g AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) >= 3
+                        THEN list_distinct(list_transform(
+                                 generate_series(1, length(text) - 2),
+                                 i -> substring(text, i, 3)))
+                        WHEN length(text) > 0 THEN [text]
+                        ELSE CAST([] AS VARCHAR[]) END AS grams
+            FROM documents
+        ), p AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM g a JOIN g b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) >= 0.5
+        ), e AS (
+            SELECT a_id AS src, b_id AS dst FROM p
+            UNION ALL SELECT b_id, a_id FROM p
+        ), reach(node, m) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, r.m FROM reach r JOIN e ON e.src = r.node
+        )
+        SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node
+    """,
+    "docs_dedup_corpus_exact": """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+            UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 20
+        ), reps AS (SELECT text, min(doc_id) AS rep_id FROM corpus GROUP BY text)
+        SELECT c.doc_id, r.rep_id AS dropped_for, 'exact_dup_of' AS reason
+        FROM corpus c JOIN reps r ON c.text = r.text
+        WHERE c.doc_id <> r.rep_id
     """,
     # docs_minhash_near_dup, docs_simhash, emb_knn_lsh_top5, emb_near_dup,
     # linkage_*: not SQL-expressible → rows-only checks (sketches / seeded
