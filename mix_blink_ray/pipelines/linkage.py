@@ -819,6 +819,21 @@ def run_linkage_incremental(
     prev_path = os.path.join(state_dir, "surface_preds")
     have_prev = os.path.isdir(prev_path) and os.listdir(prev_path)
 
+    # Surface predictions depend on the catalog + encoder: refuse to mix a
+    # state built against a different one (stale preds would silently blend
+    # with fresh scores — round-2 ADVICE, same contract as the index cache).
+    from ..stages.scoring import catalog_fingerprint
+
+    state_fp = catalog_fingerprint(catalog, cfg.scoring, encoder)
+    fp_path = os.path.join(state_dir, "catalog.fp")
+    if have_prev and os.path.exists(fp_path):
+        if open(fp_path).read().strip() != state_fp:
+            raise ValueError(
+                f"run_linkage_incremental: state at {state_dir!r} was built against "
+                "a different catalog/encoder (fingerprint mismatch); use a fresh "
+                "state_dir or re-seed it from a full run over the new catalog"
+            )
+
     mentions = transcripts.map_batches(extract_mentions, batch_format="pyarrow").materialize()
     surfaces = _contract_surfaces(mentions).materialize()
     n_surfaces = surfaces.count()
@@ -885,6 +900,10 @@ def run_linkage_incremental(
         os.replace(prev_path, old)
     os.replace(tmp, prev_path)
     shutil.rmtree(old, ignore_errors=True)
+    fp_tmp = fp_path + ".tmp"
+    with open(fp_tmp, "w") as f:
+        f.write(state_fp + "\n")
+    os.replace(fp_tmp, fp_path)
     all_preds = ray.data.read_parquet(prev_path)
 
     # Label the new batch's mentions: entity clusters are catalog-sized.

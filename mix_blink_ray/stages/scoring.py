@@ -56,6 +56,31 @@ __all__ = [
 
 _ROW_MIX = np.uint64(0xC2B2AE3D27D4EB4F)
 
+_FP_META_KEY = b"mbr_catalog_fingerprint"
+
+
+def catalog_fingerprint(catalog: pa.Table, cfg: "ScoringConfig", encoder: "Encoder | None") -> str:
+    """Content fingerprint of everything a cached index depends on: the
+    (entity_id, name) pairs, the encoder identity/dim, and the NIL config.
+    A cache whose persisted fingerprint differs is rebuilt, never trusted —
+    the id-set/dim check alone cannot see renamed entities or a different
+    encoder (round-2 ADVICE)."""
+    import hashlib
+
+    order = pc.sort_indices(catalog["entity_id"])
+    ids = pc.cast(pc.take(catalog["entity_id"], order), pa.string())
+    names = pc.fill_null(pc.cast(pc.take(catalog["name"], order), pa.string()), "")
+    joined = pc.binary_join_element_wise(ids, names, "\x1f")
+    data, offs = flat_utf8(joined)
+    h = hashlib.sha256()
+    h.update(data.tobytes())
+    h.update(offs.tobytes())  # row boundaries keep (a,bc) distinct from (ab,c)
+    enc_tag = type(encoder).__name__ if encoder is not None else HashNgramEncoder.__name__
+    h.update(
+        f"|dim={cfg.encoder_dim}|measure={cfg.measure}|nil={int(cfg.nil_sentinel)}:{cfg.nil_name}|enc={enc_tag}".encode()
+    )
+    return h.hexdigest()
+
 
 @dataclass(frozen=True)
 class ScoringConfig:
@@ -110,26 +135,27 @@ def build_catalog_index(
     catalog through the entity encoder into ``index.add``
     (``mix_blink/retriever/dense.py:68-84``).
 
-    ``cache_path``: reuse a persisted index (``save_catalog_index``) when it
-    matches this catalog (same id set and embedding dim) — with an expensive
-    encoder at 10⁶ entities, re-encoding every run is the reference's
-    ``build_index``-artifact cost this skips.  A stale/mismatched cache is
-    rebuilt and overwritten, never trusted."""
+    ``cache_path``: reuse a persisted index (``save_catalog_index``) only when
+    its persisted content fingerprint (:func:`catalog_fingerprint` — hash of
+    the (entity_id, name) pairs plus encoder identity/dim and NIL config,
+    stored in the parquet schema metadata) matches this catalog — with an
+    expensive encoder at 10⁶ entities, re-encoding every run is the
+    reference's ``build_index``-artifact cost this skips.  A stale/mismatched
+    cache (including same ids with renamed entities, or a different
+    encoder/measure) is rebuilt and overwritten, never trusted."""
     import os
 
     from ..functions.text import normalize
 
+    want_fp = catalog_fingerprint(catalog, cfg, encoder) if cache_path else None
     if cache_path and os.path.exists(cache_path):
-        cached = load_catalog_index(cache_path)
-        want_n = catalog.num_rows + (
-            1 if cfg.nil_sentinel and NIL_ID not in set(catalog["entity_id"].to_pylist()) else 0
-        )
-        if (
-            cached.emb.shape[1] == cfg.encoder_dim
-            and len(cached.entity_ids) == want_n
-            and set(cached.entity_ids) >= set(catalog["entity_id"].to_pylist())
-        ):
-            return cached
+        import pyarrow.parquet as pq_
+
+        meta = pq_.read_schema(cache_path).metadata or {}
+        if (meta.get(_FP_META_KEY) or b"").decode() == want_fp:
+            cached = load_catalog_index(cache_path)
+            if cached.emb.shape[1] == cfg.encoder_dim:
+                return cached
 
     encoder = encoder or HashNgramEncoder(dim=cfg.encoder_dim)
     if cfg.nil_sentinel and NIL_ID not in set(catalog["entity_id"].to_pylist()):
@@ -156,11 +182,11 @@ def build_catalog_index(
         emb=emb,
     )
     if cache_path:
-        save_catalog_index(index, cache_path)
+        save_catalog_index(index, cache_path, fingerprint=want_fp)
     return index
 
 
-def save_catalog_index(index: CatalogIndex, path: str) -> str:
+def save_catalog_index(index: CatalogIndex, path: str, fingerprint: str | None = None) -> str:
     """Persist a built catalog index as ONE parquet table (entity ids, names,
     normalized names, embedding as FixedSizeList<float32>) — the engine analog
     of the reference's serialized FAISS artifact (``mix_blink/retriever/
@@ -181,6 +207,8 @@ def save_catalog_index(index: CatalogIndex, path: str) -> str:
     )
     import os
 
+    if fingerprint is not None:
+        tbl = tbl.replace_schema_metadata({_FP_META_KEY: fingerprint.encode()})
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp"
     pq_.write_table(tbl, tmp)

@@ -84,3 +84,23 @@ def test_incremental_antijoin_membership_equals_broadcast(synth_small, tmp_path)
     m_b, st_b = run_linkage_incremental(rd.from_arrow(t2), synth_small["catalog"], cfg_j, s_b)
     assert st_a["n_novel"] == st_b["n_novel"] and st_a["n_known"] == st_b["n_known"]
     pd.testing.assert_frame_equal(_sorted(m_a.to_pandas()), _sorted(m_b.to_pandas()))
+
+
+def test_incremental_refuses_state_from_different_catalog(synth_small, tmp_path):
+    """Surface-pred state is catalog-dependent: a changed catalog must raise,
+    not silently blend stale and fresh predictions (round-2 ADVICE)."""
+    import pyarrow as pa
+    import pytest
+
+    t1, t2 = _halves(synth_small["transcripts"])
+    state = str(tmp_path / "state")
+    cfg = LinkageConfig()
+    run_linkage_incremental(rd.from_arrow(t1), synth_small["catalog"], cfg, state)
+    cat = synth_small["catalog"]
+    renamed = cat.set_column(
+        cat.schema.get_field_index("name"),
+        "name",
+        pa.array(["X-" + n for n in cat["name"].to_pylist()], pa.string()),
+    )
+    with pytest.raises(ValueError, match="fingerprint mismatch"):
+        run_linkage_incremental(rd.from_arrow(t2), renamed, cfg, state)

@@ -166,10 +166,11 @@ def test_nil_sentinel_catalog_row_mode():
     assert out_off["pred_id"][0].as_py() == NIL_ID  # below tau_nil → NIL
 
 
-def test_catalog_index_persistence_roundtrip(tmp_path):
+def test_catalog_index_persistence_roundtrip(tmp_path, monkeypatch):
     """save/load roundtrip is exact, and build_catalog_index(cache_path=...)
     reuses the artifact instead of re-encoding (reference build_index
-    artifact semantics, dense.py:124-137)."""
+    artifact semantics, dense.py:124-137) — but ONLY when the persisted
+    content fingerprint matches; a legacy artifact without one is rebuilt."""
     from mix_blink_ray.stages.scoring import (
         build_catalog_index,
         load_catalog_index,
@@ -186,21 +187,28 @@ def test_catalog_index_persistence_roundtrip(tmp_path):
     assert list(loaded.norm_names) == list(idx.norm_names)
     np.testing.assert_array_equal(loaded.emb, idx.emb)
 
-    class CountingEncoder(HashNgramEncoder):
-        calls = 0
+    calls = {"n": 0}
+    orig_encode = HashNgramEncoder.encode
 
-        def encode(self, arr):
-            CountingEncoder.calls += 1
-            return super().encode(arr)
+    def counting(self, arr):
+        calls["n"] += 1
+        return orig_encode(self, arr)
 
-    # cache hit: no encode call
-    out = build_catalog_index(catalog, encoder=CountingEncoder(dim=cfg.encoder_dim), cfg=cfg, cache_path=path)
-    assert CountingEncoder.calls == 0
+    monkeypatch.setattr(HashNgramEncoder, "encode", counting)
+
+    # legacy artifact (no fingerprint) is never trusted → one rebuild,
+    # which persists the fingerprint
+    out = build_catalog_index(catalog, cfg=cfg, cache_path=path)
+    assert calls["n"] == 1
     np.testing.assert_array_equal(out.emb, idx.emb)
+    # fingerprinted artifact + same catalog → cache hit, no encode call
+    out_b = build_catalog_index(catalog, cfg=cfg, cache_path=path)
+    assert calls["n"] == 1
+    np.testing.assert_array_equal(out_b.emb, idx.emb)
     # stale cache (different catalog) → rebuilt and overwritten
     bigger = make_catalog(["Acme Corp", "Globex Inc", "Initech LLC", "Umbra Labs"])
-    out2 = build_catalog_index(bigger, encoder=CountingEncoder(dim=cfg.encoder_dim), cfg=cfg, cache_path=path)
-    assert CountingEncoder.calls == 1
+    out2 = build_catalog_index(bigger, cfg=cfg, cache_path=path)
+    assert calls["n"] == 2
     assert len(out2.entity_ids) == 4
     assert len(load_catalog_index(path).entity_ids) == 4
 
@@ -241,3 +249,33 @@ def test_sharded_catalog_scoring_matches_broadcast(synth_small):
         rtol=0, atol=1e-6,
     )
     np.testing.assert_allclose(got["pred_score"], want["pred_score"], rtol=0, atol=1e-6)
+
+
+def test_catalog_index_cache_rejects_renamed_entities(tmp_path):
+    """Round-2 ADVICE: same id set + same dim but RENAMED entities must
+    rebuild the cached index, not silently reuse stale embeddings."""
+    import numpy as np
+    import pyarrow as pa
+
+    from mix_blink_ray.stages.scoring import ScoringConfig, build_catalog_index
+
+    cfg = ScoringConfig(encoder_dim=64)
+    cat1 = pa.table(
+        {
+            "entity_id": pa.array(["E1", "E2", "E3"], pa.string()),
+            "name": pa.array(["Steel Hawk", "Moon Garden", "Quantum Forge"], pa.string()),
+        }
+    )
+    cache = str(tmp_path / "idx.parquet")
+    idx1 = build_catalog_index(cat1, cfg=cfg, cache_path=cache)
+    # identical catalog -> cache hit, byte-identical embeddings
+    idx1b = build_catalog_index(cat1, cfg=cfg, cache_path=cache)
+    np.testing.assert_array_equal(idx1.emb, idx1b.emb)
+
+    cat2 = cat1.set_column(1, "name", pa.array(["Steel Hawk", "Moon Garden", "RENAMED Forge"], pa.string()))
+    idx2 = build_catalog_index(cat2, cfg=cfg, cache_path=cache)
+    assert list(idx2.names) == ["Steel Hawk", "Moon Garden", "RENAMED Forge"]
+    assert not np.array_equal(idx1.emb, idx2.emb)  # rebuilt, not reused
+    # and a different encoder dim also rebuilds rather than trusting the file
+    idx3 = build_catalog_index(cat2, cfg=ScoringConfig(encoder_dim=32), cache_path=cache)
+    assert idx3.emb.shape[1] == 32
