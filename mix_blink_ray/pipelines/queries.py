@@ -489,6 +489,129 @@ def events_sessionized(sf_dir: str):
     return prep.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+def events_lag_prev(sf_dir: str):
+    """Per-key LAG / as-of-previous join: each event gets the id of and the
+    time gap to the SAME USER's previous event (total order: ts, event_id).
+    ``groupby(user_id).map_groups`` with a vectorized in-group shift — the
+    ordered-window sibling of sessionization; skew bounded by the most
+    active user (documented partitioning assumption).  First events get -1
+    sentinels (null-free output for the value-hash compare)."""
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts"])
+    prep = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def lag_group(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("ts_us", "ascending"), ("event_id", "ascending")]
+        )
+        g = g.take(order)
+        ids = np.asarray(g["event_id"], dtype=np.int64)
+        ts = np.asarray(g["ts_us"], dtype=np.int64)
+        prev_id = np.concatenate([[-1], ids[:-1]])
+        gap = np.concatenate([[-1], ts[1:] - ts[:-1]])
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "event_id": g["event_id"],
+                "prev_event_id": pa.array(prev_id),
+                "gap_us": pa.array(gap),
+            }
+        )
+
+    return prep.groupby("user_id").map_groups(lag_group, batch_format="pyarrow")
+
+
+def events_value_histogram(sf_dir: str):
+    """Fixed-bucket histogram (floor(value)) with MAP-SIDE COMBINE: each
+    batch emits one partial-count row per bucket it saw (np.bincount), and
+    only the tiny (bucket, partial_n) rows shuffle into the final groupby —
+    the canonical pre-aggregation shape (never one row per event through
+    the exchange)."""
+    ds = _t(sf_dir, "events", ["value"])
+
+    def partial_hist(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["value"], dtype=np.float64)
+        bucket = np.floor(v).astype(np.int64)
+        lo = bucket.min() if len(bucket) else 0
+        counts = np.bincount(bucket - lo)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "bucket": pa.array(nz + lo),
+                "n_partial": pa.array(counts[nz].astype(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial_hist, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_partial", alias_name="n"))
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+_ANTI_BROADCAST_LIMIT = 30_000_000
+
+
+def customers_without_orders(sf_dir: str):
+    """Anti-join: customers with no HIGH-VALUE order (>300k — every customer
+    has at least one order in this data, so the filter keeps the result
+    non-trivial).  Small distinct-key side → broadcast set + inverted
+    ``pc.is_in`` (no shuffle); above ``_ANTI_BROADCAST_LIMIT`` keys →
+    partitioned left-outer join + null filter (the same duality every keyed
+    attach in this engine uses)."""
+    import ray
+
+    from ..stages.clustering import clamped_partitions
+
+    cust = _t(sf_dir, "customer", ["c_custkey"])
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    # filter at the read side, then contract to distinct keys per batch
+    # before any driver pull
+    okeys = orders.map_batches(
+        lambda b: pa.table(
+            {"o_custkey": pc.unique(b.filter(pc.greater(b["o_totalprice"], 300000.0))["o_custkey"])}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    n_keys = okeys.count()
+    if n_keys <= _ANTI_BROADCAST_LIMIT:
+        keys = pa.array(sorted(set(okeys.to_pandas()["o_custkey"])), pa.int64())
+        keys_ref = ray.put(keys)
+
+        def anti(b: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+            return b.filter(pc.invert(pc.is_in(b["c_custkey"], value_set=ks)))
+
+        out = cust.map_batches(anti, batch_format="pyarrow")
+    else:
+        marks = okeys.map_batches(
+            lambda b: pa.table(
+                {"o_custkey": b["o_custkey"], "has_order": pa.array([True] * b.num_rows)}
+            ),
+            batch_format="pyarrow",
+        ).groupby("o_custkey").aggregate(Count(alias_name="n_marks"))
+        np_ = clamped_partitions(n_keys, 16)
+        out = cust.join(
+            marks, join_type="left_outer", num_partitions=np_, on=("c_custkey",), right_on=("o_custkey",)
+        ).map_batches(
+            lambda b: b.filter(pc.is_null(b["n_marks"])).select(["c_custkey"]),
+            batch_format="pyarrow",
+        )
+    df = out.to_pandas()
+    if df.empty:  # schema-preserving empty (empty Datasets lose column info)
+        return pa.table({"c_custkey": pa.array([], pa.int64())})
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 # ── documents: text operators ───────────────────────────────────────────────
 
 
@@ -872,6 +995,9 @@ QUERIES = {
     "events_user_sessions": events_user_sessions,
     "events_sessionized": events_sessionized,
     "events_top3_per_type": events_top3_per_type,
+    "events_lag_prev": events_lag_prev,
+    "events_value_histogram": events_value_histogram,
+    "customers_without_orders": customers_without_orders,
     "docs_normalize": docs_normalize,
     "docs_token_stats": docs_token_stats,
     "docs_tokens": docs_tokens,
@@ -1100,6 +1226,22 @@ ORACLE_SQL = {
                    ) AS rank
             FROM q CROSS JOIN embeddings e
         ) WHERE rank <= 5
+    """,
+    "events_lag_prev": """
+        SELECT user_id, event_id,
+               coalesce(lag(event_id) OVER w, -1) AS prev_event_id,
+               coalesce(epoch_us(ts) - epoch_us(lag(ts) OVER w), -1) AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "events_value_histogram": """
+        SELECT CAST(floor(value) AS BIGINT) AS bucket, count(*) AS n
+        FROM events GROUP BY 1
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
     """,
     "docs_window_jaccard": """
         WITH g AS (
