@@ -168,6 +168,26 @@ def cmd_build_index(args) -> None:
     print(json.dumps({"entities": len(index.entity_ids), "dim": int(index.emb.shape[1]), "out": args.out}))
 
 
+def cmd_ann_index(args) -> None:
+    """Build and persist the IVF ANN index over an embeddings parquet table:
+    distributed k-means centroids + vec_id→cluster assignments (see
+    stages/ann.py save_ann_index).  A later ``knn_ivf(...,
+    centroids=load_ann_index(dir).centroids)`` query skips every k-means
+    round — the reference's serialized-retriever round-trip
+    (``mix_blink/retriever/dense.py:124-151``) for the embedding corpus."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .stages.ann import AnnConfig, kmeans_centroids, save_ann_index
+
+    cfg = AnnConfig(n_clusters=args.clusters, kmeans_iters=args.iters)
+    ds = rd.read_parquet(args.embeddings)
+    cents = kmeans_centroids(ds, cfg)
+    save_ann_index(args.out, cents, embeddings=ds, cfg=cfg)
+    print(json.dumps({"n_clusters": len(cents), "dim": int(cents.shape[1]), "out": args.out}))
+    ray.shutdown()
+
+
 def cmd_candidates(args) -> None:
     """Reference ``get_candidate`` workflow (cli/get_candidates.py): per
     mention, top-k candidates + gold-excluded hard negatives, written as a
@@ -281,6 +301,14 @@ def main(argv: list[str] | None = None) -> None:
     bi.add_argument("--nil", action="store_true", help="append the [NIL] sentinel row")
     bi.add_argument("--out", required=True)
     bi.set_defaults(fn=cmd_build_index)
+
+    ai = sub.add_parser("ann-index", help="embeddings parquet → persisted IVF index (centroids + assignments)")
+    ai.add_argument("--embeddings", required=True)
+    ai.add_argument("--out", required=True)
+    ai.add_argument("--clusters", type=int, default=64)
+    ai.add_argument("--iters", type=int, default=5)
+    ai.add_argument("--num-cpus", type=int, default=None)
+    ai.set_defaults(fn=cmd_ann_index)
 
     cp = sub.add_parser("candidates", help="per-mention top-k candidates + hard negatives (JSONL)")
     cp.add_argument("--transcripts", required=True)

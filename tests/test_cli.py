@@ -69,3 +69,23 @@ def test_cli_dedup(tmp_path):
     assert res["n_docs"] == 4 and res["n_exact_dropped"] == 1
     kept = pq.read_table(str(tmp_path / "kept"))
     assert kept.num_rows == 3
+
+
+def test_cli_ann_index(tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "ivf")
+    r = subprocess.run(
+        [sys.executable, "-m", "mix_blink_ray.cli", "ann-index",
+         "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+         "--out", out, "--clusters", "8", "--iters", "2", "--num-cpus", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["n_clusters"] == 8
+    assert os.path.exists(os.path.join(out, "centroids.parquet"))
+    assert os.path.isdir(os.path.join(out, "assignments"))
