@@ -33,7 +33,10 @@ def topk_rows(ds: Dataset, keys: list[str], descending: list[bool], k: int) -> p
             return b
         return b.take(pc.sort_indices(b, sort_keys=sort_keys).slice(0, k))
 
-    refs = ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    # materialize() first: to_arrow_refs() on a LAZY dataset takes a slower
+    # non-streaming execution path in Ray 2.49 (~1s overhead measured at
+    # sf0.1); on a materialized dataset it is just a ref handout.
+    refs = ds.map_batches(partial, batch_format="pyarrow").materialize().to_arrow_refs()
     tables = [t for t in ray.get(refs) if t.num_rows]
     if not tables:
         empty = ds.schema()
