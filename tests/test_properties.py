@@ -99,3 +99,60 @@ def test_decode_bio_spans_invariants(tags):
             covered.add(i)
     # every non-O token is covered by exactly one span
     assert covered == {i for i, t in enumerate(tags) if t != "O"}
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.text(max_size=30), min_size=1, max_size=8),
+    st.data(),
+)
+def test_char_to_byte_offsets_matches_python_slicing(strs, data):
+    """For ANY unicode rows and ANY in-range char offsets, converting char →
+    byte offsets and slicing the flat buffer must equal Python str slicing
+    (the reference's dataset.py:85-92 contract)."""
+    from mix_blink_ray.functions.hashing import char_to_byte_offsets, gather_substrings
+
+    arr = pa.array(strs, pa.large_string())
+    d, off = flat_utf8(arr)
+    starts_c, ends_c = [], []
+    for s in strs:
+        a = data.draw(st.integers(0, len(s)))
+        b = data.draw(st.integers(a, len(s) + 3))  # may exceed → clamps
+        starts_c.append(a)
+        ends_c.append(b)
+    bs = char_to_byte_offsets(d, off, np.array(starts_c, dtype=np.int64))
+    be = char_to_byte_offsets(d, off, np.array(ends_c, dtype=np.int64))
+    got = gather_substrings(d, bs, be).to_pylist()
+    assert got == [s[a:b] for s, a, b in zip(strs, starts_c, ends_c)]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(1, 6),   # Q
+    st.integers(1, 12),  # C
+    st.integers(1, 15),  # k
+    st.integers(0, 2**31 - 1),
+)
+def test_emit_query_topk_properties(q, c, k, seed):
+    """≤ Q·k rows, only finite sims, and per query exactly the top-min(k, finite)
+    candidates by (cosine desc, vec_id asc)."""
+    from mix_blink_ray.stages.ann import _emit_query_topk
+
+    rng = np.random.RandomState(seed)
+    sims = rng.randn(q, c)
+    sims[rng.rand(q, c) < 0.3] = -np.inf
+    q_ids = np.arange(100, 100 + q, dtype=np.int64)
+    cand = rng.permutation(1000)[:c].astype(np.int64)
+    t = _emit_query_topk(q_ids, cand, sims, k).to_pandas()
+    assert len(t) <= q * k
+    assert np.isfinite(t["cosine"]).all()
+    for qi in range(q):
+        finite = np.flatnonzero(np.isfinite(sims[qi]))
+        want_n = min(k, len(finite))
+        got = t[t["query_id"] == q_ids[qi]]
+        assert len(got) == want_n
+        # emitted set == the top want_n by similarity (ties: any of the tied)
+        order = sorted(finite, key=lambda j: (-sims[qi, j], cand[j]))
+        kth = sims[qi, order[want_n - 1]] if want_n else None
+        for _, r in got.iterrows():
+            assert r["cosine"] >= kth - 1e-12
