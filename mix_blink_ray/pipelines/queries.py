@@ -979,6 +979,134 @@ def emb_near_dup(sf_dir: str):
     return _round(pa.Table.from_pandas(out, preserve_index=False), {"cosine": 6})
 
 
+# ── training-data curation additions (round-3 continuation) ─────────────────
+
+
+def events_value_quantiles(sf_dir: str):
+    """Exact per-group quantiles WITHOUT a global sort: cent-quantized
+    map-side histogram combine → tiny (group, cell) groupby → driver reads
+    quantiles off the merged weighted histogram (see ``stages.quantiles``).
+    Shuffle volume is ``n_groups × distinct_cents`` rows, row-count free."""
+    from ..stages.quantiles import grouped_exact_quantiles
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    return grouped_exact_quantiles(ds, "event_type", "value", [0.5, 0.9, 0.99], scale=100.0)
+
+
+def events_range_bins(sf_dir: str):
+    """Broadcast RANGE JOIN: a small bin-boundary table (40 × 25-unit bins)
+    joined to events on ``lo <= value < hi`` via ``np.searchsorted`` per
+    batch — the non-equi join the Dataset API lacks, expressed as a
+    broadcast + vectorized bisect with map-side count/sum combine (only
+    per-bin partials enter the exchange)."""
+    ds = _t(sf_dir, "events", ["value"])
+    n_bins = 40
+    edges = np.arange(0.0, (n_bins + 1) * 25.0, 25.0)
+
+    def binjoin(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["value"], dtype=np.float64)
+        idx = np.searchsorted(edges, v, side="right") - 1
+        m = (idx >= 0) & (idx < n_bins)
+        idx, v = idx[m], v[m]
+        cents = np.rint(v * 100.0).astype(np.int64)
+        n = np.bincount(idx, minlength=n_bins)
+        s = np.bincount(idx, weights=cents.astype(np.float64), minlength=n_bins).astype(np.int64)
+        nz = np.flatnonzero(n)
+        return pa.table(
+            {
+                "bin_id": pa.array(nz.astype(np.int64)),
+                "n_partial": pa.array(n[nz].astype(np.int64)),
+                "c_partial": pa.array(s[nz]),
+            }
+        )
+
+    agg = (
+        ds.map_batches(binjoin, batch_format="pyarrow")
+        .groupby("bin_id")
+        .aggregate(Sum("n_partial", alias_name="n"), Sum("c_partial", alias_name="c"))
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    bins = np.asarray(tbl["bin_id"], dtype=np.int64)
+    return pa.table(
+        {
+            "bin_id": tbl["bin_id"],
+            "lo": pa.array(bins * 25.0),
+            "hi": pa.array((bins + 1) * 25.0),
+            "n": tbl["n"],
+            "total_value": pc.divide(pc.cast(tbl["c"], pa.float64()), pa.scalar(100.0)),
+        }
+    )
+
+
+def events_distinct_users(sf_dir: str):
+    """Distinct-count with map-side dedup: per-batch distinct
+    (event_type, user_id) pairs (an in-batch Arrow group_by), one pair
+    groupby for the global dedup, then a tiny per-type count — the exchange
+    carries distinct pairs, never raw events."""
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+    pairs = (
+        ds.map_batches(
+            lambda b: b.group_by(["event_type", "user_id"]).aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="n_dup"))
+    )
+    out = (
+        pairs.map_batches(lambda b: b.select(["event_type"]), batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def docs_sample_hash(sf_dir: str):
+    """Deterministic ~10% corpus sample (Lehmer hash filter — reproducible
+    under Ray task retry, shuffle-free; see ``stages.sampling``)."""
+    from ..stages.sampling import hash_sample
+
+    ds = _t(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return hash_sample(ds, "doc_id", keep_mod=10, keep_residue=3)
+
+
+def docs_sample_stratified(sf_dir: str):
+    """Per-source deterministic reservoir: the 5 smallest-hash docs of each
+    stratum (per-batch partial top-k, then a per-stratum merge — shuffle
+    bounded by k × strata × blocks)."""
+    from ..stages.sampling import stratified_sample
+
+    ds = _t(sf_dir, "documents", ["doc_id", "source"])
+    return stratified_sample(ds, "doc_id", "source", k=5)
+
+
+def docs_vocab_top50(sf_dir: str):
+    """Corpus vocabulary: map-side-combined wordcount + partial top-k merge
+    (never a full sort; ties break on token)."""
+    from ..stages.topk import topk_rows
+    from ..stages.vocab import token_counts
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return topk_rows(token_counts(ds, "text"), ["n", "token"], [True, False], 50)
+
+
+def docs_top_terms(sf_dir: str):
+    """Per-doc top-3 terms by (tf DESC, df ASC, token) — integer-exact
+    tf-idf-style keyword extraction with a broadcast df table."""
+    from ..stages.vocab import top_terms_per_doc
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return top_terms_per_doc(ds, k=3)
+
+
+def docs_inverted_index(sf_dir: str):
+    """token → (df, sorted posting list) via map-side pair dedup + one
+    groupby(token) assembly."""
+    from ..stages.vocab import inverted_index
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return inverted_index(ds)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -1026,6 +1154,14 @@ QUERIES = {
     "emb_norms": emb_norms,
     "emb_near_dup": emb_near_dup,
     "emb_near_dup_exact": emb_near_dup_exact,
+    "events_value_quantiles": events_value_quantiles,
+    "events_range_bins": events_range_bins,
+    "events_distinct_users": events_distinct_users,
+    "docs_sample_hash": docs_sample_hash,
+    "docs_sample_stratified": docs_sample_stratified,
+    "docs_vocab_top50": docs_vocab_top50,
+    "docs_top_terms": docs_top_terms,
+    "docs_inverted_index": docs_inverted_index,
 }
 
 
@@ -1296,6 +1432,80 @@ ORACLE_SQL = {
         SELECT c.doc_id, r.rep_id AS dropped_for, 'exact_dup_of' AS reason
         FROM corpus c JOIN reps r ON c.text = r.text
         WHERE c.doc_id <> r.rep_id
+    """,
+    "events_value_quantiles": """
+        SELECT event_type,
+               quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5) / 100.0 AS p50,
+               quantile_disc(CAST(round(value * 100) AS BIGINT), 0.9) / 100.0 AS p90,
+               quantile_disc(CAST(round(value * 100) AS BIGINT), 0.99) / 100.0 AS p99
+        FROM events GROUP BY event_type
+    """,
+    "events_range_bins": """
+        WITH bins AS (
+            SELECT unnest(generate_series(0, 39)) AS bin_id
+        ), b2 AS (
+            SELECT bin_id, bin_id * 25.0 AS lo, (bin_id + 1) * 25.0 AS hi FROM bins
+        )
+        SELECT b2.bin_id, b2.lo, b2.hi, count(*) AS n,
+               sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0 AS total_value
+        FROM events e JOIN b2 ON e.value >= b2.lo AND e.value < b2.hi
+        GROUP BY b2.bin_id, b2.lo, b2.hi
+    """,
+    "events_distinct_users": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """,
+    "docs_sample_hash": """
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE (doc_id % 2147483647) * 48271 % 2147483647 % 10 = 3
+    """,
+    "docs_sample_stratified": """
+        SELECT doc_id, source, sample_h FROM (
+            SELECT doc_id, source,
+                   (doc_id % 2147483647) * 48271 % 2147483647 AS sample_h,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY (doc_id % 2147483647) * 48271 % 2147483647, doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= 5
+    """,
+    "docs_vocab_top50": """
+        SELECT token, count(*) AS n FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents
+        ) GROUP BY token ORDER BY n DESC, token LIMIT 50
+    """,
+    "docs_top_terms": """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+        ), df AS (
+            SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+        )
+        SELECT doc_id, token, tf, df FROM (
+            SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, df.df ASC, tf.token
+                   ) AS rn
+            FROM tf JOIN df USING (token)
+        ) WHERE rn <= 3
+    """,
+    "docs_inverted_index": """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+            FROM documents
+        ), p AS (
+            SELECT DISTINCT doc_id, token FROM tok
+        )
+        SELECT token, count(*) AS df,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        FROM p GROUP BY token
     """,
     # docs_minhash_near_dup, docs_simhash, emb_knn_lsh_top5, emb_near_dup,
     # linkage_*: not SQL-expressible → rows-only checks (sketches / seeded

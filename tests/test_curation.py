@@ -1,0 +1,102 @@
+"""Unit tests for the round-3 curation stages: deterministic sampling,
+exact grouped quantiles, vocabulary/top-terms/inverted-index operators.
+The SQL-parity path is covered by test_queries; these cover the properties
+the oracle can't see — retry determinism, cross-block merges, guard rails.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from mix_blink_ray.stages.quantiles import grouped_exact_quantiles
+from mix_blink_ray.stages.sampling import hash_sample, lehmer_hash, stratified_sample
+from mix_blink_ray.stages.vocab import token_counts, top_terms_per_doc
+
+
+def _docs(n=60):
+    rng = np.random.RandomState(5)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    texts = [" ".join(rng.choice(words, size=rng.randint(3, 12))) for _ in range(n)]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "source": pa.array([f"s{i % 4}" for i in range(n)]),
+            "text": pa.array(texts),
+        }
+    )
+
+
+def test_lehmer_hash_matches_sql_semantics():
+    ids = np.array([0, 1, 7, 2147483646, 2147483647, 10**12], dtype=np.int64)
+    h = lehmer_hash(ids)
+    for i, v in zip(ids, h):
+        assert v == (int(i) % 2147483647) * 48271 % 2147483647
+    assert (h >= 0).all() and (h < 2147483647).all()
+
+
+def test_hash_sample_deterministic_and_partition_invariant(ray_session):
+    tbl = _docs(200)
+    a = hash_sample(rd.from_arrow(tbl).repartition(7), "doc_id", 10, 3).to_pandas()
+    b = hash_sample(rd.from_arrow(tbl).repartition(2), "doc_id", 10, 3).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert len(a) > 0
+    assert a.equals(b)  # sample is a pure function of the data, not the plan
+    with pytest.raises(ValueError):
+        hash_sample(rd.from_arrow(tbl), "doc_id", 10, 10)
+
+
+def test_stratified_sample_cross_block_merge(ray_session):
+    """The per-batch partial top-k must compose to the global per-stratum
+    top-k regardless of partitioning."""
+    tbl = _docs(120)
+    out = {}
+    for parts in (1, 9):
+        df = (
+            stratified_sample(rd.from_arrow(tbl).repartition(parts), "doc_id", "source", 5)
+            .to_pandas()
+            .sort_values(["source", "doc_id"])
+            .reset_index(drop=True)
+        )
+        out[parts] = df
+    assert out[1].equals(out[9])
+    counts = out[9].groupby("source").size()
+    assert (counts == 5).all()
+    # and it IS the k smallest hashes per stratum
+    h = lehmer_hash(np.arange(120, dtype=np.int64))
+    for s, g in out[9].groupby("source"):
+        stratum_ids = [i for i in range(120) if f"s{i % 4}" == s]
+        want = sorted(stratum_ids, key=lambda i: (h[i], i))[:5]
+        assert sorted(g["doc_id"]) == sorted(want)
+
+
+def test_grouped_exact_quantiles_vs_numpy(ray_session):
+    rng = np.random.RandomState(11)
+    vals = np.round(rng.uniform(0, 400, size=5000), 2)
+    groups = rng.choice(["a", "b", "c"], size=5000)
+    tbl = pa.table({"g": pa.array(groups), "v": pa.array(vals)})
+    got = grouped_exact_quantiles(
+        rd.from_arrow(tbl).repartition(6), "g", "v", [0.5, 0.9, 0.99]
+    ).to_pandas().set_index("g")
+    for g in "abc":
+        cells = np.sort(np.rint(vals[groups == g] * 100).astype(np.int64))
+        for q, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            rank = int(np.ceil(q * len(cells)))  # quantile_disc, 1-based
+            assert got.loc[g, col] == cells[rank - 1] / 100.0
+
+
+def test_top_terms_vocab_guard(ray_session):
+    ds = rd.from_arrow(_docs(30))
+    with pytest.raises(ValueError, match="max_broadcast_vocab"):
+        top_terms_per_doc(ds, k=2, max_broadcast_vocab=2)
+
+
+def test_token_counts_partition_invariant(ray_session):
+    tbl = _docs(80)
+    a = token_counts(rd.from_arrow(tbl).repartition(1)).to_pandas().sort_values("token").reset_index(drop=True)
+    b = token_counts(rd.from_arrow(tbl).repartition(8)).to_pandas().sort_values("token").reset_index(drop=True)
+    assert a.equals(b)
+    # total token mass conserved
+    n_tokens = sum(len(t.split()) for t in tbl["text"].to_pylist())
+    assert a["n"].sum() == n_tokens
