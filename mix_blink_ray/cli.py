@@ -219,6 +219,42 @@ def cmd_candidates(args) -> None:
     ray.shutdown()
 
 
+def cmd_sample(args) -> None:
+    """Deterministic corpus sampling (stages/sampling.py): rate mode keeps
+    ~1/mod of rows by Lehmer hash; stratified mode keeps the k smallest-hash
+    rows per stratum.  Reproducible under Ray task retry — the sample is a
+    pure function of the key column."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .stages.sampling import hash_sample, stratified_sample
+
+    ds = rd.read_parquet(args.docs)
+    if args.stratum:
+        out = stratified_sample(ds, args.key, args.stratum, args.k)
+    else:
+        out = hash_sample(ds, args.key, args.mod, args.residue)
+    out.write_parquet(_fresh_dir(args.out))
+    print(json.dumps({"rows": rd.read_parquet(args.out).count(), "out": args.out}))
+    ray.shutdown()
+
+
+def cmd_vocab(args) -> None:
+    """Corpus vocabulary artifacts (stages/vocab.py): global token counts
+    (map-side combined), doc frequencies, or the inverted index."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .stages.vocab import doc_frequencies, inverted_index, token_counts
+
+    ds = rd.read_parquet(args.docs)
+    fn = {"counts": token_counts, "df": doc_frequencies, "index": inverted_index}[args.mode]
+    out = fn(ds, text_col=args.text_col)
+    out.write_parquet(_fresh_dir(args.out))
+    print(json.dumps({"rows": rd.read_parquet(args.out).count(), "mode": args.mode, "out": args.out}))
+    ray.shutdown()
+
+
 def cmd_eval(args) -> None:
     import pyarrow.parquet as pq
 
@@ -318,6 +354,25 @@ def main(argv: list[str] | None = None) -> None:
     cp.add_argument("--out", required=True)
     cp.add_argument("--num-cpus", type=int, default=None)
     cp.set_defaults(fn=cmd_candidates)
+
+    smp = sub.add_parser("sample", help="deterministic corpus sample (rate or stratified)")
+    smp.add_argument("--docs", required=True)
+    smp.add_argument("--key", default="doc_id")
+    smp.add_argument("--mod", type=int, default=10, help="rate mode: keep ~1/mod of rows")
+    smp.add_argument("--residue", type=int, default=0)
+    smp.add_argument("--stratum", default=None, help="stratified mode: group column")
+    smp.add_argument("--k", type=int, default=5, help="stratified mode: rows kept per stratum")
+    smp.add_argument("--out", required=True)
+    smp.add_argument("--num-cpus", type=int, default=None)
+    smp.set_defaults(fn=cmd_sample)
+
+    vp = sub.add_parser("vocab", help="token counts / doc frequencies / inverted index")
+    vp.add_argument("--docs", required=True)
+    vp.add_argument("--mode", default="counts", choices=["counts", "df", "index"])
+    vp.add_argument("--text-col", default="text")
+    vp.add_argument("--out", required=True)
+    vp.add_argument("--num-cpus", type=int, default=None)
+    vp.set_defaults(fn=cmd_vocab)
 
     ep = sub.add_parser("eval", help="pairwise P/R/F1 vs a gold mentions table")
     ep.add_argument("--transcripts", required=True)

@@ -540,15 +540,15 @@ def events_value_histogram(sf_dir: str):
     def partial_hist(b: pa.Table) -> pa.Table:
         v = np.asarray(b["value"], dtype=np.float64)
         bucket = np.floor(v).astype(np.int64)
-        lo = bucket.min() if len(bucket) else 0
-        counts = np.bincount(bucket - lo)
-        nz = np.flatnonzero(counts)
-        return pa.table(
-            {
-                "bucket": pa.array(nz + lo),
-                "n_partial": pa.array(counts[nz].astype(np.int64)),
-            }
-        )
+        if len(bucket) and bucket.max() - bucket.min() < 1 << 24:
+            lo = bucket.min()
+            counts = np.bincount(bucket - lo)
+            nz = np.flatnonzero(counts)
+            uniq, cnt = nz + lo, counts[nz].astype(np.int64)
+        else:  # outlier-wide domain: O(n log n) unique, never O(range) memory
+            uniq, cnt = np.unique(bucket, return_counts=True)
+            cnt = cnt.astype(np.int64)
+        return pa.table({"bucket": pa.array(uniq), "n_partial": pa.array(cnt)})
 
     out = (
         ds.map_batches(partial_hist, batch_format="pyarrow")

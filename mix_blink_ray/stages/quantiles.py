@@ -50,12 +50,17 @@ def grouped_exact_quantiles(
         # few groups per batch in practice; bincount per group stays vectorized
         for g in np.unique(groups):
             gc = cells[groups == g]
-            lo = gc.min()
-            counts = np.bincount(gc - lo)
-            nz = np.flatnonzero(counts)
-            out_g.append(np.full(len(nz), g, dtype=object))
-            out_c.append(nz + lo)
-            out_n.append(counts[nz].astype(np.int64))
+            lo, hi = gc.min(), gc.max()
+            if hi - lo < 1 << 24:  # dense domain: O(range) bincount
+                counts = np.bincount(gc - lo)
+                nz = np.flatnonzero(counts)
+                uniq, cnt = nz + lo, counts[nz].astype(np.int64)
+            else:  # outlier-wide domain: O(n log n) unique, never O(range) memory
+                uniq, cnt = np.unique(gc, return_counts=True)
+                cnt = cnt.astype(np.int64)
+            out_g.append(np.full(len(uniq), g, dtype=object))
+            out_c.append(uniq)
+            out_n.append(cnt)
         if not out_g:
             return pa.table(
                 {group_col: pa.array([], b[group_col].type), "cell": pa.array([], pa.int64()), "n_partial": pa.array([], pa.int64())}

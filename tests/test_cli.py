@@ -89,3 +89,22 @@ def test_cli_ann_index(tmp_path):
     assert info["n_clusters"] == 8
     assert os.path.exists(os.path.join(out, "centroids.parquet"))
     assert os.path.isdir(os.path.join(out, "assignments"))
+
+
+def test_cli_sample_and_vocab(tmp_path):
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    res = _run(["sample", "--docs", docs, "--mod", "10", "--residue", "3",
+                "--out", str(tmp_path / "rate"), "--num-cpus", "2"])
+    assert 0 < res["rows"] < 500
+    res2 = _run(["sample", "--docs", docs, "--stratum", "source", "--k", "3",
+                 "--out", str(tmp_path / "strat"), "--num-cpus", "2"])
+    strat = pq.read_table(str(tmp_path / "strat"))
+    assert res2["rows"] == strat.num_rows
+    import collections
+    per = collections.Counter(strat["source"].to_pylist())
+    assert all(v == 3 for v in per.values())
+    res3 = _run(["vocab", "--docs", docs, "--mode", "index",
+                 "--out", str(tmp_path / "idx"), "--num-cpus", "2"])
+    idx = pq.read_table(str(tmp_path / "idx"))
+    assert res3["rows"] == idx.num_rows
+    assert set(idx.column_names) == {"token", "df", "postings"}
