@@ -1060,6 +1060,150 @@ def events_distinct_users(sf_dir: str):
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def events_sliding_1h(sf_dir: str):
+    """Sliding RANGE-frame window (1 hour preceding, peers included): per
+    user, count and exact cent-sum of events in ``[ts-1h, ts]``.  In-group
+    two-pointer via ``np.searchsorted`` over the time-sorted stream + one
+    cumsum — O(n log n) per group, no per-row Python; skew bounded by the
+    most active user (same partitioning assumption as sessionization)."""
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    prep = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+                "cents": _cents(b["value"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    HOUR_US = 3_600_000_000
+
+    def win(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g, sort_keys=[("ts_us", "ascending"), ("event_id", "ascending")]))
+        ts = np.asarray(g["ts_us"], dtype=np.int64)
+        cents = np.asarray(g["cents"], dtype=np.int64)
+        lo = np.searchsorted(ts, ts - HOUR_US, side="left")   # inclusive frame start
+        hi = np.searchsorted(ts, ts, side="right")            # RANGE frame includes peers
+        cs = np.concatenate([[0], np.cumsum(cents)])
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "event_id": g["event_id"],
+                "n_1h": pa.array(hi - lo),
+                "sum_1h": pa.array((cs[hi] - cs[lo]).astype(np.float64) / 100.0),
+            }
+        )
+
+    return prep.groupby("user_id").map_groups(win, batch_format="pyarrow")
+
+
+def events_purchase_asof_view(sf_dir: str):
+    """AS-OF JOIN between two event streams: each purchase matched to the
+    SAME USER's most recent view at-or-before it (-1 sentinels when none).
+    Both streams are filtered map-side (only purchase/view rows enter the
+    exchange), then one ``groupby(user)`` + an in-group ``searchsorted``
+    does the temporal match — the composition-(a) as-of join (sort within
+    key partitions), no all-pairs anywhere.  View-time ties dedup to the
+    smallest event_id so the match is deterministic (the oracle's QUALIFY
+    does the same)."""
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    prep = ds.map_batches(
+        lambda b: (
+            lambda f: pa.table(
+                {
+                    "user_id": f["user_id"],
+                    "event_id": f["event_id"],
+                    "ts_us": pc.cast(f["ts"], pa.int64()),
+                    "is_view": pc.equal(f["event_type"], pa.scalar("view")),
+                }
+            )
+        )(b.filter(pc.is_in(b["event_type"], value_set=pa.array(["purchase", "view"])))),
+        batch_format="pyarrow",
+    )
+
+    def asof(g: pa.Table) -> pa.Table:
+        is_view = np.asarray(g["is_view"], dtype=bool)
+        ts = np.asarray(g["ts_us"], dtype=np.int64)
+        ids = np.asarray(g["event_id"], dtype=np.int64)
+        v_order = np.lexsort((ids[is_view], ts[is_view]))
+        vts, vids = ts[is_view][v_order], ids[is_view][v_order]
+        # dedup view-time ties to the FIRST (smallest event_id) per ts
+        if len(vts):
+            first = np.concatenate([[True], vts[1:] != vts[:-1]])
+            vts, vids = vts[first], vids[first]
+        pts, pids = ts[~is_view], ids[~is_view]
+        if len(pts) == 0:
+            return pa.table(
+                {
+                    "purchase_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], g["user_id"].type),
+                    "view_id": pa.array([], pa.int64()),
+                    "gap_us": pa.array([], pa.int64()),
+                }
+            )
+        idx = np.searchsorted(vts, pts, side="right") - 1
+        hit = idx >= 0
+        view_id = np.where(hit, vids[np.clip(idx, 0, None)], -1)
+        gap = np.where(hit, pts - vts[np.clip(idx, 0, None)], -1)
+        return pa.table(
+            {
+                "purchase_id": pa.array(pids),
+                "user_id": g.filter(pa.array(~is_view))["user_id"],
+                "view_id": pa.array(view_id),
+                "gap_us": pa.array(gap),
+            }
+        )
+
+    return prep.groupby("user_id").map_groups(asof, batch_format="pyarrow")
+
+
+def events_rollup(sf_dir: str):
+    """Multi-granularity ROLLUP — (type, day) / (type) / grand total — from
+    ONE map-side partial: each batch pre-aggregates (type, day) cells with
+    an in-batch Arrow group_by, the tiny cell table shuffles once, and the
+    coarser levels are derived from the merged base ON THE DRIVER (the base
+    is types × days rows — the whole point of rollup from partials: never
+    re-scan, never re-shuffle).  'ALL' sentinels keep the output null-free
+    for the value-hash compare."""
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cells = pa.table(
+            {
+                "event_type": b["event_type"],
+                "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+                "cents": _cents(b["value"]),
+            }
+        )
+        g = cells.group_by(["event_type", "day"]).aggregate([("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["event_type", "day", "c_partial", "n_partial"])
+
+    base = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n_partial", alias_name="n"), Sum("c_partial", alias_name="c"))
+    )
+    df = base.to_pandas()
+    by_type = df.groupby("event_type", as_index=False)[["n", "c"]].sum()
+    by_type["day"] = "ALL"
+    total = pa.table(
+        {
+            "event_type": pa.array(["ALL"]),
+            "day": pa.array(["ALL"]),
+            "n": pa.array([int(df["n"].sum())], pa.int64()),
+            "c": pa.array([int(df["c"].sum())], pa.int64()),
+        }
+    ).to_pandas()
+    import pandas as pd
+
+    out = pd.concat([df, by_type[["event_type", "day", "n", "c"]], total], ignore_index=True)
+    out["total_value"] = out.pop("c").astype(np.float64) / 100.0
+    return pa.Table.from_pandas(out[["event_type", "day", "n", "total_value"]], preserve_index=False)
+
+
 def docs_sample_hash(sf_dir: str):
     """Deterministic ~10% corpus sample (Lehmer hash filter — reproducible
     under Ray task retry, shuffle-free; see ``stages.sampling``)."""
@@ -1162,6 +1306,9 @@ QUERIES = {
     "docs_vocab_top50": docs_vocab_top50,
     "docs_top_terms": docs_top_terms,
     "docs_inverted_index": docs_inverted_index,
+    "events_sliding_1h": events_sliding_1h,
+    "events_purchase_asof_view": events_purchase_asof_view,
+    "events_rollup": events_rollup,
 }
 
 
@@ -1506,6 +1653,34 @@ ORACLE_SQL = {
         SELECT token, count(*) AS df,
                string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
         FROM p GROUP BY token
+    """,
+    "events_sliding_1h": """
+        SELECT user_id, event_id,
+               count(*) OVER w AS n_1h,
+               sum(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0 AS sum_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    "events_purchase_asof_view": """
+        WITH views AS (
+            SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+            QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1
+        ), p AS (
+            SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id AS purchase_id, p.user_id,
+               COALESCE(v.event_id, -1) AS view_id,
+               COALESCE(date_diff('microsecond', v.ts, p.ts), -1) AS gap_us
+        FROM p ASOF LEFT JOIN views v ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    "events_rollup": """
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR), 'ALL') AS day,
+               count(*) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+        FROM events
+        GROUP BY ROLLUP(event_type, CAST(date_trunc('day', ts) AS DATE))
     """,
     # docs_minhash_near_dup, docs_simhash, emb_knn_lsh_top5, emb_near_dup,
     # linkage_*: not SQL-expressible → rows-only checks (sketches / seeded
