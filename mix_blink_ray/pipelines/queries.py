@@ -1251,6 +1251,247 @@ def docs_inverted_index(sf_dir: str):
     return inverted_index(ds)
 
 
+# ── round-3 batch 2: semi-join / promo share / scrub / quantile gate /
+# split assignment / multi-way join / HLL sketch ─────────────────────────────
+
+
+def q4_order_priority(sf_dir: str):
+    """EXISTS semi-join (TPC-H Q4 shape): orders with at least one RETURNED
+    lineitem, counted per priority.  The lineitem side contracts map-side to
+    distinct order keys, then the same broadcast-set / partitioned-join
+    duality as ``customers_without_orders`` (keys ≤ limit → ``pc.is_in``, no
+    shuffle; above → inner join on the distinct-key table)."""
+    import ray
+
+    from ..stages.clustering import clamped_partitions
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+    rkeys = li.map_batches(
+        lambda b: pa.table(
+            {"l_orderkey": pc.unique(b.filter(pc.equal(b["l_returnflag"], "R"))["l_orderkey"])}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    n_keys = rkeys.count()
+    if n_keys <= _SEMI_BROADCAST_LIMIT:
+        keys = pa.array(sorted(set(rkeys.to_pandas()["l_orderkey"])), pa.int64())
+        keys_ref = ray.put(keys)
+
+        def semi(b: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            return b.filter(pc.is_in(b["o_orderkey"], value_set=ks)).select(["o_orderpriority"])
+
+        src = orders.map_batches(semi, batch_format="pyarrow")
+    else:
+        marks = rkeys.groupby("l_orderkey").aggregate(Count(alias_name="n_marks"))
+        np_ = clamped_partitions(n_keys, 16)
+        src = orders.join(
+            marks, join_type="inner", num_partitions=np_, on=("o_orderkey",), right_on=("l_orderkey",)
+        ).select_columns(["o_orderpriority"])
+    out = src.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def q14_promo_share(sf_dir: str):
+    """Conditional aggregate over a broadcast dimension join (TPC-H Q14
+    shape): share of discounted revenue from PROMO-type parts.  The part
+    table ships once as a promo-key set (``ray.put``); each lineitem batch
+    computes exact integer c4 revenue partials (promo, total) — only two
+    int64 cells per batch reach the driver; the final ratio is one scalar
+    division replayed identically in the oracle SQL."""
+    import ray
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_type"])
+    ptbl = pa.Table.from_pandas(part.to_pandas(), preserve_index=False)
+    promo = ptbl.filter(pc.equal(ptbl["p_type"], "PROMO"))["p_partkey"]
+    promo_ref = ray.put(pc.cast(promo, pa.int64()).combine_chunks())
+
+    li = _t(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            _cents(b["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(b["l_discount"])),
+        )
+        is_promo = pc.is_in(b["l_partkey"], value_set=ray.get(promo_ref))
+        promo_c4 = pc.sum(pc.if_else(is_promo, rev, pa.scalar(0, pa.int64()))).as_py() or 0
+        total_c4 = pc.sum(rev).as_py() or 0
+        return pa.table(
+            {"promo_c4": pa.array([promo_c4], pa.int64()), "total_c4": pa.array([total_c4], pa.int64())}
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .aggregate(Sum("promo_c4", alias_name="p"), Sum("total_c4", alias_name="t"))
+    )
+    p_c4, t_c4 = int(agg["p"]), int(agg["t"])
+    # both sides: double((100.0 * p) / t), then the scale-round idiom at 4 dp
+    share = (100.0 * float(p_c4)) / float(t_c4)
+    share4 = float(int(share * 10000.0 + 0.5)) / 10000.0
+    return pa.table(
+        {
+            "promo_share": pa.array([share4], pa.float64()),
+            "promo_revenue": pa.array([float(p_c4) / 10000.0], pa.float64()),
+            "total_revenue": pa.array([float(t_c4) / 10000.0], pa.float64()),
+        }
+    )
+
+
+def docs_regex_scrub(sf_dir: str):
+    """Regex scrub/mask (the PII-redaction operator shape: in production the
+    pattern is emails/phones; this corpus has no digits, so the masked class
+    is a token set).  Both engine (pyarrow RE2) and oracle (DuckDB RE2) run
+    the same pattern, per-batch, fully vectorized."""
+    pat = r"\b(key|hash|index)\b"
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "scrubbed": pc.cast(
+                    pc.replace_substring_regex(b["text"], pattern=pat, replacement="<MASK>"),
+                    pa.string(),
+                ),
+                "n_masked": pc.cast(pc.count_substring_regex(b["text"], pattern=pat), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def events_p95_filter(sf_dir: str):
+    """Quantile-gated filter (the quality-gate composition): global exact p95
+    of ``value`` via the shuffle-free cent-histogram (pass 1), broadcast the
+    single threshold cell, then filter + per-type exact aggregate (pass 2).
+    Neither pass sorts; the threshold is one scalar, never a shuffle."""
+    from ..stages.quantiles import grouped_exact_quantiles
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    const = ds.map_batches(
+        lambda b: pa.table(
+            {"g": pa.array(np.zeros(b.num_rows, dtype=np.int64)), "value": b["value"]}
+        ),
+        batch_format="pyarrow",
+    )
+    q = grouped_exact_quantiles(const, "g", "value", [0.95], scale=100.0)
+    p95_cents = int(round(float(q["p95"][0].as_py()) * 100.0))
+
+    def flt(b: pa.Table) -> pa.Table:
+        cents = _cents(b["value"])
+        keep = pc.greater(cents, pa.scalar(p95_cents, pa.int64()))
+        return pa.table({"event_type": b["event_type"], "cents": cents}).filter(keep)
+
+    out = (
+        ds.map_batches(flt, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="c"))
+    )
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "event_type": tbl["event_type"],
+            "n": tbl["n"],
+            "total_value": pc.divide(pc.cast(tbl["c"], pa.float64()), pa.scalar(100.0)),
+        }
+    )
+
+
+def docs_split_assign(sf_dir: str):
+    """Deterministic train/val/test assignment (8/1/1 by Lehmer hash of the
+    key — the canonical reproducible corpus split: stable under retries,
+    shuffle-free, replayable in SQL).  Returns per-(source, split) counts +
+    exact char totals so the whole assignment is value-checked."""
+    ds = _t(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        h = (ids % 2147483647) * 48271 % 2147483647
+        r = h % 10
+        split = np.where(r < 8, "train", np.where(r == 8, "val", "test"))
+        return pa.table(
+            {
+                "source": b["source"],
+                "split": pa.array(split.astype(object)),
+                "n_chars": b["n_chars"],
+            }
+        )
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby(["source", "split"])
+        .aggregate(Count(alias_name="n"), Sum("n_chars", alias_name="sum_chars"))
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def nation_order_revenue(sf_dir: str):
+    """Multi-way dimension join (orders ⋈ customer ⋈ nation) without
+    shuffling the fact table: the two dimension maps broadcast once
+    (``ray.put``); each orders batch resolves custkey → nationkey → one
+    bincount partial per nation — only ≤ n_nations rows per batch enter the
+    exchange.  Above the broadcast limit the engine's partitioned-join path
+    applies (same duality as q3/q4; customer is dimension-sized here)."""
+    import ray
+
+    nat = pa.Table.from_pandas(_t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas(), preserve_index=False)
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    ctbl = pa.Table.from_pandas(cust.to_pandas(), preserve_index=False)
+    order_ck = np.argsort(np.asarray(ctbl["c_custkey"], dtype=np.int64))
+    ckeys = np.asarray(ctbl["c_custkey"], dtype=np.int64)[order_ck]
+    cnat = np.asarray(ctbl["c_nationkey"], dtype=np.int64)[order_ck]
+    lut_ref = ray.put((ckeys, cnat))
+    n_nations = nat.num_rows
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ck, cn = ray.get(lut_ref)
+        oc = np.asarray(b["o_custkey"], dtype=np.int64)
+        pos = np.searchsorted(ck, oc)
+        pos = np.clip(pos, 0, len(ck) - 1)
+        valid = ck[pos] == oc  # orders with no customer row drop (inner join)
+        nk = cn[pos[valid]]
+        cents = np.asarray(_cents(b["o_totalprice"]), dtype=np.int64)[valid]
+        n = np.bincount(nk, minlength=n_nations)
+        s = np.bincount(nk, weights=cents.astype(np.float64), minlength=n_nations).astype(np.int64)
+        nz = np.flatnonzero(n)
+        return pa.table(
+            {
+                "n_nationkey": pa.array(nz.astype(np.int64)),
+                "n_partial": pa.array(n[nz].astype(np.int64)),
+                "c_partial": pa.array(s[nz]),
+            }
+        )
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_nationkey")
+        .aggregate(Sum("n_partial", alias_name="n_orders"), Sum("c_partial", alias_name="c"))
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    name_idx = pc.index_in(tbl["n_nationkey"], value_set=pc.cast(nat["n_nationkey"], pa.int64()).combine_chunks())
+    return pa.table(
+        {
+            "n_name": pc.take(nat["n_name"].combine_chunks(), name_idx),
+            "n_orders": tbl["n_orders"],
+            "total_revenue": pc.divide(pc.cast(tbl["c"], pa.float64()), pa.scalar(100.0)),
+        }
+    )
+
+
+def events_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate per-type distinct users (p=12 → ~1.6% error,
+    fixed 4 KiB of registers per group no matter the row count — the sketch
+    the exact pair-dedup path can't match at 100 TB; see
+    ``stages.sketches``).  No SQL oracle (sketch, not SQL semantics);
+    correctness = error-bound + partition-invariance pytest."""
+    from ..stages.sketches import hll_distinct
+
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+    return hll_distinct(ds, "event_type", "user_id", p=12)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -1309,6 +1550,13 @@ QUERIES = {
     "events_sliding_1h": events_sliding_1h,
     "events_purchase_asof_view": events_purchase_asof_view,
     "events_rollup": events_rollup,
+    "q4_order_priority": q4_order_priority,
+    "q14_promo_share": q14_promo_share,
+    "docs_regex_scrub": docs_regex_scrub,
+    "events_p95_filter": events_p95_filter,
+    "docs_split_assign": docs_split_assign,
+    "nation_order_revenue": nation_order_revenue,
+    "events_approx_distinct_users": events_approx_distinct_users,
 }
 
 
@@ -1681,6 +1929,69 @@ ORACLE_SQL = {
                sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
         FROM events
         GROUP BY ROLLUP(event_type, CAST(date_trunc('day', ts) AS DATE))
+    """,
+    "q4_order_priority": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+        )
+        GROUP BY o_orderpriority
+    """,
+    "q14_promo_share": """
+        WITH rev AS (
+            SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c4,
+                   p_type
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ), sums AS (
+            SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_c4 ELSE 0 END) AS BIGINT) AS p,
+                   CAST(sum(rev_c4) AS BIGINT) AS t
+            FROM rev
+        )
+        SELECT CAST(round((100.0 * p) / t * 10000) AS BIGINT) / 10000.0 AS promo_share,
+               p / 10000.0 AS promo_revenue,
+               t / 10000.0 AS total_revenue
+        FROM sums
+    """,
+    "docs_regex_scrub": """
+        SELECT doc_id,
+               regexp_replace(text, '\\b(key|hash|index)\\b', '<MASK>', 'g') AS scrubbed,
+               CAST(length(regexp_extract_all(text, '\\b(key|hash|index)\\b')) AS BIGINT) AS n_masked
+        FROM documents
+    """,
+    "events_p95_filter": """
+        WITH thresh AS (
+            SELECT quantile_disc(CAST(round(value * 100) AS BIGINT), 0.95) AS p95c FROM events
+        )
+        SELECT event_type, count(*) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+        FROM events, thresh
+        WHERE CAST(round(value * 100) AS BIGINT) > p95c
+        GROUP BY event_type
+    """,
+    "docs_split_assign": """
+        SELECT source,
+               CASE WHEN h % 10 < 8 THEN 'train'
+                    WHEN h % 10 = 8 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM (
+            SELECT source, n_chars,
+                   (doc_id % 2147483647) * 48271 % 2147483647 AS h
+            FROM documents
+        )
+        GROUP BY 1, 2
+    """,
+    "nation_order_revenue": """
+        SELECT n_name, count(*) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
     """,
     # docs_minhash_near_dup, docs_simhash, emb_knn_lsh_top5, emb_near_dup,
     # linkage_*: not SQL-expressible → rows-only checks (sketches / seeded

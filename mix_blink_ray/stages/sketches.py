@@ -1,0 +1,122 @@
+"""Distributed cardinality sketch (HyperLogLog) with map-side register merge.
+
+Exact ``COUNT(DISTINCT)`` needs every distinct key to cross the exchange
+(see ``queries.events_distinct_users``).  At 100 TB the distinct set itself
+can be too large to shuffle; the standard answer is a mergeable sketch whose
+size is FIXED (``m = 2**p`` one-byte registers per group) no matter how many
+rows or distinct values stream through.  HyperLogLog register merge is
+element-wise ``max`` — associative, commutative, idempotent — so the Ray
+plan is: per-batch registers (vectorized numpy), emit only the nonzero
+``(group, register, rho)`` rows, one small ``groupby(...).max()`` to merge,
+and a driver-side estimate over ``groups × m`` rows.  Shuffle volume is
+bounded by ``groups × m`` after combine — row-count free.
+
+Determinism: the value hash is splitmix64 (a fixed public mixing constant
+set), so estimates are bit-stable across runs, batch sizes, and partition
+layouts (max-merge is order-free) — asserted by the partition-invariance
+test.  Relative error ≈ 1.04/sqrt(m) (~1.6% at p=12).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+from ray.data.aggregate import Max
+
+__all__ = ["hll_distinct", "splitmix64"]
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 (public-domain constants)."""
+    x = x.astype(np.uint64, copy=True)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _clz64(w: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros over uint64 (binary-search shifts; no
+    float log2 — uint64 → f64 is lossy above 2**53 and misrounds near powers
+    of two)."""
+    x = w.copy()
+    n = np.zeros(len(w), dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        thresh = np.uint64(1) << np.uint64(64 - s)
+        m = x < thresh  # top s bits are zero
+        n[m] += s
+        x[m] <<= np.uint64(s)
+    return n  # w == 0 → 63 (callers mask the all-zero case explicitly)
+
+
+def _register_partials(b: pa.Table, group_col: str, value_col: str, p: int) -> pa.Table:
+    m = 1 << p
+    vals = np.asarray(b[value_col], dtype=np.int64).view(np.uint64)
+    h = splitmix64(vals)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)  # register index: top p bits
+    w = h << np.uint64(p)  # suffix bits, left-aligned
+    rho = np.where(w == 0, np.int64(64 - p + 1), _clz64(w) + 1).astype(np.int64)
+    groups = b[group_col].to_numpy(zero_copy_only=False)
+    out_g, out_r, out_v = [], [], []
+    for g in np.unique(groups):  # few groups per batch; inner ops vectorized
+        gm = groups == g
+        regs = np.zeros(m, dtype=np.int64)
+        np.maximum.at(regs, idx[gm], rho[gm])
+        nz = np.flatnonzero(regs)
+        out_g.append(np.full(len(nz), g, dtype=object))
+        out_r.append(nz.astype(np.int64))
+        out_v.append(regs[nz])
+    if not out_g:
+        return pa.table(
+            {
+                group_col: pa.array([], b[group_col].type),
+                "reg": pa.array([], pa.int64()),
+                "rho": pa.array([], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            group_col: pa.array(np.concatenate(out_g)),
+            "reg": pa.array(np.concatenate(out_r)),
+            "rho": pa.array(np.concatenate(out_v)),
+        }
+    )
+
+
+def _estimate(regs: np.ndarray, p: int) -> float:
+    """Standard HLL estimator with the small-range linear-counting correction
+    (Flajolet et al. 2007).  64-bit hashes need no large-range correction."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if raw <= 2.5 * m and zeros > 0:
+        return m * np.log(m / zeros)
+    return float(raw)
+
+
+def hll_distinct(ds: Dataset, group_col: str, value_col: str, p: int = 12) -> pa.Table:
+    """Approximate per-group distinct count of an int64 column.
+
+    Returns ``(group_col, approx_distinct)`` with the estimate rounded to
+    int64.  The merged register table (≤ groups × 2**p rows) is the only
+    driver-side materialization.
+    """
+    merged = (
+        ds.map_batches(
+            lambda b: _register_partials(b, group_col, value_col, p),
+            batch_format="pyarrow",
+        )
+        .groupby([group_col, "reg"])
+        .aggregate(Max("rho", alias_name="rho"))
+        .to_pandas()
+    )
+    m = 1 << p
+    out_g, out_n = [], []
+    for g, sub in merged.groupby(group_col, sort=True):
+        regs = np.zeros(m, dtype=np.int64)
+        regs[sub["reg"].to_numpy()] = sub["rho"].to_numpy()
+        out_g.append(g)
+        out_n.append(int(round(_estimate(regs, p))))
+    return pa.table({group_col: pa.array(out_g), "approx_distinct": pa.array(out_n, pa.int64())})

@@ -1,0 +1,72 @@
+"""HyperLogLog sketch: hash/clz unit tests, error bound vs exact distinct,
+and partition invariance (register max-merge is order- and batching-free)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from mix_blink_ray.stages.sketches import _clz64, _estimate, hll_distinct, splitmix64
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_splitmix64_known_vector():
+    # splitmix64(seed=0) first output — the published reference value
+    out = splitmix64(np.array([0], dtype=np.uint64))
+    assert out[0] == np.uint64(0xE220A8397B1DCDAF)
+
+
+def test_clz64_matches_bit_length():
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [
+            rng.integers(1, 2**63, size=200, dtype=np.uint64),
+            np.array([1, 2, 3, 2**32, 2**52, 2**63, 2**64 - 1], dtype=np.uint64),
+        ]
+    )
+    got = _clz64(vals)
+    want = np.array([64 - int(v).bit_length() for v in vals], dtype=np.int64)
+    np.testing.assert_array_equal(got, want)
+    assert _clz64(np.array([0], dtype=np.uint64))[0] == 63  # callers mask zero
+
+
+def test_estimate_linear_counting_small_n():
+    # tiny cardinality → linear-counting regime is near-exact
+    p = 12
+    m = 1 << p
+    h = splitmix64(np.arange(100, dtype=np.uint64))
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h << np.uint64(p)
+    rho = np.where(w == 0, np.int64(64 - p + 1), _clz64(w) + 1)
+    regs = np.zeros(m, dtype=np.int64)
+    np.maximum.at(regs, idx, rho)
+    assert abs(_estimate(regs, p) - 100) <= 5  # linear-counting variance at n=100, m=4096
+
+
+def test_hll_error_bound_vs_exact(ray_session):
+    con = duckdb.connect()
+    exact = {
+        r[0]: r[1]
+        for r in con.sql(
+            f"SELECT event_type, count(DISTINCT user_id) FROM '{SF_DIR}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    }
+    ds = rd.read_parquet(f"{SF_DIR}/events.parquet", columns=["event_type", "user_id"])
+    got = hll_distinct(ds, "event_type", "user_id", p=12)
+    assert got.num_rows == len(exact)
+    for et, approx in zip(got["event_type"].to_pylist(), got["approx_distinct"].to_pylist()):
+        n = exact[et]
+        assert abs(approx - n) <= max(1, 0.05 * n), (et, approx, n)
+
+
+def test_hll_partition_invariant(ray_session):
+    tbl = pa.table(
+        {
+            "g": pa.array(["a"] * 500 + ["b"] * 300),
+            "v": pa.array(list(range(500)) + list(range(1000, 1300)), pa.int64()),
+        }
+    )
+    a = hll_distinct(rd.from_arrow(tbl).repartition(2), "g", "v", p=10)
+    b = hll_distinct(rd.from_arrow(tbl).repartition(7), "g", "v", p=10)
+    assert a.to_pydict() == b.to_pydict()
