@@ -1492,6 +1492,129 @@ def events_approx_distinct_users(sf_dir: str):
     return hll_distinct(ds, "event_type", "user_id", p=12)
 
 
+def events_value_cume_dist(sf_dir: str):
+    """Per-row ``cume_dist`` within each event type WITHOUT the global sort
+    the window function implies: the cent-histogram of values per type is
+    merged once (shuffle ∝ types × distinct cells, row-count free), its
+    cumulative counts broadcast, and every event row gets its rank by a
+    vectorized ``searchsorted`` lookup — the all-to-all ORDER BY becomes a
+    broadcast + map."""
+    import ray
+
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.asarray(_cents(b["value"]), dtype=np.int64)
+        types = b["event_type"].to_numpy(zero_copy_only=False)
+        out_t, out_c, out_n = [], [], []
+        for t in np.unique(types):
+            gc = cents[types == t]
+            uniq, cnt = np.unique(gc, return_counts=True)
+            out_t.append(np.full(len(uniq), t, dtype=object))
+            out_c.append(uniq)
+            out_n.append(cnt.astype(np.int64))
+        return pa.table(
+            {
+                "event_type": pa.array(np.concatenate(out_t) if out_t else [], pa.string()),
+                "cell": pa.array(np.concatenate(out_c) if out_c else [], pa.int64()),
+                "n_partial": pa.array(np.concatenate(out_n) if out_n else [], pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "cell"])
+        .aggregate(Sum("n_partial", alias_name="n"))
+        .to_pandas()
+    )
+    lut = {}
+    for t, sub in hist.groupby("event_type", sort=False):
+        cells = sub["cell"].to_numpy()
+        order = np.argsort(cells, kind="stable")
+        cells = cells[order]
+        cum = np.cumsum(sub["n"].to_numpy()[order]).astype(np.int64)
+        lut[t] = (cells, cum, int(cum[-1]))
+    lut_ref = ray.put(lut)
+
+    def assign(b: pa.Table) -> pa.Table:
+        lu = ray.get(lut_ref)
+        cents = np.asarray(_cents(b["value"]), dtype=np.int64)
+        types = b["event_type"].to_numpy(zero_copy_only=False)
+        out = np.empty(len(cents), dtype=np.float64)
+        for t in np.unique(types):
+            m = types == t
+            cells, cum, total = lu[t]
+            pos = np.searchsorted(cells, cents[m])  # exact hit guaranteed
+            out[m] = cum[pos].astype(np.float64) / float(total)
+        return pa.table(
+            {"event_id": b["event_id"], "event_type": b["event_type"], "cume": pa.array(out)}
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def users_click_no_purchase(sf_dir: str):
+    """Distinct-set EXCEPT: users who clicked but never made a purchase over
+    $200 (every user has *some* purchase in the synth data, so the value gate
+    is what makes the anti-join non-trivial).  Both sides contract map-side to
+    distinct keys; the (smaller) high-value-purchase set broadcasts below the
+    limit, else the partitioned left-outer anti-join — the same duality as
+    ``customers_without_orders``."""
+    import ray
+
+    from ..stages.clustering import clamped_partitions
+
+    ds = _t(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def distinct_of(etype: str, min_value: float | None = None):
+        def pick(b: pa.Table, et=etype, mv=min_value) -> pa.Table:
+            mask = pc.equal(b["event_type"], et)
+            if mv is not None:
+                mask = pc.and_(mask, pc.greater(b["value"], mv))
+            return pa.table({"user_id": pc.unique(b.filter(mask)["user_id"])})
+
+        return (
+            ds.map_batches(pick, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Count(alias_name="n_dup"))
+        )
+
+    clicks = distinct_of("click").materialize()
+    buys = distinct_of("purchase", min_value=200.0).materialize()
+    n_buy = buys.count()
+    if n_buy <= _ANTI_BROADCAST_LIMIT:
+        keys = pa.array(sorted(buys.to_pandas()["user_id"]), pa.int64())
+        keys_ref = ray.put(keys)
+        out = clicks.map_batches(
+            lambda b: pa.table(
+                {
+                    "user_id": b.filter(
+                        pc.invert(pc.is_in(b["user_id"], value_set=ray.get(keys_ref)))
+                    )["user_id"]
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        np_ = clamped_partitions(n_buy, 16)
+        marks = buys.map_batches(
+            lambda b: pa.table(
+                {"buy_uid": b["user_id"], "has_buy": pa.array([True] * b.num_rows)}
+            ),
+            batch_format="pyarrow",
+        )
+        out = clicks.join(
+            marks, join_type="left_outer", num_partitions=np_, on=("user_id",), right_on=("buy_uid",)
+        ).map_batches(
+            lambda b: pa.table({"user_id": b.filter(pc.is_null(b["has_buy"]))["user_id"]}),
+            batch_format="pyarrow",
+        )
+    df = out.to_pandas()
+    if df.empty:
+        return pa.table({"user_id": pa.array([], pa.int64())})
+    return pa.table({"user_id": pa.array(sorted(df["user_id"]), pa.int64())})
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -1557,6 +1680,8 @@ QUERIES = {
     "docs_split_assign": docs_split_assign,
     "nation_order_revenue": nation_order_revenue,
     "events_approx_distinct_users": events_approx_distinct_users,
+    "events_value_cume_dist": events_value_cume_dist,
+    "users_click_no_purchase": users_click_no_purchase,
 }
 
 
@@ -1992,6 +2117,20 @@ ORACLE_SQL = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
+    """,
+    "events_value_cume_dist": """
+        SELECT event_id, event_type,
+               cume_dist() OVER (
+                   PARTITION BY event_type
+                   ORDER BY CAST(round(value * 100) AS BIGINT)
+               ) AS cume
+        FROM events
+    """,
+    "users_click_no_purchase": """
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 200.0
     """,
     # docs_minhash_near_dup, docs_simhash, emb_knn_lsh_top5, emb_near_dup,
     # linkage_*: not SQL-expressible → rows-only checks (sketches / seeded
