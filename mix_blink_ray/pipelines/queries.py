@@ -1484,8 +1484,8 @@ def events_approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate per-type distinct users (p=12 → ~1.6% error,
     fixed 4 KiB of registers per group no matter the row count — the sketch
     the exact pair-dedup path can't match at 100 TB; see
-    ``stages.sketches``).  No SQL oracle (sketch, not SQL semantics);
-    correctness = error-bound + partition-invariance pytest."""
+    ``stages.sketches``).  Oracled: the sketch is deterministic arithmetic,
+    replayed bit-exact in DuckDB HUGEINT SQL (``_build_hll_oracle``)."""
     from ..stages.sketches import hll_distinct
 
     ds = _t(sf_dir, "events", ["event_type", "user_id"])
@@ -2245,6 +2245,120 @@ def _build_text_oracles() -> None:
 
 
 _build_text_oracles()
+
+
+def _build_hll_oracle(p: int = 12) -> None:
+    """The HLL sketch IS deterministic integer+float arithmetic — replay it
+    exactly in DuckDB.  splitmix64 runs in HUGEINT mod-2^64 (the 64×64-bit
+    multiply is split into 32-bit halves so the int128 product never
+    overflows; verified bit-exact against the numpy path over 5000 ids),
+    rho comes from an exact power-of-two join (no float log2), and the
+    estimator replays ``stages.sketches._estimate`` including the
+    linear-counting branch.  Generated next to the engine's own constants so
+    the two sides cannot drift."""
+    m = 1 << p
+    m64 = "CAST(18446744073709551616 AS HUGEINT)"
+
+    def mulmod(col: str, c: int) -> str:
+        hi, lo = c >> 32, c & 0xFFFFFFFF
+        return (
+            f"(((({col} % 4294967296) * {hi}) % 4294967296) "
+            f"* 4294967296 + {col} * {lo}) % {m64}"
+        )
+
+    pow2 = ", ".join(f"({k}, CAST({1 << k} AS HUGEINT))" for k in range(64))
+    c1 = 0x9E3779B97F4A7C15
+    c2, c3 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    ORACLE_SQL["events_approx_distinct_users"] = f"""
+        WITH pow2(k, p2) AS (VALUES {pow2}),
+        v AS (
+            SELECT DISTINCT event_type, CAST(user_id AS HUGEINT) AS uid
+            FROM events
+        ),
+        s1 AS (SELECT event_type,
+                      (((uid % {m64}) + {m64}) % {m64} + {c1}) % {m64} AS x
+               FROM v),
+        s2 AS (SELECT event_type, {mulmod("xor(x, x >> 30)", c2)} AS x FROM s1),
+        s3 AS (SELECT event_type, {mulmod("xor(x, x >> 27)", c3)} AS x FROM s2),
+        hashed AS (SELECT event_type, xor(x, x >> 31) AS h FROM s3),
+        rows_rho AS (
+            SELECT event_type,
+                   h >> {64 - p} AS reg,
+                   CASE WHEN (h * {m}) % {m64} = 0 THEN {64 - p + 1}
+                        ELSE 64 - (SELECT max(k) FROM pow2
+                                   WHERE p2 <= (h * {m}) % {m64})
+                   END AS rho
+            FROM hashed
+        ),
+        merged AS (
+            SELECT event_type, reg, max(rho) AS rho
+            FROM rows_rho GROUP BY event_type, reg
+        ),
+        est AS (
+            SELECT event_type,
+                   count(*) AS nonzero,
+                   {m} - count(*) AS zeros,
+                   sum(power(2.0::DOUBLE, -rho)) AS snz
+            FROM merged GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(round(
+                   CASE WHEN (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / {m}))
+                             * {m} * {m} / (snz + zeros) <= 2.5::DOUBLE * {m}
+                             AND zeros > 0
+                        THEN {m} * ln(CAST({m} AS DOUBLE) / zeros)
+                        ELSE (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / {m}))
+                             * {m} * {m} / (snz + zeros)
+                   END) AS BIGINT) AS approx_distinct
+        FROM est
+    """
+
+
+_build_hll_oracle()
+
+
+def _build_simhash_oracle() -> None:
+    """SimHash is deterministic arithmetic too: per char-3-gram polynomial
+    hash (``functions.hashing.char_ngram_hashes``) → 64 per-bit majority
+    votes → fingerprint.  Replayed in DuckDB with the SAME ``_P`` constant
+    imported from the engine (so the two sides cannot drift): gram hash =
+    ``(b0·P² + b1·P + b2) mod 2^64`` over HUGEINT (bytes < 256, so no int128
+    overflow), bit votes via a 64-row pow2 cross join, fingerprint as the
+    sum of winning powers of two.  Assumes ASCII text (char == byte, true of
+    the synth ``documents`` table) and rows ≥ 3 chars (no ``include_short``
+    fallback rows; min synth doc length is 47)."""
+    from ..functions.hashing import _P
+
+    p_int = int(_P)
+    m = 1 << 64
+    p1, p2c = p_int % m, (p_int * p_int) % m
+    m64 = "CAST(18446744073709551616 AS HUGEINT)"
+    pow2 = ", ".join(f"({k}, CAST({1 << k} AS HUGEINT))" for k in range(64))
+    ORACLE_SQL["docs_simhash"] = f"""
+        WITH pow2(bit, p2) AS (VALUES {pow2}),
+        t AS (SELECT doc_id, lower(text) AS tl FROM documents),
+        pos AS (SELECT doc_id, tl, unnest(range(1, length(tl) - 1)) AS p FROM t),
+        g AS (SELECT doc_id,
+                     (CAST(ord(substr(tl, p, 1)) AS HUGEINT) * {p2c}
+                      + CAST(ord(substr(tl, p + 1, 1)) AS HUGEINT) * {p1}
+                      + ord(substr(tl, p + 2, 1))) % {m64} AS h
+              FROM pos),
+        votes AS (
+            SELECT doc_id, bit,
+                   sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM g CROSS JOIN pow2 GROUP BY doc_id, bit
+        ),
+        fp AS (
+            SELECT doc_id, sum(CASE WHEN s > 0 THEN p2 ELSE 0 END) AS f
+            FROM votes JOIN pow2 USING (bit) GROUP BY doc_id
+        )
+        SELECT doc_id,
+               lower(lpad(hex(CAST(f AS HUGEINT)), 16, '0')) AS simhash_hex
+        FROM fp
+    """
+
+
+_build_simhash_oracle()
 
 # The jsonl_mentions oracle reads the fixture path directly — make sure the
 # fixture exists as soon as this module is imported (the driver may run the
