@@ -2360,6 +2360,122 @@ def _build_simhash_oracle() -> None:
 
 _build_simhash_oracle()
 
+
+def _build_minhash_oracle() -> None:
+    """The 'seeded' MinHash+LSH near-dup pipeline is ALSO deterministic
+    arithmetic end-to-end, so it gets a full DuckDB replay: token polynomial
+    hashes (``hash_strings``: length-seeded, 64-byte cap), word-3-shingle
+    rolling hashes, 128 affine permutations (coefficients embedded from
+    ``_perm_coeffs(128, 42)`` — the SAME RandomState draw the engine uses),
+    per-band slice equality for candidates (true slice equality == the
+    engine's 64-bit band-key equality modulo negligible hash collisions), and
+    the all-perm signature-Jaccard verify.  All mod-2^64 products use the
+    32-bit-split trick so HUGEINT never overflows.  Assumes every document
+    has ≥ 3 tokens (no short-row shingle branch; synth min is 10) and ASCII
+    text (char == byte)."""
+    from ..functions.hashing import _P, _SEED_MIX, _perm_coeffs
+
+    p_int, mix = int(_P), int(_SEED_MIX)
+    m = 1 << 64
+    m64 = "CAST(18446744073709551616 AS HUGEINT)"
+
+    def mulmod(col: str, c: int) -> str:
+        hi, lo = c >> 32, c & 0xFFFFFFFF
+        return (
+            f"(((({col} % 4294967296) * {hi}) % 4294967296) "
+            f"* 4294967296 + {col} * {lo}) % {m64}"
+        )
+
+    powt = ", ".join(f"({k}, CAST({pow(p_int, k, m)} AS HUGEINT))" for k in range(65))
+    a, b = _perm_coeffs(128, 42)
+    perms = ", ".join(
+        f"({j}, {int(a[j]) >> 32}, {int(a[j]) & 0xFFFFFFFF}, CAST({int(b[j])} AS HUGEINT))"
+        for j in range(128)
+    )
+    p2 = pow(p_int, 2, m)
+    minhash_ctes = f"""powt(e, pe) AS (VALUES {powt}),
+        perms(j, a_hi, a_lo, bc) AS (VALUES {perms}),
+        t AS (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+              FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS w,
+                       unnest(range(1, len(toks) + 1)) AS ti FROM t),
+        tokb AS (SELECT doc_id, ti, w, least(length(w), 64) AS L,
+                        unnest(range(1, least(length(w), 64) + 1)) AS i FROM tok),
+        bysum AS (
+            SELECT doc_id, ti, any_value(L) AS L,
+                   (CAST(any_value(length(w)) AS HUGEINT) * {p_int} + {mix})
+                       % {m64} AS h0,
+                   sum(CAST(ord(substr(w, CAST(i AS INTEGER), 1)) AS HUGEINT)
+                       * powt.pe) AS bsum
+            FROM tokb JOIN powt ON powt.e = L - i
+            GROUP BY doc_id, ti
+        ),
+        tokh AS (
+            SELECT doc_id, ti,
+                   ((((((h0 % 4294967296) * (pe >> 32)) % 4294967296) * 4294967296
+                      + h0 * (pe & 4294967295)) % {m64}) + bsum) % {m64} AS th
+            FROM bysum JOIN powt ON powt.e = L
+        ),
+        sh AS (
+            SELECT t0.doc_id AS doc_id,
+                   ({mulmod("t0.th", p2)} + {mulmod("t1.th", p_int)} + t2.th)
+                       % {m64} AS s
+            FROM tokh t0
+            JOIN tokh t1 ON t1.doc_id = t0.doc_id AND t1.ti = t0.ti + 1
+            JOIN tokh t2 ON t2.doc_id = t0.doc_id AND t2.ti = t0.ti + 2
+        ),
+        sig AS (
+            SELECT doc_id, j,
+                   min(((((((s % 4294967296) * a_hi) % 4294967296) * 4294967296
+                        + s * a_lo) % {m64}) + bc) % {m64}) AS sv
+            FROM sh CROSS JOIN perms GROUP BY doc_id, j
+        ),
+        siga AS (SELECT doc_id, list(sv ORDER BY j) AS sg FROM sig GROUP BY doc_id),
+        cand AS (
+            SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+                   len(list_filter(range(1, 129), i -> x.sg[i] = y.sg[i])) AS k
+            FROM siga x JOIN siga y ON x.doc_id < y.doc_id
+            WHERE len(list_filter(range(0, 16),
+                  bd -> x.sg[bd*8+1 : bd*8+8] = y.sg[bd*8+1 : bd*8+8])) > 0
+        )"""
+    ORACLE_SQL["docs_minhash_near_dup"] = f"""
+        WITH {minhash_ctes}
+        SELECT a_id, b_id,
+               CAST(round(k / 128.0 * 1000000) AS BIGINT) / 1000000.0 AS est_jaccard
+        FROM cand WHERE k >= 64
+    """
+    # Full two-stage pipeline: LSH candidates at est >= 0.3, exact char-3-gram
+    # Jaccard verify at 0.4 (gram algebra identical to docs_window_jaccard's
+    # proven SQL twin).
+    ORACLE_SQL["docs_near_dup_verified"] = f"""
+        WITH {minhash_ctes},
+        keep AS (SELECT a_id, b_id FROM cand WHERE k / 128.0 >= 0.3),
+        g AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) >= 3
+                        THEN list_distinct(list_transform(
+                                 generate_series(1, length(text) - 2),
+                                 i -> substring(text, i, 3)))
+                        WHEN length(text) > 0 THEN [text]
+                        ELSE CAST([] AS VARCHAR[]) END AS grams
+            FROM documents
+        ), v AS (
+            SELECT keep.a_id, keep.b_id,
+                   CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                     / greatest(len(list_distinct(list_concat(ga.grams, gb.grams))), 1) AS jac
+            FROM keep
+            JOIN g ga ON ga.doc_id = keep.a_id
+            JOIN g gb ON gb.doc_id = keep.b_id
+        )
+        SELECT a_id, b_id,
+               CAST(round(jac * 1000000) AS BIGINT) / 1000000.0 AS jaccard
+        FROM v WHERE jac >= 0.4
+    """
+
+
+_build_minhash_oracle()
+
 # The jsonl_mentions oracle reads the fixture path directly — make sure the
 # fixture exists as soon as this module is imported (the driver may run the
 # oracle SQL before the Ray-side query).
