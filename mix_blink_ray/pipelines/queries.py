@@ -2393,11 +2393,13 @@ def _build_minhash_oracle() -> None:
         for j in range(128)
     )
     p2 = pow(p_int, 2, m)
-    minhash_ctes = f"""powt(e, pe) AS (VALUES {powt}),
+
+    def make_ctes(src: str) -> str:
+        return f"""powt(e, pe) AS (VALUES {powt}),
         perms(j, a_hi, a_lo, bc) AS (VALUES {perms}),
         t AS (SELECT doc_id,
                      regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-              FROM documents),
+              FROM {src}),
         tok AS (SELECT doc_id, unnest(toks) AS w,
                        unnest(range(1, len(toks) + 1)) AS ti FROM t),
         tokb AS (SELECT doc_id, ti, w, least(length(w), 64) AS L,
@@ -2439,8 +2441,9 @@ def _build_minhash_oracle() -> None:
             WHERE len(list_filter(range(0, 16),
                   bd -> x.sg[bd*8+1 : bd*8+8] = y.sg[bd*8+1 : bd*8+8])) > 0
         )"""
+
     ORACLE_SQL["docs_minhash_near_dup"] = f"""
-        WITH {minhash_ctes}
+        WITH {make_ctes("documents")}
         SELECT a_id, b_id,
                CAST(round(k / 128.0 * 1000000) AS BIGINT) / 1000000.0 AS est_jaccard
         FROM cand WHERE k >= 64
@@ -2449,7 +2452,7 @@ def _build_minhash_oracle() -> None:
     # Jaccard verify at 0.4 (gram algebra identical to docs_window_jaccard's
     # proven SQL twin).
     ORACLE_SQL["docs_near_dup_verified"] = f"""
-        WITH {minhash_ctes},
+        WITH {make_ctes("documents")},
         keep AS (SELECT a_id, b_id FROM cand WHERE k / 128.0 >= 0.3),
         g AS (
             SELECT doc_id,
@@ -2471,6 +2474,53 @@ def _build_minhash_oracle() -> None:
         SELECT a_id, b_id,
                CAST(round(jac * 1000000) AS BIGINT) / 1000000.0 AS jaccard
         FROM v WHERE jac >= 0.4
+    """
+    # The FULL corpus dedup (exact contraction → LSH candidates over
+    # representatives → gram verify at 0.5 → min-label connected components →
+    # drop list with reasons).  Every stage reuses a replay proven above;
+    # closure via the recursive-CTE pattern from docs_window_jaccard_clusters.
+    ORACLE_SQL["docs_dedup_corpus"] = f"""
+        WITH RECURSIVE reps AS (
+            SELECT min(doc_id) AS doc_id, text
+            FROM documents GROUP BY text
+        ),
+        {make_ctes("reps")},
+        keep AS (SELECT a_id, b_id FROM cand WHERE k >= 64),
+        g AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) >= 3
+                        THEN list_distinct(list_transform(
+                                 generate_series(1, length(text) - 2),
+                                 i -> substring(text, i, 3)))
+                        WHEN length(text) > 0 THEN [text]
+                        ELSE CAST([] AS VARCHAR[]) END AS grams
+            FROM reps
+        ),
+        ver AS (
+            SELECT keep.a_id, keep.b_id
+            FROM keep
+            JOIN g ga ON ga.doc_id = keep.a_id
+            JOIN g gb ON gb.doc_id = keep.b_id
+            WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                    / greatest(len(list_distinct(list_concat(ga.grams, gb.grams))), 1)
+                  >= 0.5
+        ),
+        e AS (
+            SELECT a_id AS src, b_id AS dst FROM ver
+            UNION ALL SELECT b_id, a_id FROM ver
+        ),
+        reach(node, mlab) AS (
+            SELECT doc_id, doc_id FROM reps
+            UNION
+            SELECT e.dst, r.mlab FROM reach r JOIN e ON e.src = r.node
+        ),
+        lab AS (SELECT node, min(mlab) AS label FROM reach GROUP BY node)
+        SELECT d.doc_id, r.doc_id AS dropped_for, 'exact_dup_of' AS reason
+        FROM documents d JOIN reps r USING (text)
+        WHERE d.doc_id <> r.doc_id
+        UNION ALL
+        SELECT node AS doc_id, label AS dropped_for, 'near_dup_of' AS reason
+        FROM lab WHERE node <> label
     """
 
 
