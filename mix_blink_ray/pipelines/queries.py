@@ -2526,6 +2526,104 @@ def _build_minhash_oracle() -> None:
 
 _build_minhash_oracle()
 
+
+def _lsh_knn_sql() -> str:
+    """Random-hyperplane LSH k-NN is deterministic given the seed: the plane
+    matrix (``RandomState(42).randn(64, 64)``, the engine's exact draw for
+    64-dim embeddings) is embedded as literals, bucket keys replayed as
+    sign-bit sums, candidates = share-a-bucket-in-any-table PER QUERY, and
+    ranking mirrors the brute-force oracle (cosine DESC, vec_id ASC).  Sign
+    parity is safe: the minimum |projection| on the synth embeddings is
+    ~3.6e-5, eight orders above f64 rounding noise.  Assumes 64-dim
+    embeddings (true of the synth table at every SF)."""
+    from ..stages.ann import AnnConfig
+
+    cfg = AnnConfig()
+    planes = np.random.RandomState(cfg.seed).randn(64, cfg.n_tables * cfg.n_planes)
+    rows = []
+    for t in range(cfg.n_tables):
+        for j in range(cfg.n_planes):
+            col = planes[:, t * cfg.n_planes + j]
+            pv = "[" + ", ".join(repr(float(x)) for x in col) + "]"
+            rows.append(f"({t}, {j}, {pv}::DOUBLE[])")
+    planes_values = ", ".join(rows)
+    return f"""
+        WITH planes(t, j, pv) AS (VALUES {planes_values}),
+        keys AS (
+            SELECT e.vec_id, p.t,
+                   sum(CASE WHEN list_dot_product(e.embedding, p.pv) > 0
+                            THEN (1 << p.j) ELSE 0 END) AS bkey
+            FROM embeddings e CROSS JOIN planes p
+            GROUP BY e.vec_id, p.t
+        ),
+        qk AS (SELECT vec_id AS query_id, t, bkey FROM keys WHERE vec_id < 5),
+        cand AS (
+            SELECT DISTINCT qk.query_id, k2.vec_id
+            FROM qk JOIN keys k2 ON k2.t = qk.t AND k2.bkey = qk.bkey
+        ),
+        ranked AS (
+            SELECT c.query_id, c.vec_id,
+                   row_number() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                                c.vec_id
+                   ) AS rank
+            FROM cand c
+            JOIN embeddings q ON q.vec_id = c.query_id
+            JOIN embeddings e ON e.vec_id = c.vec_id
+        )
+        SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5
+    """
+
+
+ORACLE_SQL["emb_knn_lsh_top5"] = _lsh_knn_sql()
+
+
+def _emb_near_dup_sql(threshold: float = 0.95) -> str:
+    """Embedding-LSH near-dup replay: the single 12-plane sign sketch
+    (``RandomState(42).randn(64, 12).astype(float32)``, embedded exactly —
+    repr round-trips each f32 as a double), bucket = 12-bit key equality,
+    then in-bucket exact cosine ≥ 0.95.  Sign parity is safe: min
+    |projection| on the synth embeddings is ~2e-4, ~20× the engine's own
+    float32 dot-product noise floor; cosine-threshold parity is safe: max
+    in-bucket cosine is ~0.35, nowhere near 0.95."""
+    from ..stages.dedup import DedupConfig
+
+    cfg = DedupConfig()
+    planes = np.random.RandomState(cfg.seed).randn(64, 12).astype(np.float32)
+    rows = []
+    for j in range(12):
+        pv = "[" + ", ".join(repr(float(x)) for x in planes[:, j]) + "]"
+        rows.append(f"({j}, {pv}::DOUBLE[])")
+    planes_values = ", ".join(rows)
+    return f"""
+        WITH planes(j, pv) AS (VALUES {planes_values}),
+        keys AS (
+            SELECT e.vec_id,
+                   sum(CASE WHEN list_dot_product(e.embedding, p.pv) > 0
+                            THEN (1 << p.j) ELSE 0 END) AS bkey
+            FROM embeddings e CROSS JOIN planes p
+            GROUP BY e.vec_id
+        ),
+        cand AS (
+            SELECT x.vec_id AS a_id, y.vec_id AS b_id
+            FROM keys x JOIN keys y ON x.bkey = y.bkey AND x.vec_id < y.vec_id
+        ),
+        scored AS (
+            SELECT c.a_id, c.b_id,
+                   list_cosine_similarity(ea.embedding, eb.embedding) AS cos
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.a_id
+            JOIN embeddings eb ON eb.vec_id = c.b_id
+        )
+        SELECT a_id, b_id,
+               CAST(round(cos * 1000000) AS BIGINT) / 1000000.0 AS cosine
+        FROM scored WHERE cos >= {threshold}
+    """
+
+
+ORACLE_SQL["emb_near_dup"] = _emb_near_dup_sql()
+
 # The jsonl_mentions oracle reads the fixture path directly — make sure the
 # fixture exists as soon as this module is imported (the driver may run the
 # oracle SQL before the Ray-side query).

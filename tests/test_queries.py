@@ -332,3 +332,22 @@ def test_topk_rows_equals_sort_limit():
     # k larger than the dataset degrades to a plain sorted table
     small = topk_rows(rd.from_arrow(tbl).limit(3), ["v", "id"], [True, False], 10)
     assert small.num_rows == 3
+
+
+def test_emb_near_dup_oracle_nontrivial_at_low_threshold(con):
+    """The driver's emb_near_dup oracle matches on an empty result (no synth
+    pair reaches cosine 0.95).  Exercise the SAME SQL replay at threshold 0.3,
+    where real pairs flow, so the bucket-key replay and in-bucket cosine join
+    are pinned non-trivially.  Pair sets must match exactly; cosines to 1e-5
+    (engine scores in float32, the oracle in float64)."""
+    from mix_blink_ray.pipelines.queries import _emb_near_dup_sql, _t
+    from mix_blink_ray.stages.dedup import DedupConfig, embedding_near_dup_pairs
+
+    ds = _t(SF_DIR, "embeddings", ["vec_id", "embedding"])
+    got = embedding_near_dup_pairs(ds, DedupConfig(cosine_threshold=0.3)).to_pandas()
+    want = con.sql(_emb_near_dup_sql(threshold=0.3)).df()
+    assert len(got) > 0, "threshold 0.3 must produce pairs for this test to bite"
+    g = got.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    w = want.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    assert list(zip(g["a_id"], g["b_id"])) == list(zip(w["a_id"], w["b_id"]))
+    assert np.allclose(g["cosine"], w["cosine"], atol=1e-5, rtol=0)
