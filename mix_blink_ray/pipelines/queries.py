@@ -937,6 +937,16 @@ def docs_near_dup_verified(sf_dir: str):
     return _round(pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"jaccard": 6})
 
 
+def docs_chunk_windows(sf_dir: str):
+    """Fixed-token-window chunking with overlap (50-token windows, 10-token
+    overlap) — the pre-tokenization packing step of an LLM training
+    pipeline, as a stateless vectorized flat-map (``stages.chunking``)."""
+    from ..stages.chunking import chunk_documents
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(ds, chunk_tokens=50, overlap=10)
+
+
 def emb_norms(sf_dir: str):
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
 
@@ -1659,6 +1669,7 @@ QUERIES = {
     "emb_knn_lsh_top5": emb_knn_lsh_top5,
     "emb_knn_ivf_top5": emb_knn_ivf_top5,
     "docs_near_dup_verified": docs_near_dup_verified,
+    "docs_chunk_windows": docs_chunk_windows,
     "emb_norms": emb_norms,
     "emb_near_dup": emb_near_dup,
     "emb_near_dup_exact": emb_near_dup_exact,
@@ -1898,6 +1909,19 @@ ORACLE_SQL = {
         SELECT c_custkey FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    "docs_chunk_windows": """
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents WHERE trim(text) <> ''
+        ), s AS (
+            SELECT doc_id, toks, unnest(range(0, len(toks), 40)) AS st FROM t
+        )
+        SELECT doc_id,
+               st // 40 AS chunk_idx,
+               array_to_string(list_slice(toks, st + 1, st + 50), ' ') AS chunk_text,
+               least(len(toks) - st, 50) AS n_tokens
+        FROM s
     """,
     "docs_window_jaccard": """
         WITH g AS (

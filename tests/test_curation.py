@@ -100,3 +100,49 @@ def test_token_counts_partition_invariant(ray_session):
     # total token mass conserved
     n_tokens = sum(len(t.split()) for t in tbl["text"].to_pylist())
     assert a["n"].sum() == n_tokens
+
+
+def test_chunk_batch_edges():
+    """Chunking edge rules: empty/whitespace docs vanish, short docs yield one
+    window, exact-stride boundaries don't emit an empty tail, overlap is
+    honored, and multi-space runs collapse to single-space joins."""
+    import pyarrow as pa
+
+    from mix_blink_ray.stages.chunking import chunk_batch
+
+    toks120 = " ".join(f"t{i}" for i in range(120))
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    "",               # no rows
+                    "   ",            # whitespace-only: no rows
+                    "a  b   c",       # 3 tokens, one chunk, collapsed spaces
+                    " ".join(f"x{i}" for i in range(40)),  # exactly one stride
+                    toks120,          # 120 tokens -> starts 0,40,80
+                ]
+            ),
+        }
+    )
+    out = chunk_batch(batch, chunk_tokens=50, overlap=10).to_pandas()
+    assert list(out["doc_id"]) == [3, 4, 5, 5, 5]
+    assert list(out["chunk_idx"]) == [0, 0, 0, 1, 2]
+    assert list(out["n_tokens"]) == [3, 40, 50, 50, 40]
+    assert out["chunk_text"][0] == "a b c"
+    # overlap: chunk 1 of doc 5 starts at token 40, ends at 89; chunk 0 covers 0..49
+    c0, c1 = out["chunk_text"][2].split(), out["chunk_text"][3].split()
+    assert c0[40:] == c1[:10]
+    # empty batch passes through
+    assert chunk_batch(batch.slice(0, 0)).num_rows == 0
+
+
+def test_chunk_batch_mismatched_overlap_raises():
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from mix_blink_ray.stages.chunking import chunk_batch
+
+    b = pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array(["a b"])})
+    with _pytest.raises(ValueError):
+        chunk_batch(b, chunk_tokens=10, overlap=10)
