@@ -937,6 +937,28 @@ def docs_near_dup_verified(sf_dir: str):
     return _round(pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"jaccard": 6})
 
 
+def lineitem_bloom_semi_join(sf_dir: str):
+    """Semi-join via Bloom prefilter + exact verify (``stages.bloom``):
+    lineitems of high-value orders (o_totalprice > 300k), returning per-key
+    quantity sums.  Semantically a plain EXISTS (false positives are removed
+    by the verify join); the Bloom pass is the 100-TB shuffle-volume story —
+    the broadcast is bits, not keys."""
+    from ..stages.bloom import bloom_semi_join
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    big = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).filter(
+        expr="o_totalprice > 300000.0"
+    )
+    keys = big.map_batches(
+        lambda b: pa.table({"o_orderkey": b["o_orderkey"]}), batch_format="pyarrow"
+    )
+    out = bloom_semi_join(li, keys, "l_orderkey", "o_orderkey", m_bits=1 << 20)
+    return (
+        out.groupby("l_orderkey")
+        .aggregate(Sum("l_quantity", alias_name="sum_qty"))
+    )
+
+
 def docs_chunk_windows(sf_dir: str):
     """Fixed-token-window chunking with overlap (50-token windows, 10-token
     overlap) — the pre-tokenization packing step of an LLM training
@@ -1670,6 +1692,7 @@ QUERIES = {
     "emb_knn_ivf_top5": emb_knn_ivf_top5,
     "docs_near_dup_verified": docs_near_dup_verified,
     "docs_chunk_windows": docs_chunk_windows,
+    "lineitem_bloom_semi_join": lineitem_bloom_semi_join,
     "emb_norms": emb_norms,
     "emb_near_dup": emb_near_dup,
     "emb_near_dup_exact": emb_near_dup_exact,
@@ -1909,6 +1932,14 @@ ORACLE_SQL = {
         SELECT c_custkey FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    "lineitem_bloom_semi_join": """
+        SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        FROM lineitem l
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey
+                        AND o.o_totalprice > 300000.0)
+        GROUP BY l_orderkey
     """,
     "docs_chunk_windows": """
         WITH t AS (

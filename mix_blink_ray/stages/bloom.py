@@ -1,0 +1,146 @@
+"""Bloom-filter semi-join: compact prefilter + exact verify.
+
+The broadcast semi-join (``queries.q3_top_orders`` pattern) ships the exact
+key set to every worker — perfect while the build side fits in a broadcast.
+At 100 TB the build side can be billions of keys; the classic answer is a
+Bloom filter: ~10 bits/key regardless of key width, mergeable by bitwise OR
+(associative/commutative/idempotent — the same shape as HLL register max in
+``stages/sketches.py``).  The probe side drops most non-matching rows
+map-side for the cost of a broadcast that is 6–8× smaller than the key set,
+and the surviving sliver goes through a partitioned hash join against the
+build keys for EXACTNESS — false positives never reach the output, so the
+operator's semantics are a plain semi-join (SQL twin: ``EXISTS``), with the
+filter purely a shuffle-volume optimization.  Pruned-row and false-positive
+counts are published via ``state.counters`` (never silent).
+
+Plan shape: build-side ``map_batches`` emits per-batch nonzero filter words
+→ ``groupby(word_idx).map_groups(OR)`` (shuffle ∝ set words × blocks, never
+rows) → the merged word table (m/64 rows ≤ a few MiB) broadcasts via
+``ray.put`` → probe-side vectorized k-hash membership test → partitioned
+join of survivors.  Hashes are splitmix64 with distinct salts (deterministic
+across runs and partitionings).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+from .sketches import splitmix64
+
+__all__ = ["build_bloom", "bloom_semi_join"]
+
+_SALTS = (0x243F6A8885A308D3, 0x13198A2E03707344, 0xA4093822299F31D0, 0x082EFA98EC4E6C89)
+
+
+def _bit_positions(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(k, n) bit positions for int64 keys (salted splitmix64 per hash)."""
+    u = keys.astype(np.int64).view(np.uint64)
+    return np.stack([splitmix64(u ^ np.uint64(_SALTS[i])) % np.uint64(m_bits) for i in range(k)])
+
+
+def build_bloom(keys: Dataset, key_col: str, m_bits: int = 1 << 23, k: int = 3) -> np.ndarray:
+    """Distributed Bloom build → the merged (m_bits/64,) uint64 word array.
+
+    Per-batch partials emit only NONZERO words; the OR-merge is a
+    ``groupby(idx)`` whose input is bounded by set-words × blocks (filter
+    size, not row count).  The merged table — at most m_bits/64 rows — is
+    the only driver materialization.
+    """
+    if k > len(_SALTS):
+        raise ValueError(f"k={k} exceeds available salts ({len(_SALTS)})")
+    n_words = m_bits // 64
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"widx": pa.array([], pa.int64()), "word": pa.array([], pa.int64())}
+            )
+        pos = _bit_positions(np.asarray(b[key_col], dtype=np.int64), m_bits, k).reshape(-1)
+        words = np.zeros(n_words, dtype=np.uint64)
+        np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64), np.uint64(1) << (pos & np.uint64(63)))
+        nz = np.flatnonzero(words)
+        return pa.table(
+            {"widx": pa.array(nz.astype(np.int64)), "word": pa.array(words[nz].view(np.int64))}
+        )
+
+    # OR-merge: one group per set word index, at most one row per block in
+    # each — the reduce is a tiny vectorized bitwise_or per group.
+    merged = (
+        keys.map_batches(partial, batch_format="pyarrow")
+        .groupby("widx")
+        .map_groups(
+            lambda g: pa.table(
+                {
+                    "widx": g["widx"].slice(0, 1),
+                    "word": pa.array(
+                        [
+                            np.bitwise_or.reduce(
+                                np.asarray(g["word"], dtype=np.int64).view(np.uint64)
+                            ).view(np.int64)
+                        ],
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    words = np.zeros(n_words, dtype=np.uint64)
+    if len(merged):
+        words[merged["widx"].to_numpy()] = merged["word"].to_numpy().view(np.uint64)
+    return words
+
+
+def bloom_semi_join(
+    probe: Dataset,
+    build: Dataset,
+    probe_key: str,
+    build_key: str,
+    m_bits: int = 1 << 23,
+    k: int = 3,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Exact semi-join (rows of ``probe`` whose key exists in ``build``),
+    Bloom-prefiltered: survivors of the broadcast membership test go through
+    a partitioned hash join against the distinct build keys, so false
+    positives are eliminated and the output is exactly ``WHERE EXISTS``."""
+    from ..state.counters import incr
+    from .clustering import clamped_partitions
+
+    words = build_bloom(build, build_key, m_bits=m_bits, k=k)
+    words_ref = ray.put(words)
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        w = ray.get(words_ref)
+        pos = _bit_positions(np.asarray(b[probe_key], dtype=np.int64), m_bits, k)
+        hit = np.ones(b.num_rows, dtype=bool)
+        for i in range(pos.shape[0]):
+            p = pos[i]
+            hit &= (w[(p >> np.uint64(6)).astype(np.int64)] >> (p & np.uint64(63))) & np.uint64(1) != 0
+        incr("bloom_pruned_rows", int(b.num_rows - hit.sum()))
+        return b.filter(pa.array(hit))
+
+    survivors = probe.map_batches(prefilter, batch_format="pyarrow").materialize()
+    n_surv = survivors.count()
+    if n_surv == 0:
+        return survivors
+    build_distinct = (
+        build.map_batches(
+            lambda b: pa.table({"__bk": pc.unique(b[build_key])}), batch_format="pyarrow"
+        )
+        .groupby("__bk")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+    np_ = clamped_partitions(n_surv, num_partitions)
+    out = survivors.join(
+        build_distinct, join_type="inner", num_partitions=np_, on=(probe_key,), right_on=("__bk",)
+    )
+    cols = [c for c in probe.schema().names]
+    return out.select_columns(cols)
