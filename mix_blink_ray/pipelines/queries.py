@@ -632,6 +632,16 @@ def docs_token_stats(sf_dir: str):
     )
 
 
+def docs_repetition(sf_dir: str):
+    """Gopher-style repetition signals (exact, per doc): duplicate-token
+    fraction, most-frequent-token fraction, most-frequent-bigram fraction.
+    Pure per-row ``map_batches`` — no shuffle at any scale."""
+    from ..stages.text_analysis import repetition_stats
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(repetition_stats, batch_format="pyarrow")
+
+
 def docs_tokens(sf_dir: str):
     """Flat-map explode: one row per whitespace token (M1 flat-map analog)."""
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
@@ -1668,6 +1678,7 @@ QUERIES = {
     "customers_without_orders": customers_without_orders,
     "docs_normalize": docs_normalize,
     "docs_token_stats": docs_token_stats,
+    "docs_repetition": docs_repetition,
     "docs_tokens": docs_tokens,
     "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_exact_dedup": docs_exact_dedup,
@@ -1837,6 +1848,39 @@ ORACLE_SQL = {
     "docs_normalize": """
         SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text
         FROM documents
+    """,
+    "docs_repetition": """
+        WITH base AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n
+            FROM documents WHERE trim(text) <> ''
+        ), tokc AS (
+            SELECT doc_id, max(c) AS max_tok FROM (
+                SELECT doc_id, tok, count(*) AS c
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+                GROUP BY doc_id, tok
+            ) GROUP BY doc_id
+        ), bigc AS (
+            SELECT doc_id, max(c) AS max_big FROM (
+                SELECT doc_id, bg, count(*) AS c FROM (
+                    SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+                    FROM (SELECT doc_id, toks,
+                                 unnest(generate_series(1, n - 1)) AS i
+                          FROM base WHERE n >= 2)
+                ) GROUP BY doc_id, bg
+            ) GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               b.n AS n_tokens,
+               CAST(b.n - len(list_distinct(b.toks)) AS DOUBLE) / b.n
+                   AS dup_token_frac,
+               CAST(tokc.max_tok AS DOUBLE) / b.n AS top_token_frac,
+               CASE WHEN b.n >= 2
+                    THEN CAST(bigc.max_big AS DOUBLE) / (b.n - 1)
+                    ELSE 0.0 END AS top_bigram_frac
+        FROM base b
+        JOIN tokc USING (doc_id)
+        LEFT JOIN bigc USING (doc_id)
     """,
     "docs_token_stats": """
         SELECT doc_id, length(text) AS n_chars,

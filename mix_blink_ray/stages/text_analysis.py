@@ -15,7 +15,14 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["token_stats", "quality_scores", "fingerprint_md5", "LangId", "BPE_ISH_RE"]
+__all__ = [
+    "token_stats",
+    "quality_scores",
+    "repetition_stats",
+    "fingerprint_md5",
+    "LangId",
+    "BPE_ISH_RE",
+]
 
 # A BPE-ish pre-tokenizer: words, numbers, or single non-space symbols
 # (the common GPT-2-style pre-tokenization shape, public knowledge).
@@ -83,6 +90,73 @@ def quality_scores(batch: pa.Table, text_col: str = "text", id_col: str = "doc_i
             "stopword_ratio": pa.array(stop_ratio),
             "mean_word_len": pa.array(mean_wlen),
             "quality_score": pa.array(score),
+        }
+    )
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Gopher-family repetition signals, exact and per document:
+
+    - ``dup_token_frac``  = (n_tokens − n_distinct_tokens) / n_tokens
+    - ``top_token_frac``  = occurrences of the most frequent token / n_tokens
+    - ``top_bigram_frac`` = occurrences of the most frequent adjacent token
+      bigram / (n_tokens − 1)  (0.0 when n_tokens < 2)
+
+    Token identity comes from ``pc.dictionary_encode`` (collision-free integer
+    codes), then every per-row statistic is segmented numpy over the flat code
+    array — sort + run-length + ``reduceat``, no Python loop and no hashing
+    approximation.  Pure per-row map: embarrassingly parallel at any scale.
+    """
+    text = batch[text_col]
+    trimmed = pc.utf8_trim_whitespace(text)
+    tokens = pc.utf8_split_whitespace(trimmed)
+    tokens = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
+    offs = np.asarray(tokens.offsets, dtype=np.int64)
+    raw_lens = np.diff(offs)
+    # Arrow splits "" into one empty token; a whitespace-only row has zero
+    # tokens (its spurious code only feeds this row's own masked stats).
+    lens = np.where(np.asarray(pc.utf8_length(trimmed), dtype=np.int64) > 0, raw_lens, 0)
+    n = batch.num_rows
+    flat = tokens.flatten()
+    codes = np.asarray(pc.dictionary_encode(flat).indices, dtype=np.int64)
+    v = int(codes.max()) + 1 if len(codes) else 1
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), raw_lens)
+
+    def _per_row_max_and_distinct(keys: np.ndarray, rows: np.ndarray, modulus: int):
+        """For composite keys ``rows * modulus + item``: per-row distinct-item
+        count and per-row max item multiplicity."""
+        if not len(keys):
+            return np.zeros(n, dtype=np.int64), np.zeros(n, dtype=np.int64)
+        uniq, counts = np.unique(rows * modulus + keys, return_counts=True)
+        urows = uniq // modulus
+        distinct = np.bincount(urows, minlength=n)
+        # uniq is sorted ⇒ urows is non-decreasing; segment max via reduceat
+        starts = np.flatnonzero(np.concatenate([[True], urows[1:] != urows[:-1]]))
+        seg_max = np.maximum.reduceat(counts, starts)
+        out_max = np.zeros(n, dtype=np.int64)
+        out_max[urows[starts]] = seg_max
+        return distinct, out_max
+
+    distinct_tok, max_tok = _per_row_max_and_distinct(codes, row_ids, v)
+
+    same_row = row_ids[:-1] == row_ids[1:] if len(codes) > 1 else np.zeros(0, dtype=bool)
+    pair = codes[:-1][same_row] * v + codes[1:][same_row]
+    # re-encode pairs so the composite (row, pair) key cannot overflow int64
+    _, pcodes = np.unique(pair, return_inverse=True)
+    p = int(pcodes.max()) + 1 if len(pcodes) else 1
+    _, max_big = _per_row_max_and_distinct(pcodes, row_ids[:-1][same_row], p)
+
+    lens_f = lens.astype(np.float64)
+    dup_frac = np.where(lens > 0, (lens_f - distinct_tok) / np.maximum(lens_f, 1.0), 0.0)
+    top_tok = np.where(lens > 0, max_tok / np.maximum(lens_f, 1.0), 0.0)
+    top_big = np.where(lens >= 2, max_big / np.maximum(lens_f - 1.0, 1.0), 0.0)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_tokens": pa.array(lens, pa.int64()),
+            "dup_token_frac": pa.array(dup_frac),
+            "top_token_frac": pa.array(top_tok),
+            "top_bigram_frac": pa.array(top_big),
         }
     )
 

@@ -240,3 +240,46 @@ def test_empty_partition_join_error_filter():
     assert _is_empty_partition_join_error(chained)
     assert not _is_empty_partition_join_error(ValueError("schema bug"))
     assert not _is_empty_partition_join_error(MemoryError("oom"))
+
+
+def test_repetition_stats_known_values():
+    from mix_blink_ray.stages.text_analysis import repetition_stats
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "a a a",              # all dup; top bigram "a a" 2/2
+                    "x y z",              # all distinct
+                    "a b a b a",          # dup 3/5; "a b" 2/4
+                    "solo",               # single token: bigram frac 0
+                    "   ",                # whitespace-only: n_tokens 0
+                ]
+            ),
+        }
+    )
+    out = repetition_stats(batch)
+    assert out["n_tokens"].to_pylist() == [3, 3, 5, 1, 0]
+    assert out["dup_token_frac"].to_pylist() == [2 / 3, 0.0, 3 / 5, 0.0, 0.0]
+    assert out["top_token_frac"].to_pylist() == [1.0, 1 / 3, 3 / 5, 1.0, 0.0]
+    assert out["top_bigram_frac"].to_pylist() == [1.0, 1 / 2, 2 / 4, 0.0, 0.0]
+
+
+def test_repetition_stats_partition_invariant():
+    """Per-row map: splitting the batch must not change any row's stats."""
+    import numpy as np
+
+    from mix_blink_ray.stages.text_analysis import repetition_stats
+
+    rng = np.random.default_rng(3)
+    texts = [
+        " ".join(rng.choice(["aa", "bb", "cc", "dd"], size=rng.integers(1, 12)))
+        for _ in range(30)
+    ]
+    batch = pa.table({"doc_id": pa.array(range(30), pa.int64()), "text": pa.array(texts)})
+    whole = repetition_stats(batch).to_pandas()
+    parts = pa.concat_tables(
+        [repetition_stats(batch.slice(i, 7)) for i in range(0, 30, 7)]
+    ).to_pandas()
+    assert whole.equals(parts.reset_index(drop=True))
