@@ -642,6 +642,26 @@ def docs_repetition(sf_dir: str):
     return ds.map_batches(repetition_stats, batch_format="pyarrow")
 
 
+def docs_heavy_tokens(sf_dir: str):
+    """EXACT frequent tokens (≥ 3.3% of all tokens) at bounded memory:
+    Misra-Gries candidate pass (summary ≤ k+1 rows per block through the
+    shuffle, measured decrement bound) + broadcast exact-verify pass —
+    distinct-value-count-free, the 100-TB shape for `GROUP BY HAVING` over
+    an unbounded vocabulary."""
+    from ..stages.sketches import heavy_hitters
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(b["text"])
+        keep = pc.not_equal(trimmed, "")
+        tokens = pc.utf8_split_whitespace(trimmed.filter(keep))
+        tokens = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
+        return pa.table({"token": tokens.flatten()})
+
+    return heavy_hitters(ds.map_batches(explode, batch_format="pyarrow"), "token", 0.033)
+
+
 def docs_tokens(sf_dir: str):
     """Flat-map explode: one row per whitespace token (M1 flat-map analog)."""
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
@@ -1679,6 +1699,7 @@ QUERIES = {
     "docs_normalize": docs_normalize,
     "docs_token_stats": docs_token_stats,
     "docs_repetition": docs_repetition,
+    "docs_heavy_tokens": docs_heavy_tokens,
     "docs_tokens": docs_tokens,
     "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_exact_dedup": docs_exact_dedup,
@@ -1848,6 +1869,15 @@ ORACLE_SQL = {
     "docs_normalize": """
         SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text
         FROM documents
+    """,
+    "docs_heavy_tokens": """
+        WITH tok AS (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+            FROM documents WHERE trim(text) <> ''
+        ), tot AS (SELECT count(*) AS n FROM tok)
+        SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        FROM tok, tot GROUP BY token, n
+        HAVING count(*) >= 0.033 * n
     """,
     "docs_repetition": """
         WITH base AS (

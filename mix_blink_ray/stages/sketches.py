@@ -21,10 +21,12 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+import ray
 from ray.data import Dataset
 from ray.data.aggregate import Max
 
-__all__ = ["hll_distinct", "splitmix64"]
+__all__ = ["hll_distinct", "heavy_hitters", "splitmix64"]
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
@@ -120,3 +122,111 @@ def hll_distinct(ds: Dataset, group_col: str, value_col: str, p: int = 12) -> pa
         out_g.append(g)
         out_n.append(int(round(_estimate(regs, p))))
     return pa.table({group_col: pa.array(out_g), "approx_distinct": pa.array(out_n, pa.int64())})
+
+
+def _mg_compress(items: pa.Array, counts: np.ndarray, k: int):
+    """Misra-Gries compression of an exact (item, count) table to ≤ k entries.
+
+    Returns ``(items, counts, decrement)`` where ``decrement`` is the amount
+    subtracted from EVERY count (0 when the table already fits).  Any item's
+    true in-scope count exceeds its kept count by at most ``decrement``."""
+    if len(counts) <= k:
+        return items, counts, 0
+    # (k+1)-th largest count is the uniform decrement
+    dec = int(np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)])
+    keep = counts > dec
+    return items.filter(pa.array(keep)), counts[keep] - dec, dec
+
+
+def heavy_hitters(
+    ds: Dataset,
+    value_col: str,
+    min_frac: float,
+    k: int | None = None,
+) -> pa.Table:
+    """EXACT frequent items at bounded memory: all values whose count is
+    ≥ ``min_frac`` of total rows, with their exact counts.
+
+    Two passes, both shuffle-bounded by the summary size (never the row or
+    distinct-value count):
+
+    1. **Misra-Gries candidate pass** — per batch, exact in-batch counts
+       (``pc.value_counts``) compressed to ≤ k entries plus the batch's
+       actual decrement (a sentinel row), then a ``groupby(value).sum``
+       whose input is ≤ (k+1) × blocks rows.  Mergeable-summaries bound
+       (Agarwal et al. 2012): any value with true count > Σ decrements
+       survives with estimate ≥ true − Σ decrements, so with
+       ``k ≥ 1/min_frac`` every true heavy hitter is a candidate.  The
+       tracked Σ decrements makes the bound *measured*, not assumed.
+    2. **Exact verify pass** — the candidate set (≤ k × blocks values, in
+       practice ~k) broadcasts via ``ray.put``; per-batch filtered exact
+       counts re-aggregate to exact totals; threshold applied at the end.
+
+    False positives are filtered by pass 2; false negatives are impossible
+    while ``Σ decrements < threshold`` — asserted at runtime (raises, never
+    silently wrong, if ``k`` was set too small for the distribution).
+    """
+    if k is None:
+        k = max(int(np.ceil(2.0 / min_frac)), 8)
+    if k + 1 < 1.0 / min_frac:
+        raise ValueError(f"k={k} too small for min_frac={min_frac} (need ≥ {1.0/min_frac:.0f})")
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"item": pa.array([], pa.string()), "cnt": pa.array([], pa.int64()),
+                 "dec": pa.array([], pa.int64()), "rows": pa.array([], pa.int64())}
+            )
+        vc = pc.value_counts(b[value_col].combine_chunks() if isinstance(b[value_col], pa.ChunkedArray) else b[value_col])
+        items, counts = vc.field("values"), np.asarray(vc.field("counts"), dtype=np.int64)
+        items, counts, dec = _mg_compress(items, counts, k)
+        n = len(counts)
+        return pa.table(
+            {
+                "item": pa.concat_arrays([items.cast(pa.string()), pa.array([None], pa.string())]),
+                "cnt": pa.array(np.concatenate([counts, [0]]), pa.int64()),
+                "dec": pa.array([0] * n + [dec], pa.int64()),
+                "rows": pa.array([0] * n + [b.num_rows], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("item")
+        .aggregate(Sum("cnt", alias_name="cnt"), Sum("dec", alias_name="dec"), Sum("rows", alias_name="rows"))
+        .to_pandas()
+    )
+    sentinel = merged["item"].isna()
+    err = int(merged.loc[sentinel, "dec"].sum())
+    total = int(merged.loc[sentinel, "rows"].sum())
+    threshold = min_frac * total
+    if err >= threshold:
+        raise ValueError(
+            f"Misra-Gries error bound {err} ≥ threshold {threshold:.1f}; increase k (k={k})"
+        )
+    cand = merged.loc[~sentinel & (merged["cnt"] + err >= threshold), "item"]
+    if not len(cand):
+        return pa.table({value_col: pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+    cand_ref = ray.put(pa.array(sorted(cand), pa.string()))
+
+    def exact_partial(b: pa.Table) -> pa.Table:
+        col = b[value_col].combine_chunks() if isinstance(b[value_col], pa.ChunkedArray) else b[value_col]
+        col = col.cast(pa.string())
+        mask = pc.is_in(col, value_set=ray.get(cand_ref))
+        vc = pc.value_counts(col.filter(mask))
+        return pa.table(
+            {value_col: vc.field("values"), "cnt": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    exact = (
+        ds.map_batches(exact_partial, batch_format="pyarrow")
+        .groupby(value_col)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    out = exact[exact["cnt"] >= threshold].sort_values(value_col)
+    return pa.table(
+        {value_col: pa.array(out[value_col], pa.string()), "cnt": pa.array(out["cnt"], pa.int64())}
+    )

@@ -70,3 +70,57 @@ def test_hll_partition_invariant(ray_session):
     a = hll_distinct(rd.from_arrow(tbl).repartition(2), "g", "v", p=10)
     b = hll_distinct(rd.from_arrow(tbl).repartition(7), "g", "v", p=10)
     assert a.to_pydict() == b.to_pydict()
+
+
+def test_heavy_hitters_exact_under_compression():
+    """Zipf stream with far more distinct values than k: the MG candidate
+    pass must compress (decrements fire) yet the verified output equals the
+    exact GROUP BY HAVING answer."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from mix_blink_ray.stages.sketches import heavy_hitters
+
+    rng = np.random.default_rng(5)
+    vals = rng.zipf(1.5, size=20_000)
+    vals = np.minimum(vals, 5_000)  # ~thousands of distinct items
+    items = np.char.add("it", vals.astype(str))
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(items.tolist(), pa.string())})).repartition(6)
+    min_frac = 0.02
+    out = heavy_hitters(ds, "v", min_frac, k=64).to_pandas()
+
+    import collections
+    exact = collections.Counter(items.tolist())
+    thr = min_frac * len(items)
+    expect = sorted((t, c) for t, c in exact.items() if c >= thr)
+    got = sorted(zip(out["v"], out["cnt"]))
+    assert got == expect
+    assert len(expect) > 0
+
+
+def test_heavy_hitters_partition_invariant():
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from mix_blink_ray.stages.sketches import heavy_hitters
+
+    rng = np.random.default_rng(9)
+    items = [f"w{int(v)}" for v in np.minimum(rng.zipf(1.3, size=5_000), 500)]
+    tbl = pa.table({"v": pa.array(items, pa.string())})
+    a = heavy_hitters(ray.data.from_arrow(tbl).repartition(2), "v", 0.03, k=40).to_pandas()
+    b = heavy_hitters(ray.data.from_arrow(tbl).repartition(11), "v", 0.03, k=40).to_pandas()
+    assert sorted(zip(a["v"], a["cnt"])) == sorted(zip(b["v"], b["cnt"]))
+
+
+def test_heavy_hitters_k_too_small_raises():
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from mix_blink_ray.stages.sketches import heavy_hitters
+
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(["a", "b"] * 10, pa.string())}))
+    with pytest.raises(ValueError, match="too small"):
+        heavy_hitters(ds, "v", 0.05, k=4)
