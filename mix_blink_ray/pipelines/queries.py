@@ -642,6 +642,35 @@ def docs_repetition(sf_dir: str):
     return ds.map_batches(repetition_stats, batch_format="pyarrow")
 
 
+def events_running_revenue(sf_dir: str):
+    """Global running revenue over the full event stream (ordered by
+    ts, event_id) — the distributed two-phase prefix scan
+    (``stages.scan.prefix_scan``): one range sort, then per-block scalar
+    totals → driver prefix → per-block offset add.  Integer-cents sums keep
+    the result exact and association-free at any block layout."""
+    from ..stages.scan import prefix_scan
+
+    ev = _t(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
+        return pa.table({"event_id": b["event_id"], "ts": b["ts"], "cents": cents})
+
+    out = prefix_scan(
+        ev.map_batches(to_cents, batch_format="pyarrow"),
+        ["ts", "event_id"],
+        "cents",
+        out_col="run_cents",
+        row_col="row_num",
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {"event_id": b["event_id"], "run_cents": b["run_cents"], "row_num": b["row_num"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def docs_heavy_tokens(sf_dir: str):
     """EXACT frequent tokens (≥ 3.3% of all tokens) at bounded memory:
     Misra-Gries candidate pass (summary ≤ k+1 rows per block through the
@@ -1700,6 +1729,7 @@ QUERIES = {
     "docs_token_stats": docs_token_stats,
     "docs_repetition": docs_repetition,
     "docs_heavy_tokens": docs_heavy_tokens,
+    "events_running_revenue": events_running_revenue,
     "docs_tokens": docs_tokens,
     "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_exact_dedup": docs_exact_dedup,
@@ -1869,6 +1899,13 @@ ORACLE_SQL = {
     "docs_normalize": """
         SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text
         FROM documents
+    """,
+    "events_running_revenue": """
+        SELECT event_id,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                        OVER (ORDER BY ts, event_id) AS BIGINT) AS run_cents,
+               CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS row_num
+        FROM events
     """,
     "docs_heavy_tokens": """
         WITH tok AS (
