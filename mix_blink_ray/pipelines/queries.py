@@ -642,6 +642,43 @@ def docs_repetition(sf_dir: str):
     return ds.map_batches(repetition_stats, batch_format="pyarrow")
 
 
+def docs_pack_bins(sf_dir: str):
+    """Per-source next-fit sequence packing into 256-token bins
+    (``stages.text_analysis.pack_next_fit``): the batch-packing step before
+    tokenized training shards.  Bins never cross sources, so sources pack in
+    parallel (``groupby(source).map_groups``); within a source the order is
+    doc_id."""
+    from ..stages.text_analysis import pack_next_fit
+
+    ds = _t(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def lens(b: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(b["text"])
+        keep = pc.not_equal(trimmed, "")
+        b = b.filter(keep)
+        n = pc.list_value_length(pc.utf8_split_whitespace(pc.utf8_trim_whitespace(b["text"])))
+        return pa.table(
+            {"source": b["source"], "doc_id": b["doc_id"], "n": pc.cast(n, pa.int64())}
+        )
+
+    def pack(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g, sort_keys=[("doc_id", "ascending")]))
+        bins = pack_next_fit(np.asarray(g["n"], dtype=np.int64), 256)
+        return pa.table(
+            {
+                "source": g["source"],
+                "doc_id": g["doc_id"],
+                "bin_idx": pa.array(bins, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(lens, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(pack, batch_format="pyarrow")
+    )
+
+
 def events_running_revenue(sf_dir: str):
     """Global running revenue over the full event stream (ordered by
     ts, event_id) — the distributed two-phase prefix scan
@@ -1730,6 +1767,7 @@ QUERIES = {
     "docs_repetition": docs_repetition,
     "docs_heavy_tokens": docs_heavy_tokens,
     "events_running_revenue": events_running_revenue,
+    "docs_pack_bins": docs_pack_bins,
     "docs_tokens": docs_tokens,
     "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_exact_dedup": docs_exact_dedup,
@@ -1899,6 +1937,26 @@ ORACLE_SQL = {
     "docs_normalize": """
         SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text
         FROM documents
+    """,
+    "docs_pack_bins": """
+        WITH RECURSIVE t AS (
+            SELECT source, doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n,
+                   row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+            FROM documents WHERE trim(text) <> ''
+        ), p AS (
+            SELECT source, doc_id, n, rn,
+                   CAST(0 AS BIGINT) AS bin_idx, n AS fill
+            FROM t WHERE rn = 1
+            UNION ALL
+            SELECT t.source, t.doc_id, t.n, t.rn,
+                   CASE WHEN p.fill + t.n <= 256 THEN p.bin_idx
+                        ELSE p.bin_idx + 1 END,
+                   CASE WHEN p.fill + t.n <= 256 THEN p.fill + t.n
+                        ELSE t.n END
+            FROM p JOIN t ON t.source = p.source AND t.rn = p.rn + 1
+        )
+        SELECT source, doc_id, bin_idx FROM p
     """,
     "events_running_revenue": """
         SELECT event_id,

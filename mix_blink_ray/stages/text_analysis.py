@@ -19,6 +19,7 @@ __all__ = [
     "token_stats",
     "quality_scores",
     "repetition_stats",
+    "pack_next_fit",
     "fingerprint_md5",
     "LangId",
     "BPE_ISH_RE",
@@ -159,6 +160,36 @@ def repetition_stats(batch: pa.Table, text_col: str = "text", id_col: str = "doc
             "top_bigram_frac": pa.array(top_big),
         }
     )
+
+
+def pack_next_fit(lens: np.ndarray, budget: int) -> np.ndarray:
+    """Next-fit sequence packing: assign consecutive documents to bins so
+    each bin's token total stays ≤ ``budget`` (an oversize document gets a
+    bin of its own) — the pre-training batch-packing step.
+
+    Packing is inherently sequential (a document's bin depends on the fill
+    left by every earlier one), so it can't be a two-phase scan; instead the
+    loop here is over BINS, not documents — each bin boundary is one
+    ``searchsorted`` into the prefix-sum array, O(bins · log n) with a
+    vectorized interior.  At scale, pack per shard/group (bins never cross
+    shards — standard practice), which is what ``queries.docs_pack_bins``
+    does per ``source``.
+    """
+    lens = np.asarray(lens, dtype=np.int64)
+    bins = np.zeros(len(lens), dtype=np.int64)
+    if not len(lens):
+        return bins
+    cs = np.cumsum(lens)
+    start, b, base = 0, 0, 0
+    while start < len(lens):
+        end = int(np.searchsorted(cs, base + budget, side="right"))
+        if end <= start:  # oversize document: own bin
+            end = start + 1
+        bins[start:end] = b
+        b += 1
+        base = int(cs[end - 1])
+        start = end
+    return bins
 
 
 def fingerprint_md5(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:

@@ -283,3 +283,27 @@ def test_repetition_stats_partition_invariant():
         [repetition_stats(batch.slice(i, 7)) for i in range(0, 30, 7)]
     ).to_pandas()
     assert whole.equals(parts.reset_index(drop=True))
+
+
+def test_pack_next_fit_semantics():
+    import numpy as np
+
+    from mix_blink_ray.stages.text_analysis import pack_next_fit
+
+    # greedy next-fit vs hand-computed: budget 10
+    lens = np.array([4, 4, 4, 10, 3, 12, 1, 9], dtype=np.int64)
+    # [4,4]=8 | [4]=4+10>10 → wait: 4+4=8, +4=12>10 → bin1 starts at 4; 4+10>10
+    # → bin2=[10]; [3]=3, +12>10 → bin4=[12] oversize; [1,9]=10 exact fit
+    assert pack_next_fit(lens, 10).tolist() == [0, 0, 1, 2, 3, 4, 5, 5]
+    # sequential reference on random input
+    rng = np.random.default_rng(6)
+    lens = rng.integers(1, 9, size=400, dtype=np.int64)
+    got = pack_next_fit(lens, 16)
+    b, fill, expect = 0, 0, []
+    for n in lens:
+        if fill and fill + n > 16:
+            b, fill = b + 1, 0
+        fill += n
+        expect.append(b)
+    assert got.tolist() == expect
+    assert pack_next_fit(np.array([], dtype=np.int64), 8).tolist() == []
