@@ -266,6 +266,118 @@ def orders_top10_value(sf_dir: str):
     )
 
 
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape (local-supplier volume in one region, 6 tables): the
+    ONLY fact-fact exchange is a single partitioned hash join
+    lineitem ⋈ orders on orderkey; region→nation, supplier→nation and
+    customer→nation all resolve map-side from broadcast sorted-array luts
+    (customer is dimension-sized here — above the broadcast limit the
+    partitioned-join duality of q3/q4 applies).  Revenue is exact scaled
+    integers: cents × (10000 − discount-bp), divided once at the end."""
+    import datetime
+
+    import ray
+
+    nat = pa.Table.from_pandas(
+        _t(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas(),
+        preserve_index=False,
+    )
+    region = pa.Table.from_pandas(
+        _t(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas(), preserve_index=False
+    )
+    rkey = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"][0].as_py()
+    region_nations = np.sort(
+        np.asarray(nat.filter(pc.equal(nat["n_regionkey"], rkey))["n_nationkey"], dtype=np.int64)
+    )
+
+    def _lut(tbl_ds, kcol: str, vcol: str):
+        t = pa.Table.from_pandas(tbl_ds.to_pandas(), preserve_index=False)
+        k = np.asarray(t[kcol], dtype=np.int64)
+        v = np.asarray(t[vcol], dtype=np.int64)
+        o = np.argsort(k)
+        return k[o], v[o]
+
+    supp_ref = ray.put(_lut(_t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]), "s_suppkey", "s_nationkey"))
+    cust_ref = ray.put(_lut(_t(sf_dir, "customer", ["c_custkey", "c_nationkey"]), "c_custkey", "c_nationkey"))
+
+    lo = pa.scalar(datetime.datetime(1995, 7, 1))
+    hi = pa.scalar(datetime.datetime(2000, 7, 1))
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.greater_equal(b["o_orderdate"], lo), pc.less(b["o_orderdate"], hi))
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    def to_rev(b: pa.Table) -> pa.Table:
+        cents = np.asarray(_cents(b["l_extendedprice"]), dtype=np.int64)
+        disc_bp = np.asarray(
+            pc.cast(pc.round(pc.multiply(b["l_discount"], 10000.0)), pa.int64()), dtype=np.int64
+        )
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_suppkey": b["l_suppkey"],
+                "rev_scaled": pa.array(cents * (10000 - disc_bp), pa.int64()),
+            }
+        )
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]).map_batches(
+        to_rev, batch_format="pyarrow"
+    )
+    joined = li.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"n_nationkey": pa.array([], pa.int64()), "rev_scaled": pa.array([], pa.int64())}
+            )
+        sk, sv = ray.get(supp_ref)
+        ck, cv = ray.get(cust_ref)
+        skey = np.asarray(b["l_suppkey"], dtype=np.int64)
+        ckey = np.asarray(b["o_custkey"], dtype=np.int64)
+        sp = np.clip(np.searchsorted(sk, skey), 0, len(sk) - 1)
+        cp = np.clip(np.searchsorted(ck, ckey), 0, len(ck) - 1)
+        s_nat = sv[sp]
+        c_nat = cv[cp]
+        keep = (
+            (sk[sp] == skey)
+            & (ck[cp] == ckey)
+            & (s_nat == c_nat)
+            & np.isin(s_nat, region_nations)
+        )
+        nk = s_nat[keep]
+        rev = np.asarray(b["rev_scaled"], dtype=np.int64)[keep]
+        if not len(nk):
+            return pa.table(
+                {"n_nationkey": pa.array([], pa.int64()), "rev_scaled": pa.array([], pa.int64())}
+            )
+        # int64 accumulator (not float-weighted bincount): scaled revenue per
+        # item is ~1e11, so a float53 partial could round at large batches
+        sums = np.zeros(int(nk.max()) + 1, dtype=np.int64)
+        np.add.at(sums, nk, rev)
+        nz = np.flatnonzero(sums)
+        return pa.table(
+            {"n_nationkey": pa.array(nz, pa.int64()), "rev_scaled": pa.array(sums[nz], pa.int64())}
+        )
+
+    merged = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_nationkey")
+        .aggregate(Sum("rev_scaled", alias_name="rev_scaled"))
+        .to_pandas()
+    )
+    names = dict(zip(np.asarray(nat["n_nationkey"]), nat["n_name"].to_pylist()))
+    return pa.table(
+        {
+            "n_name": pa.array([names[k] for k in merged["n_nationkey"]], pa.string()),
+            "revenue": pa.array(merged["rev_scaled"].to_numpy() / 1_000_000.0),
+        }
+    )
+
+
 def supplier_nation_counts(sf_dir: str):
     supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
     nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"])
@@ -1768,6 +1880,7 @@ QUERIES = {
     "docs_heavy_tokens": docs_heavy_tokens,
     "events_running_revenue": events_running_revenue,
     "docs_pack_bins": docs_pack_bins,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
     "docs_tokens": docs_tokens,
     "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_exact_dedup": docs_exact_dedup,
@@ -1937,6 +2050,22 @@ ORACLE_SQL = {
     "docs_normalize": """
         SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text
         FROM documents
+    """,
+    "q5_local_supplier_volume": """
+        SELECT n_name,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+                   / 1000000.0 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+          AND o_orderdate >= TIMESTAMP '1995-07-01'
+          AND o_orderdate < TIMESTAMP '2000-07-01'
+        GROUP BY n_name
     """,
     "docs_pack_bins": """
         WITH RECURSIVE t AS (
