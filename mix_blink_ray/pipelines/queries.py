@@ -820,6 +820,31 @@ def events_running_revenue(sf_dir: str):
     )
 
 
+def emb_quantized_stats(sf_dir: str):
+    """Scalar uint8 quantization of the embedding table
+    (``stages.quantize``): global per-dim min/max via dim-row partials, a
+    broadcast scale vector, vectorized half-up encode.  Output is per-vector
+    code checksums (sum/min/max) — the full arithmetic replayed by the SQL
+    oracle."""
+    from ..stages.quantize import quantize_embeddings
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        arr = b["codes"].combine_chunks() if isinstance(b["codes"], pa.ChunkedArray) else b["codes"]
+        m = np.asarray(arr.flatten(), dtype=np.int64).reshape(len(arr), -1)
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "code_sum": pa.array(m.sum(axis=1), pa.int64()),
+                "code_min": pa.array(m.min(axis=1), pa.int64()),
+                "code_max": pa.array(m.max(axis=1), pa.int64()),
+            }
+        )
+
+    return quantize_embeddings(ds, "embedding").map_batches(stats, batch_format="pyarrow")
+
+
 def docs_heavy_tokens(sf_dir: str):
     """EXACT frequent tokens (≥ 3.3% of all tokens) at bounded memory:
     Misra-Gries candidate pass (summary ≤ k+1 rows per block through the
@@ -1881,6 +1906,7 @@ QUERIES = {
     "events_running_revenue": events_running_revenue,
     "docs_pack_bins": docs_pack_bins,
     "q5_local_supplier_volume": q5_local_supplier_volume,
+    "emb_quantized_stats": emb_quantized_stats,
     "docs_tokens": docs_tokens,
     "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_exact_dedup": docs_exact_dedup,
@@ -2050,6 +2076,26 @@ ORACLE_SQL = {
     "docs_normalize": """
         SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text
         FROM documents
+    """,
+    "emb_quantized_stats": """
+        WITH v AS (
+            SELECT vec_id,
+                   unnest(range(1, len(embedding) + 1)) AS dim,
+                   unnest(CAST(embedding AS DOUBLE[])) AS val
+            FROM embeddings
+        ), s AS (
+            SELECT dim, min(val) AS mn, max(val) AS mx FROM v GROUP BY dim
+        ), c AS (
+            SELECT vec_id,
+                   CAST(floor((val - mn)
+                              * (CASE WHEN mx > mn THEN 255.0 / (mx - mn)
+                                      ELSE 0.0 END) + 0.5) AS BIGINT) AS code
+            FROM v JOIN s USING (dim)
+        )
+        SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+               CAST(min(code) AS BIGINT) AS code_min,
+               CAST(max(code) AS BIGINT) AS code_max
+        FROM c GROUP BY vec_id
     """,
     "q5_local_supplier_volume": """
         SELECT n_name,
