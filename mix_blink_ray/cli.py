@@ -255,6 +255,68 @@ def cmd_vocab(args) -> None:
     ray.shutdown()
 
 
+def cmd_pack(args) -> None:
+    """Next-fit sequence packing (stages/text_analysis.pack_next_fit):
+    per-group token-budget bins for training-shard assembly."""
+    ray = _ray_session(args.num_cpus)
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .stages.text_analysis import pack_next_fit
+
+    ds = rd.read_parquet(args.docs)
+    budget, group, idc, tc = args.budget, args.group, args.id_col, args.text_col
+
+    def lens(b: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(b[tc])
+        b = b.filter(pc.not_equal(trimmed, ""))
+        n = pc.list_value_length(pc.utf8_split_whitespace(pc.utf8_trim_whitespace(b[tc])))
+        return pa.table({group: b[group], idc: b[idc], "n": pc.cast(n, pa.int64())})
+
+    def pack(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g, sort_keys=[(idc, "ascending")]))
+        bins = pack_next_fit(np.asarray(g["n"], dtype=np.int64), budget)
+        return g.append_column("bin_idx", pa.array(bins, pa.int64()))
+
+    out = ds.map_batches(lens, batch_format="pyarrow").groupby(group).map_groups(
+        pack, batch_format="pyarrow"
+    )
+    out.write_parquet(_fresh_dir(args.out))
+    print(json.dumps({"rows": rd.read_parquet(args.out).count(), "budget": budget, "out": args.out}))
+    ray.shutdown()
+
+
+def cmd_heavy(args) -> None:
+    """Exact bounded-memory heavy hitters (stages/sketches.heavy_hitters)
+    over one column of a parquet table."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .stages.sketches import heavy_hitters
+
+    ds = rd.read_parquet(args.docs)
+    tbl = heavy_hitters(ds, args.key, args.min_frac)
+    print(json.dumps({"items": tbl.num_rows, "top": tbl.to_pylist()[: args.show]}))
+    ray.shutdown()
+
+
+def cmd_quantize(args) -> None:
+    """Scalar uint8 quantization of an embedding parquet table
+    (stages/quantize.py): writes (id, codes) parquet 4× smaller than float32."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .stages.quantize import quantize_embeddings
+
+    ds = rd.read_parquet(args.embeddings)
+    out = quantize_embeddings(ds, args.col, id_col=args.id_col)
+    out.write_parquet(_fresh_dir(args.out))
+    print(json.dumps({"rows": rd.read_parquet(args.out).count(), "out": args.out}))
+    ray.shutdown()
+
+
 def cmd_eval(args) -> None:
     import pyarrow.parquet as pq
 
@@ -373,6 +435,32 @@ def main(argv: list[str] | None = None) -> None:
     vp.add_argument("--out", required=True)
     vp.add_argument("--num-cpus", type=int, default=None)
     vp.set_defaults(fn=cmd_vocab)
+
+    pk = sub.add_parser("pack", help="next-fit token-budget sequence packing per group")
+    pk.add_argument("--docs", required=True)
+    pk.add_argument("--budget", type=int, default=2048)
+    pk.add_argument("--group", default="source")
+    pk.add_argument("--id-col", default="doc_id")
+    pk.add_argument("--text-col", default="text")
+    pk.add_argument("--out", required=True)
+    pk.add_argument("--num-cpus", type=int, default=None)
+    pk.set_defaults(fn=cmd_pack)
+
+    hh = sub.add_parser("heavy", help="exact bounded-memory heavy hitters of a column")
+    hh.add_argument("--docs", required=True)
+    hh.add_argument("--key", required=True)
+    hh.add_argument("--min-frac", type=float, default=0.01)
+    hh.add_argument("--show", type=int, default=20)
+    hh.add_argument("--num-cpus", type=int, default=None)
+    hh.set_defaults(fn=cmd_heavy)
+
+    qz = sub.add_parser("quantize", help="scalar uint8 quantization of an embedding table")
+    qz.add_argument("--embeddings", required=True)
+    qz.add_argument("--col", default="embedding")
+    qz.add_argument("--id-col", default="vec_id")
+    qz.add_argument("--out", required=True)
+    qz.add_argument("--num-cpus", type=int, default=None)
+    qz.set_defaults(fn=cmd_quantize)
 
     ep = sub.add_parser("eval", help="pairwise P/R/F1 vs a gold mentions table")
     ep.add_argument("--transcripts", required=True)

@@ -181,9 +181,14 @@ def heavy_hitters(
         items, counts = vc.field("values"), np.asarray(vc.field("counts"), dtype=np.int64)
         items, counts, dec = _mg_compress(items, counts, k)
         n = len(counts)
+        # "v:" prefixes real values, "m:" the per-batch metadata row — never
+        # a null group key (Ray's sort-based aggregate can't order null vs str)
+        tagged = pc.binary_join_element_wise(
+            pa.array(["v"] * n, pa.string()), items.cast(pa.string()), ":"
+        )
         return pa.table(
             {
-                "item": pa.concat_arrays([items.cast(pa.string()), pa.array([None], pa.string())]),
+                "item": pa.concat_arrays([tagged.combine_chunks() if isinstance(tagged, pa.ChunkedArray) else tagged, pa.array(["m:"], pa.string())]),
                 "cnt": pa.array(np.concatenate([counts, [0]]), pa.int64()),
                 "dec": pa.array([0] * n + [dec], pa.int64()),
                 "rows": pa.array([0] * n + [b.num_rows], pa.int64()),
@@ -198,7 +203,7 @@ def heavy_hitters(
         .aggregate(Sum("cnt", alias_name="cnt"), Sum("dec", alias_name="dec"), Sum("rows", alias_name="rows"))
         .to_pandas()
     )
-    sentinel = merged["item"].isna()
+    sentinel = merged["item"] == "m:"
     err = int(merged.loc[sentinel, "dec"].sum())
     total = int(merged.loc[sentinel, "rows"].sum())
     threshold = min_frac * total
@@ -206,7 +211,7 @@ def heavy_hitters(
         raise ValueError(
             f"Misra-Gries error bound {err} ≥ threshold {threshold:.1f}; increase k (k={k})"
         )
-    cand = merged.loc[~sentinel & (merged["cnt"] + err >= threshold), "item"]
+    cand = merged.loc[~sentinel & (merged["cnt"] + err >= threshold), "item"].str[2:]
     if not len(cand):
         return pa.table({value_col: pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
     cand_ref = ray.put(pa.array(sorted(cand), pa.string()))

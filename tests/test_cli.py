@@ -108,3 +108,42 @@ def test_cli_sample_and_vocab(tmp_path):
     idx = pq.read_table(str(tmp_path / "idx"))
     assert res3["rows"] == idx.num_rows
     assert set(idx.column_names) == {"token", "df", "postings"}
+
+
+def test_cli_pack_heavy_quantize(tmp_path):
+    import numpy as np
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(12), pa.int64()),
+            "source": pa.array(["a"] * 6 + ["b"] * 6),
+            "text": pa.array(["tok " * (i + 3) for i in range(12)]),
+        }
+    )
+    dp = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, dp)
+
+    res = _run(["pack", "--docs", dp, "--budget", "12", "--out", str(tmp_path / "bins"), "--num-cpus", "2"])
+    assert res["rows"] == 12
+    packed = pq.read_table(str(tmp_path / "bins")).to_pandas()
+    assert (packed.groupby(["source", "bin_idx"])["n"].sum() <= 12).all() or (
+        packed["n"] > 12
+    ).any()
+
+    res = _run(["heavy", "--docs", dp, "--key", "source", "--min-frac", "0.4", "--num-cpus", "2"])
+    assert res["items"] == 2  # both sources at exactly 50%
+
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(20, 8)).astype(np.float32)
+    et = pa.table(
+        {
+            "vec_id": pa.array(range(20), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(pa.array(emb.reshape(-1), pa.float32()), 8),
+        }
+    )
+    ep = str(tmp_path / "emb.parquet")
+    pq.write_table(et, ep)
+    res = _run(["quantize", "--embeddings", ep, "--out", str(tmp_path / "q"), "--num-cpus", "2"])
+    assert res["rows"] == 20
+    codes = pq.read_table(str(tmp_path / "q")).to_pandas()
+    assert set(codes.columns) == {"vec_id", "codes"}
