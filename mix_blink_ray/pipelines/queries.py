@@ -845,6 +845,26 @@ def emb_quantized_stats(sf_dir: str):
     return quantize_embeddings(ds, "embedding").map_batches(stats, batch_format="pyarrow")
 
 
+def docs_sample_weighted(sf_dir: str):
+    """Quality-weighted acceptance sampling: keep a doc iff
+    ``lehmer_hash(doc_id) < w · (2³¹−1)`` where ``w`` is the doc's quality
+    score quantized to 1e-4 (half-up, so the SQL oracle replays the exact
+    comparison).  Deterministic, retry-reproducible, shuffle-free — the
+    importance-subsampling step of a curation pipeline, map-side only."""
+    from ..stages.sampling import lehmer_hash
+    from ..stages.text_analysis import quality_scores
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        score = np.asarray(quality_scores(b)["quality_score"], dtype=np.float64)
+        w = np.floor(score * 10000.0 + 0.5) / 10000.0
+        h = lehmer_hash(np.asarray(b["doc_id"], dtype=np.int64), steps=3)
+        return pa.table({"doc_id": b["doc_id"]}).filter(pa.array(h < w * 2147483647.0))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def docs_heavy_tokens(sf_dir: str):
     """EXACT frequent tokens (≥ 3.3% of all tokens) at bounded memory:
     Misra-Gries candidate pass (summary ≤ k+1 rows per block through the
@@ -1907,6 +1927,7 @@ QUERIES = {
     "docs_pack_bins": docs_pack_bins,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "emb_quantized_stats": emb_quantized_stats,
+    "docs_sample_weighted": docs_sample_weighted,
     "docs_tokens": docs_tokens,
     "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_exact_dedup": docs_exact_dedup,
@@ -2584,6 +2605,13 @@ def _build_text_oracles() -> None:
                CAST(round(mean_word_len * 1000000) AS BIGINT) / 1000000.0 AS mean_word_len,
                CAST(round({score_expr} * 1000000) AS BIGINT) / 1000000.0 AS quality_score
         FROM r
+    """
+
+    ORACLE_SQL["docs_sample_weighted"] = f"""{quality_ctes}
+        SELECT doc_id FROM r
+        WHERE ((((doc_id % 2147483647) * 48271 % 2147483647)
+                 * 48271 % 2147483647) * 48271 % 2147483647)
+              < (floor({score_expr} * 10000 + 0.5) / 10000.0) * 2147483647
     """
 
     langs = [lang for lang, words in _STOPWORDS.items() if words]  # engine vote order

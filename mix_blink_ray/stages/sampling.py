@@ -36,14 +36,20 @@ _MERSENNE31 = 2147483647  # 2^31 - 1 (prime)
 _LEHMER_MULT = 48271  # MINSTD multiplier
 
 
-def lehmer_hash(ids: np.ndarray) -> np.ndarray:
-    """``(id mod (2^31-1)) * 48271 mod (2^31-1)`` — overflow-free in int64
-    (operands < 2^31 · 2^16), identical to the SQL expression
-    ``(id % 2147483647) * 48271 % 2147483647`` so DuckDB oracles can replay
-    it exactly.  Not cryptographic; fine for sampling, NOT for dedup keys
-    (use ``functions.hashing`` there)."""
-    ids = np.asarray(ids, dtype=np.int64)
-    return (ids % _MERSENNE31) * _LEHMER_MULT % _MERSENNE31
+def lehmer_hash(ids: np.ndarray, steps: int = 1) -> np.ndarray:
+    """``steps`` iterations of ``x ← (x mod (2^31-1)) * 48271 mod (2^31-1)``
+    — overflow-free in int64 (operands < 2^31 · 2^16), identical to the SQL
+    expression ``(id % 2147483647) * 48271 % 2147483647`` (nested ``steps``
+    times) so DuckDB oracles can replay it exactly.  One step is enough for
+    residue-class sampling (``h % mod``); THRESHOLD acceptance
+    (``h < p·M``) on small sequential ids needs ``steps ≥ 3`` — a single
+    multiply leaves ``h = id·48271`` far below any practical threshold.
+    Not cryptographic; fine for sampling, NOT for dedup keys (use
+    ``functions.hashing`` there)."""
+    x = np.asarray(ids, dtype=np.int64)
+    for _ in range(steps):
+        x = (x % _MERSENNE31) * _LEHMER_MULT % _MERSENNE31
+    return x
 
 
 def hash_sample(ds: Dataset, key_col: str, keep_mod: int, keep_residue: int = 0) -> Dataset:
