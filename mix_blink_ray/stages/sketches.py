@@ -203,9 +203,13 @@ def heavy_hitters(
         .aggregate(Sum("cnt", alias_name="cnt"), Sum("dec", alias_name="dec"), Sum("rows", alias_name="rows"))
         .to_pandas()
     )
+    if merged.empty or "item" not in merged.columns:
+        return pa.table({value_col: pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
     sentinel = merged["item"] == "m:"
     err = int(merged.loc[sentinel, "dec"].sum())
     total = int(merged.loc[sentinel, "rows"].sum())
+    if total == 0:
+        return pa.table({value_col: pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
     threshold = min_frac * total
     if err >= threshold:
         raise ValueError(

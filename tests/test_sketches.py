@@ -124,3 +124,15 @@ def test_heavy_hitters_k_too_small_raises():
     ds = ray.data.from_arrow(pa.table({"v": pa.array(["a", "b"] * 10, pa.string())}))
     with pytest.raises(ValueError, match="too small"):
         heavy_hitters(ds, "v", 0.05, k=4)
+
+
+def test_heavy_hitters_empty_input():
+    import pyarrow as pa
+    import ray
+
+    from mix_blink_ray.stages.sketches import heavy_hitters
+
+    ds = ray.data.from_arrow(pa.table({"v": pa.array([], pa.string())}))
+    out = heavy_hitters(ds, "v", 0.01)
+    assert out.num_rows == 0
+    assert out.schema.names == ["v", "cnt"]
