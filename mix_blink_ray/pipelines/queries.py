@@ -1179,6 +1179,43 @@ def emb_knn_ivf_top5(sf_dir: str):
     return knn_ivf(ds, query_ids=[0, 1, 2, 3, 4], cfg=AnnConfig(k=5, n_clusters=16, n_probes=16))
 
 
+def emb_knn_quantized_top5(sf_dir: str):
+    """Retrieval over the uint8-quantized corpus (``stages.quantize``): codes
+    are encoded then dequantized in one map pass (exactly the values a
+    quantized index would serve) and ranked by the brute-force top-k — the
+    4×-smaller-broadcast retrieval path, with the whole
+    quantize→dequantize→rank arithmetic replayed by the SQL oracle."""
+    import ray as _ray
+
+    from ..stages.ann import knn_bruteforce
+    from ..stages.quantize import dim_min_max
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    mn, mx = dim_min_max(ds, "embedding")
+    span = mx - mn
+    scale = np.divide(255.0, span, out=np.zeros_like(span), where=span > 0)
+    step = span / 255.0
+    ref = _ray.put((mn, scale, step))
+
+    def roundtrip(b: pa.Table) -> pa.Table:
+        arr = b["embedding"].combine_chunks() if isinstance(b["embedding"], pa.ChunkedArray) else b["embedding"]
+        m = np.asarray(arr.flatten(), dtype=np.float64).reshape(len(arr), -1)
+        mn_, sc_, st_ = _ray.get(ref)
+        codes = np.floor((m - mn_) * sc_ + 0.5)
+        deq = mn_ + codes * st_
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(deq.reshape(-1), pa.float64()), m.shape[1]
+                ),
+            }
+        )
+
+    ds2 = ds.map_batches(roundtrip, batch_format="pyarrow")
+    return knn_bruteforce(ds2, query_ids=[0, 1, 2, 3, 4], cfg=AnnConfig(k=5))
+
+
 def docs_near_dup_verified(sf_dir: str):
     """MinHash+LSH candidates → EXACT char-3-gram Jaccard verify (texts
     hash-joined onto the pair set) — the full two-stage near-dup pipeline."""
@@ -1928,6 +1965,7 @@ QUERIES = {
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "emb_quantized_stats": emb_quantized_stats,
     "docs_sample_weighted": docs_sample_weighted,
+    "emb_knn_quantized_top5": emb_knn_quantized_top5,
     "docs_tokens": docs_tokens,
     "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_exact_dedup": docs_exact_dedup,
@@ -2280,6 +2318,32 @@ ORACLE_SQL = {
                        ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id
                    ) AS rank
             FROM q CROSS JOIN embeddings e
+        ) WHERE rank <= 5
+    """,
+    "emb_knn_quantized_top5": """
+        WITH v AS (
+            SELECT vec_id,
+                   unnest(range(1, len(embedding) + 1)) AS dim,
+                   unnest(CAST(embedding AS DOUBLE[])) AS val
+            FROM embeddings
+        ), s AS (
+            SELECT dim, min(val) AS mn, max(val) AS mx FROM v GROUP BY dim
+        ), d AS (
+            SELECT vec_id,
+                   list(mn + floor((val - mn)
+                                   * (CASE WHEN mx > mn THEN 255.0 / (mx - mn)
+                                           ELSE 0.0 END) + 0.5)
+                             * ((mx - mn) / 255.0)
+                        ORDER BY dim) AS de
+            FROM v JOIN s USING (dim) GROUP BY vec_id
+        ), q AS (SELECT vec_id AS query_id, de AS qe FROM d WHERE vec_id < 5)
+        SELECT query_id, vec_id, rank FROM (
+            SELECT q.query_id, d.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qe, d.de) DESC, d.vec_id
+                   ) AS rank
+            FROM q CROSS JOIN d
         ) WHERE rank <= 5
     """,
     "events_lag_prev": """
