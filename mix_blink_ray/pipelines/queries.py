@@ -491,6 +491,116 @@ def events_by_type(sf_dir: str):
     return _round(pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"total_value": 2, "max_value": 6})
 
 
+def events_user_type_pivot(sf_dir: str):
+    """Per-user event-type pivot (count per type as columns): in-batch
+    bincount over the combined (user, type) code → one partial row per
+    distinct user per batch → ``groupby(user).sum`` — only pivoted rows
+    cross the exchange, never events."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    tmap = {t: i for i, t in enumerate(types)}
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 **{f"n_{t}": pa.array([], pa.int64()) for t in types}}
+            )
+        users = np.asarray(b["user_id"], dtype=np.int64)
+        tcodes = np.asarray(
+            pc.index_in(b["event_type"], value_set=pa.array(types, pa.string())), dtype=np.int64
+        )
+        uu, uidx = np.unique(users, return_inverse=True)
+        counts = np.bincount(uidx * len(types) + tcodes, minlength=len(uu) * len(types))
+        counts = counts.reshape(len(uu), len(types))
+        return pa.table(
+            {"user_id": pa.array(uu, pa.int64()),
+             **{f"n_{t}": pa.array(counts[:, tmap[t]], pa.int64()) for t in types}}
+        )
+
+    out = (
+        _t(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in types])
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def emb_label_centroids(sf_dir: str):
+    """Per-label embedding centroid (class prototype): per-batch per-(label,
+    dim) partial sums — ``labels × dims`` rows per block, vectors never
+    shuffle — merged by one small groupby; reported as the rounded centroid
+    L2 norm so the oracle is float-roundoff-proof."""
+    ds = _t(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        arr = b["embedding"].combine_chunks() if isinstance(b["embedding"], pa.ChunkedArray) else b["embedding"]
+        m = np.asarray(arr.flatten(), dtype=np.float64).reshape(len(arr), -1)
+        if not m.size:
+            return pa.table(
+                {"label": pa.array([], pa.int64()), "dim": pa.array([], pa.int64()),
+                 "s": pa.array([], pa.float64()), "n": pa.array([], pa.int64())}
+            )
+        labels = np.asarray(b["label"], dtype=np.int64)
+        lab_names, lid = np.unique(labels, return_inverse=True)
+        nl, d = len(lab_names), m.shape[1]
+        sums = np.zeros((nl, d))
+        np.add.at(sums, lid, m)
+        ncnt = np.bincount(lid, minlength=nl)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(lab_names, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), nl)),
+                "s": pa.array(sums.reshape(-1)),
+                "n": pa.array(np.repeat(ncnt, d).astype(np.int64)),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for lab, sub in merged.groupby("label", sort=True):
+        mean = sub["s"].to_numpy() / sub["n"].to_numpy()
+        rows.append((lab, int(sub["n"].iloc[0]), float(np.sqrt((mean * mean).sum()))))
+    out = pa.table(
+        {
+            "label": pa.array([int(r[0]) for r in rows], pa.int64()),
+            "n_vecs": pa.array([r[1] for r in rows], pa.int64()),
+            "centroid_norm": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    return _round(out, {"centroid_norm": 4})
+
+
+def customers_order_counts(sf_dir: str):
+    """Customers with their order count INCLUDING zero-order customers — a
+    partitioned LEFT OUTER join (the engine's first outer-join coverage;
+    pre-aggregated counts join, so the right side is one row per customer
+    that ordered)."""
+    cust = _t(sf_dir, "customer", ["c_custkey"])
+    counts = (
+        _t(sf_dir, "orders", ["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="cnt"))
+    )
+    j = cust.join(
+        counts, join_type="left_outer", num_partitions=8, on=("c_custkey",), right_on=("o_custkey",)
+    )
+    return j.map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "n_orders": pc.coalesce(pc.cast(b["cnt"], pa.int64()), pa.scalar(0, pa.int64())),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def events_hourly_window(sf_dir: str):
     """Tumbling 1-hour event-time window per type (engine's window bucketing;
     the reference has no time functions — north-rule addition)."""
@@ -1966,6 +2076,9 @@ QUERIES = {
     "emb_quantized_stats": emb_quantized_stats,
     "docs_sample_weighted": docs_sample_weighted,
     "emb_knn_quantized_top5": emb_knn_quantized_top5,
+    "events_user_type_pivot": events_user_type_pivot,
+    "emb_label_centroids": emb_label_centroids,
+    "customers_order_counts": customers_order_counts,
     "docs_tokens": docs_tokens,
     "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_exact_dedup": docs_exact_dedup,
@@ -2319,6 +2432,36 @@ ORACLE_SQL = {
                    ) AS rank
             FROM q CROSS JOIN embeddings e
         ) WHERE rank <= 5
+    """,
+    "events_user_type_pivot": """
+        SELECT user_id,
+               CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+               CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+               CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+               CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+               CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+        FROM events GROUP BY user_id
+    """,
+    "emb_label_centroids": """
+        WITH v AS (
+            SELECT label,
+                   unnest(range(1, len(embedding) + 1)) AS dim,
+                   unnest(CAST(embedding AS DOUBLE[])) AS val
+            FROM embeddings
+        ), a AS (
+            SELECT label, dim, sum(val) AS s, count(*) AS n FROM v GROUP BY label, dim
+        )
+        SELECT CAST(label AS BIGINT) AS label, CAST(max(n) AS BIGINT) AS n_vecs,
+               CAST(round(sqrt(sum((s / n) * (s / n))) * 10000) AS BIGINT) / 10000.0
+                   AS centroid_norm
+        FROM a GROUP BY label
+    """,
+    "customers_order_counts": """
+        SELECT c_custkey,
+               CAST(coalesce(cnt, 0) AS BIGINT) AS n_orders
+        FROM customer
+        LEFT JOIN (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey) o
+               ON c_custkey = o.o_custkey
     """,
     "emb_knn_quantized_top5": """
         WITH v AS (
