@@ -156,3 +156,86 @@ def test_emit_query_topk_properties(q, c, k, seed):
         kth = sims[qi, order[want_n - 1]] if want_n else None
         for _, r in got.iterrows():
             assert r["cosine"] >= kth - 1e-12
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=40), min_size=0, max_size=200),
+    st.integers(min_value=1, max_value=60),
+)
+def test_pack_next_fit_properties(lens, budget):
+    """Invariants: bins are contiguous and 0-based increasing; every bin's
+    fill ≤ budget unless it holds a single oversize doc; greedy = no doc
+    could have joined the previous bin."""
+    from mix_blink_ray.stages.text_analysis import pack_next_fit
+
+    lens_np = np.array(lens, dtype=np.int64)
+    bins = pack_next_fit(lens_np, budget)
+    assert len(bins) == len(lens)
+    if not len(lens):
+        return
+    assert bins[0] == 0
+    diffs = np.diff(bins)
+    assert ((diffs == 0) | (diffs == 1)).all()  # contiguous, increasing
+    for b in range(int(bins.max()) + 1):
+        members = lens_np[bins == b]
+        assert len(members) > 0
+        assert members.sum() <= budget or len(members) == 1
+    # greedy: the first doc of every new bin would have overflowed the previous
+    starts = np.flatnonzero(np.concatenate([[False], diffs == 1])) if len(lens) > 1 else []
+    for s in starts:
+        prev_fill = lens_np[bins == bins[s] - 1].sum()
+        assert prev_fill + lens_np[s] > budget
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=300),
+    st.integers(min_value=1, max_value=20),
+)
+def test_mg_compress_error_bound(vals, k):
+    """Misra-Gries: kept count ≥ true − dec for every item; ≤ k survivors;
+    dec ≤ N/(k+1)."""
+    import collections
+
+    from mix_blink_ray.stages.sketches import _mg_compress
+
+    exact = collections.Counter(vals)
+    items = pa.array([str(x) for x in exact], pa.string())
+    counts = np.array(list(exact.values()), dtype=np.int64)
+    kept_items, kept_counts, dec = _mg_compress(items, counts, k)
+    assert len(kept_counts) <= k
+    assert dec <= len(vals) // (k + 1)
+    kept = dict(zip(kept_items.to_pylist(), kept_counts))
+    for item, true in exact.items():
+        est = kept.get(str(item), 0)
+        assert est >= true - dec
+        assert est <= true
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(alphabet="ab c", max_size=40), min_size=1, max_size=40))
+def test_repetition_stats_matches_python_reference(texts):
+    import collections
+
+    from mix_blink_ray.stages.text_analysis import repetition_stats
+
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+    out = repetition_stats(batch)
+    for i, t in enumerate(texts):
+        toks = t.split()
+        n = len(toks)
+        assert out["n_tokens"][i].as_py() == n
+        if n == 0:
+            assert out["dup_token_frac"][i].as_py() == 0.0
+            continue
+        c = collections.Counter(toks)
+        assert out["dup_token_frac"][i].as_py() == (n - len(c)) / n
+        assert out["top_token_frac"][i].as_py() == max(c.values()) / n
+        if n >= 2:
+            bg = collections.Counter(zip(toks, toks[1:]))
+            assert out["top_bigram_frac"][i].as_py() == max(bg.values()) / (n - 1)
+        else:
+            assert out["top_bigram_frac"][i].as_py() == 0.0
