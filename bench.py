@@ -89,6 +89,13 @@ def run_bench() -> dict:
         "docs_quality",
         "emb_knn_top5",
         "docs_exact_dedup",
+        # round-3 additions (headline metric unchanged — these only extend
+        # the per-query report)
+        "lineitem_bloom_semi_join",
+        "docs_heavy_tokens",
+        "docs_repetition",
+        "events_running_revenue",
+        "q5_local_supplier_volume",
     ]
     qs = entry.queries()
     q_times: dict[str, float] = {}

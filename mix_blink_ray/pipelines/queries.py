@@ -1383,10 +1383,26 @@ def lineitem_bloom_semi_join(sf_dir: str):
     keys = big.map_batches(
         lambda b: pa.table({"o_orderkey": b["o_orderkey"]}), batch_format="pyarrow"
     )
-    out = bloom_semi_join(li, keys, "l_orderkey", "o_orderkey", m_bits=1 << 20)
+    out = bloom_semi_join(li, keys, "l_orderkey", "o_orderkey", m_bits=1 << 20, num_partitions=8)
+
+    def partial_sum(b: pa.Table) -> pa.Table:
+        # per-block contraction: the join output is key-partitioned, so most
+        # keys collapse to one row here; the global agg then merges partials
+        # (correct at ANY block layout — a partition split across blocks just
+        # yields two partials for the same key)
+        keys_np = np.asarray(b["l_orderkey"], dtype=np.int64)
+        if not len(keys_np):
+            return pa.table(
+                {"l_orderkey": pa.array([], pa.int64()), "sum_qty": pa.array([], pa.float64())}
+            )
+        uk, inv = np.unique(keys_np, return_inverse=True)
+        sums = np.bincount(inv, weights=np.asarray(b["l_quantity"], dtype=np.float64))
+        return pa.table({"l_orderkey": pa.array(uk), "sum_qty": pa.array(sums)})
+
     return (
-        out.groupby("l_orderkey")
-        .aggregate(Sum("l_quantity", alias_name="sum_qty"))
+        out.map_batches(partial_sum, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"))
     )
 
 

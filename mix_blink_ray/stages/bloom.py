@@ -13,12 +13,13 @@ operator's semantics are a plain semi-join (SQL twin: ``EXISTS``), with the
 filter purely a shuffle-volume optimization.  Pruned-row and false-positive
 counts are published via ``state.counters`` (never silent).
 
-Plan shape: build-side ``map_batches`` emits per-batch nonzero filter words
-→ ``groupby(word_idx).map_groups(OR)`` (shuffle ∝ set words × blocks, never
-rows) → the merged word table (m/64 rows ≤ a few MiB) broadcasts via
-``ray.put`` → probe-side vectorized k-hash membership test → partitioned
-join of survivors.  Hashes are splitmix64 with distinct salts (deterministic
-across runs and partitionings).
+Plan shape: build-side ``map_batches`` emits per-batch DISTINCT set-bit
+indices → one vectorized hash-aggregate dedups them (shuffle ∝ set bits ×
+blocks, never rows; no per-group Python) → the driver scatters ≤ m_bits
+indices into the word array, which broadcasts via ``ray.put`` → probe-side
+vectorized k-hash membership test → partitioned join of survivors.  Hashes
+are splitmix64 with distinct salts (deterministic across runs and
+partitionings).
 """
 
 from __future__ import annotations
@@ -45,10 +46,10 @@ def _bit_positions(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
 def build_bloom(keys: Dataset, key_col: str, m_bits: int = 1 << 23, k: int = 3) -> np.ndarray:
     """Distributed Bloom build → the merged (m_bits/64,) uint64 word array.
 
-    Per-batch partials emit only NONZERO words; the OR-merge is a
-    ``groupby(idx)`` whose input is bounded by set-words × blocks (filter
-    size, not row count).  The merged table — at most m_bits/64 rows — is
-    the only driver materialization.
+    Per-batch partials emit only their distinct SET BITS; the OR-merge is a
+    single hash-aggregate whose input is bounded by set-bits × blocks
+    (filter size, not row count).  The merged index table — at most m_bits
+    rows — is the only driver materialization.
     """
     if k > len(_SALTS):
         raise ValueError(f"k={k} exceeds available salts ({len(_SALTS)})")
@@ -56,43 +57,27 @@ def build_bloom(keys: Dataset, key_col: str, m_bits: int = 1 << 23, k: int = 3) 
 
     def partial(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            return pa.table(
-                {"widx": pa.array([], pa.int64()), "word": pa.array([], pa.int64())}
-            )
+            return pa.table({"bidx": pa.array([], pa.int64())})
         pos = _bit_positions(np.asarray(b[key_col], dtype=np.int64), m_bits, k).reshape(-1)
-        words = np.zeros(n_words, dtype=np.uint64)
-        np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64), np.uint64(1) << (pos & np.uint64(63)))
-        nz = np.flatnonzero(words)
-        return pa.table(
-            {"widx": pa.array(nz.astype(np.int64)), "word": pa.array(words[nz].view(np.int64))}
-        )
+        return pa.table({"bidx": pa.array(np.unique(pos).astype(np.int64))})
 
-    # OR-merge: one group per set word index, at most one row per block in
-    # each — the reduce is a tiny vectorized bitwise_or per group.
+    # OR-merge ≡ distinct set-bit indices: per-batch unique bits (≤ k × keys
+    # rows per block), one vectorized hash-aggregate (never per-group
+    # Python), and a driver scatter into the word array.  Shuffle and driver
+    # volume are bounded by the number of SET BITS (≤ m_bits, sized sparse),
+    # never by row count.
+    from ray.data.aggregate import Count
+
     merged = (
         keys.map_batches(partial, batch_format="pyarrow")
-        .groupby("widx")
-        .map_groups(
-            lambda g: pa.table(
-                {
-                    "widx": g["widx"].slice(0, 1),
-                    "word": pa.array(
-                        [
-                            np.bitwise_or.reduce(
-                                np.asarray(g["word"], dtype=np.int64).view(np.uint64)
-                            ).view(np.int64)
-                        ],
-                        pa.int64(),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+        .groupby("bidx")
+        .aggregate(Count(alias_name="_c"))
         .to_pandas()
     )
     words = np.zeros(n_words, dtype=np.uint64)
     if len(merged):
-        words[merged["widx"].to_numpy()] = merged["word"].to_numpy().view(np.uint64)
+        bits = merged["bidx"].to_numpy().astype(np.uint64)
+        np.bitwise_or.at(words, (bits >> np.uint64(6)).astype(np.int64), np.uint64(1) << (bits & np.uint64(63)))
     return words
 
 
@@ -131,16 +116,14 @@ def bloom_semi_join(
     n_surv = survivors.count()
     if n_surv == 0:
         return survivors
-    build_distinct = (
-        build.map_batches(
-            lambda b: pa.table({"__bk": pc.unique(b[build_key])}), batch_format="pyarrow"
-        )
-        .groupby("__bk")
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    # LEFT SEMI join: exact membership without distinct-ing the build side
+    # (semi semantics never duplicate probe rows) — one exchange fewer than
+    # dedup-then-inner-join.  Per-batch pc.unique still contracts the build
+    # side map-side so only distinct keys per block enter the shuffle.
+    build_keys = build.map_batches(
+        lambda b: pa.table({"__bk": pc.unique(b[build_key])}), batch_format="pyarrow"
     )
     np_ = clamped_partitions(n_surv, num_partitions)
-    out = survivors.join(
-        build_distinct, join_type="inner", num_partitions=np_, on=(probe_key,), right_on=("__bk",)
+    return survivors.join(
+        build_keys, join_type="left_semi", num_partitions=np_, on=(probe_key,), right_on=("__bk",)
     )
-    cols = [c for c in probe.schema().names]
-    return out.select_columns(cols)
