@@ -255,6 +255,30 @@ def cmd_vocab(args) -> None:
     ray.shutdown()
 
 
+def cmd_dedup_incremental(args) -> None:
+    """Delta-batch exact dedup against persisted fingerprint state
+    (stages/dedup.dedup_incremental): keep only never-seen documents and
+    append their fingerprints to the state."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .stages.dedup import dedup_incremental
+
+    ds = rd.read_parquet(args.docs)
+    novel = dedup_incremental(ds, args.state_dir)
+    out = None
+    if args.out:
+        kept_ids = novel.select_columns([args.id_col])
+        docs = rd.read_parquet(args.docs)
+        kept = docs.join(
+            kept_ids, join_type="left_semi", num_partitions=8, on=(args.id_col,)
+        )
+        kept.write_parquet(_fresh_dir(args.out))
+        out = args.out
+    print(json.dumps({"novel": novel.count(), "state_dir": args.state_dir, "out": out}))
+    ray.shutdown()
+
+
 def cmd_pack(args) -> None:
     """Next-fit sequence packing (stages/text_analysis.pack_next_fit):
     per-group token-budget bins for training-shard assembly."""
@@ -435,6 +459,14 @@ def main(argv: list[str] | None = None) -> None:
     vp.add_argument("--out", required=True)
     vp.add_argument("--num-cpus", type=int, default=None)
     vp.set_defaults(fn=cmd_vocab)
+
+    di = sub.add_parser("dedup-incremental", help="delta-batch exact dedup vs persisted fingerprint state")
+    di.add_argument("--docs", required=True)
+    di.add_argument("--state-dir", required=True)
+    di.add_argument("--id-col", default="doc_id")
+    di.add_argument("--out", default=None, help="optionally write the novel documents (payloads)")
+    di.add_argument("--num-cpus", type=int, default=None)
+    di.set_defaults(fn=cmd_dedup_incremental)
 
     pk = sub.add_parser("pack", help="next-fit token-budget sequence packing per group")
     pk.add_argument("--docs", required=True)

@@ -41,6 +41,7 @@ __all__ = [
     "embedding_near_dup_pairs",
     "similarity_join_exact",
     "dedup_corpus",
+    "dedup_incremental",
 ]
 
 
@@ -648,3 +649,68 @@ def embedding_near_dup_pairs(
         .groupby("bucket")
         .map_groups(in_bucket_pairs, batch_format="pyarrow")
     )
+
+
+def dedup_incremental(
+    new_docs: Dataset,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+) -> Dataset:
+    """Delta-batch exact dedup against persisted fingerprint state — the
+    daily-crawl ingestion shape: each arriving batch keeps only documents
+    never seen in ANY previous batch (nor earlier in this one).
+
+    Within-batch winners (:func:`exact_dedup`, 128-bit full-content hash)
+    are filtered against the accumulated state by a partitioned LEFT ANTI
+    join on the two hash columns — scale-correct with no broadcast duality
+    needed (state never fits a broadcast at 100 TB; anti-join moves only
+    16-byte fingerprints).  Novel fingerprints are appended as a NEW delta
+    directory under ``state_dir/hashes/`` — O(delta) write, existing state
+    never rewritten, ``os.replace`` makes each delta atomic (a killed run
+    leaves only a ``.tmp`` dir that the next run ignores).
+
+    Returns the novel winners ``(content_hash, content_hash2, id, n_copies)``
+    — join back to the batch on ``id_col`` for payloads.
+    """
+    import os
+    import shutil
+
+    import ray
+
+    from .clustering import clamped_partitions
+
+    hashes_dir = os.path.join(state_dir, "hashes")
+    winners = exact_dedup(new_docs, text_col, id_col).materialize()
+    n_winners = winners.count()
+    deltas = (
+        sorted(d for d in os.listdir(hashes_dir) if not d.endswith(".tmp"))
+        if os.path.isdir(hashes_dir)
+        else []
+    )
+    if deltas and n_winners > 0:
+        import glob as _glob
+
+        files = sorted(
+            f
+            for d in deltas
+            for f in _glob.glob(os.path.join(hashes_dir, d, "*.parquet"))
+        )
+        state = ray.data.read_parquet(files, columns=["content_hash", "content_hash2"])
+        novel = winners.join(
+            state,
+            join_type="left_anti",
+            num_partitions=clamped_partitions(n_winners, num_partitions),
+            on=("content_hash", "content_hash2"),
+        )
+    else:
+        novel = winners
+    novel = novel.materialize()
+    if novel.count() > 0:
+        new_delta = os.path.join(hashes_dir, f"delta_{len(deltas):05d}")
+        tmp = new_delta + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        novel.select_columns(["content_hash", "content_hash2"]).write_parquet(tmp)
+        os.replace(tmp, new_delta)
+    return novel

@@ -147,3 +147,21 @@ def test_cli_pack_heavy_quantize(tmp_path):
     assert res["rows"] == 20
     codes = pq.read_table(str(tmp_path / "q")).to_pandas()
     assert set(codes.columns) == {"vec_id", "codes"}
+
+
+def test_cli_dedup_incremental(tmp_path):
+    b1 = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                   "text": pa.array(["aa", "bb", "aa"])})
+    b2 = pa.table({"doc_id": pa.array([10, 11], pa.int64()),
+                   "text": pa.array(["bb", "cc"])})
+    p1, p2 = str(tmp_path / "b1.parquet"), str(tmp_path / "b2.parquet")
+    pq.write_table(b1, p1)
+    pq.write_table(b2, p2)
+    state = str(tmp_path / "state")
+    r1 = _run(["dedup-incremental", "--docs", p1, "--state-dir", state, "--num-cpus", "2"])
+    assert r1["novel"] == 2
+    out2 = str(tmp_path / "novel2")
+    r2 = _run(["dedup-incremental", "--docs", p2, "--state-dir", state, "--out", out2, "--num-cpus", "2"])
+    assert r2["novel"] == 1
+    kept = pq.read_table(out2).to_pandas()
+    assert sorted(kept["doc_id"]) == [11] and list(kept["text"]) == ["cc"]

@@ -104,3 +104,35 @@ def test_incremental_refuses_state_from_different_catalog(synth_small, tmp_path)
     )
     with pytest.raises(ValueError, match="fingerprint mismatch"):
         run_linkage_incremental(rd.from_arrow(t2), renamed, cfg, state)
+
+
+def test_dedup_incremental_three_batches(tmp_path):
+    """Batch 2 resubmits batch-1 docs plus new dups; batch 3 is all-known.
+    Novel sets must be exactly the never-seen texts; state grows by one
+    delta per non-empty batch."""
+    import os
+
+    import pyarrow as pa
+    import ray
+
+    from mix_blink_ray.stages.dedup import dedup_incremental
+
+    state = str(tmp_path / "state")
+
+    def batch(ids, texts):
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+        ).repartition(2)
+
+    b1 = dedup_incremental(batch([1, 2, 3], ["aa", "bb", "aa"]), state)
+    assert sorted(b1.to_pandas()["doc_id"]) == [1, 2]  # within-batch dup dropped
+
+    # "bb" known from batch 1; "cc" new (twice → one winner); "aa" known
+    b2 = dedup_incremental(batch([10, 11, 12, 13], ["bb", "cc", "cc", "aa"]), state)
+    assert sorted(b2.to_pandas()["doc_id"]) == [11]
+
+    b3 = dedup_incremental(batch([20, 21], ["aa", "cc"]), state)
+    assert b3.count() == 0
+
+    deltas = sorted(os.listdir(os.path.join(state, "hashes")))
+    assert deltas == ["delta_00000", "delta_00001"]  # empty batch 3 adds none
