@@ -31,6 +31,7 @@ __all__ = [
     "flat_utf8",
     "gather_substrings",
     "char_ngram_hashes",
+    "token_ngram_hashes",
     "hash_strings",
     "hash_strings_full",
     "rolling_hashes",
@@ -154,6 +155,42 @@ def char_ngram_hashes(
             order = np.argsort(gram_row, kind="stable")
             gram_h, gram_row = gram_h[order], gram_row[order]
     return gram_h, gram_row
+
+
+def token_ngram_hashes(toks: pa.ListArray | pa.ChunkedArray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Hash every TOKEN n-gram of every list row; returns ``(gram_hashes, row_ids)``.
+
+    ``toks`` is a ``list<string>`` array (e.g. the output of whitespace
+    tokenization).  Each token is hashed once (full polynomial hash +
+    avalanche), then windows of ``n`` consecutive token hashes are combined
+    with an avalanched polynomial — so the cost is O(total tokens), not
+    O(total gram characters), and no gram strings are ever materialized
+    (the string form exists only in the DuckDB oracles).  Rows with fewer
+    than ``n`` tokens contribute nothing.  ``row_ids`` is ascending.
+
+    Rows must be non-null (``ListArray.flatten`` drops null rows, which would
+    desynchronize the offsets); tokenizer output of non-null text satisfies
+    this.
+    """
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    if toks.null_count:
+        raise ValueError("token_ngram_hashes requires non-null list rows")
+    off = np.asarray(toks.offsets, dtype=np.int64)
+    off = off - off[0]
+    flat = toks.flatten()
+    data, soff = flat_utf8(flat)
+    th = _splitmix64(hash_strings(data, soff, max_bytes=1 << 30))
+    m = len(th) - n + 1
+    if m <= 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    h = np.full(m, _SEED_MIX, dtype=np.uint64)
+    for i in range(n):
+        h = _splitmix64(h * _P + th[i : m + i])
+    starts = np.arange(m, dtype=np.int64)
+    row = np.searchsorted(off, starts, side="right") - 1
+    valid = (starts + n) <= off[row + 1]
+    return h[valid], row[valid]
 
 
 def hash_strings(data: np.ndarray, offsets: np.ndarray, max_bytes: int = 64) -> np.ndarray:

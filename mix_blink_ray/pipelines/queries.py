@@ -2094,6 +2094,28 @@ def users_click_no_purchase(sf_dir: str):
     return pa.table({"user_id": pa.array(sorted(df["user_id"]), pa.int64())})
 
 
+def docs_decontaminate(sf_dir: str):
+    """Benchmark n-gram decontamination: flag training docs (doc_id % 13 ≠ 0)
+    sharing any token 5-gram with the held-out set (doc_id % 13 = 0).  The
+    benchmark gram-hash set broadcasts once; every training batch probes it
+    map-side — the 100-TB side never shuffles (see ``stages.contamination``)."""
+    from ..stages.contamination import decontaminate
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return decontaminate(ds, n=5, bench_mod=13)
+
+
+def docs_dup_spans(sf_dir: str):
+    """Per-doc duplicated-5-gram stats (Lee-et-al dup-span signal): distinct
+    (gram, doc) pairs built map-side, one groupby(gram_hash) finds grams in
+    ≥ 2 docs, the (small) duplicated set broadcasts back.  ``dup_frac`` is a
+    same-integer division — bit-exact vs the oracle."""
+    from ..stages.contamination import dup_span_stats
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return dup_span_stats(ds, n=5)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2127,6 +2149,8 @@ QUERIES = {
     "emb_label_centroids": emb_label_centroids,
     "customers_order_counts": customers_order_counts,
     "docs_tokens": docs_tokens,
+    "docs_decontaminate": docs_decontaminate,
+    "docs_dup_spans": docs_dup_spans,
     "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_exact_dedup_hash": docs_exact_dedup_hash,
@@ -2405,6 +2429,41 @@ ORACLE_SQL = {
         SELECT doc_id, length(text) AS n_chars,
                array_length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
         FROM documents
+    """,
+    "docs_decontaminate": """
+        WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                   FROM documents),
+        g AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
+              FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i FROM t)),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 13 = 0),
+        train AS (SELECT * FROM g WHERE doc_id % 13 <> 0),
+        hits AS (SELECT doc_id, count(*) AS n_hits FROM train
+                 WHERE gram IN (SELECT gram FROM bench) GROUP BY doc_id),
+        tot AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(tot.n_grams, 0) AS n_grams,
+               COALESCE(hits.n_hits, 0) AS n_hits,
+               COALESCE(hits.n_hits, 0) > 0 AS flagged
+        FROM documents d
+        LEFT JOIN tot ON d.doc_id = tot.doc_id
+        LEFT JOIN hits ON d.doc_id = hits.doc_id
+        WHERE d.doc_id % 13 <> 0
+    """,
+    "docs_dup_spans": """
+        WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                   FROM documents),
+        g AS (SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
+              FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i FROM t)),
+        dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        per AS (SELECT doc_id, count(*) AS n_grams,
+                       count(*) FILTER (WHERE gram IN (SELECT gram FROM dup)) AS n_dup_grams
+                FROM g GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(per.n_grams, 0) AS n_grams,
+               COALESCE(per.n_dup_grams, 0) AS n_dup_grams,
+               CASE WHEN COALESCE(per.n_grams, 0) = 0 THEN 0.0
+                    ELSE CAST(per.n_dup_grams AS DOUBLE) / per.n_grams END AS dup_frac
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
     """,
     "docs_tokens": """
         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
