@@ -2116,6 +2116,28 @@ def docs_dup_spans(sf_dir: str):
     return dup_span_stats(ds, n=5)
 
 
+def docs_rarity(sf_dir: str):
+    """Mean inverse token frequency per doc — a CCNet-style rarity / quality
+    proxy kept integer-exact (floor-div reciprocals, same-int f64 division)
+    so the oracle matches bitwise where a float log-surprisal could not
+    (numpy vs DuckDB libm differ by ulps on ~15% of rationals; measured)."""
+    from ..stages.vocab import rarity_scores
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return rarity_scores(ds)
+
+
+def docs_search_top10(sf_dir: str):
+    """Integer tf-idf retrieval: top-10 docs for a 3-term query.  One tiny
+    df/doc-count stats pass (a few int rows per batch reach the driver),
+    idf broadcast in the scoring closure, partial top-k merge — never a
+    global sort (see ``stages.vocab.tfidf_search``)."""
+    from ..stages.vocab import tfidf_search
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_search(ds, "merge window scan", k=10)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2151,6 +2173,8 @@ QUERIES = {
     "docs_tokens": docs_tokens,
     "docs_decontaminate": docs_decontaminate,
     "docs_dup_spans": docs_dup_spans,
+    "docs_rarity": docs_rarity,
+    "docs_search_top10": docs_search_top10,
     "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_exact_dedup_hash": docs_exact_dedup_hash,
@@ -2464,6 +2488,37 @@ ORACLE_SQL = {
                CASE WHEN COALESCE(per.n_grams, 0) = 0 THEN 0.0
                     ELSE CAST(per.n_dup_grams AS DOUBLE) / per.n_grams END AS dup_frac
         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """,
+    "docs_rarity": """
+        WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                   FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt),
+        per AS (SELECT tok.doc_id, count(*) AS n_toks,
+                       CAST(sum((SELECT total FROM tot) // cnt.c) AS BIGINT) AS inv_sum
+                FROM tok JOIN cnt ON tok.w = cnt.w GROUP BY tok.doc_id)
+        SELECT d.doc_id,
+               COALESCE(per.n_toks, 0) AS n_toks,
+               COALESCE(per.inv_sum, 0) AS inv_sum,
+               CASE WHEN per.n_toks IS NULL THEN 0.0
+                    ELSE CAST(per.inv_sum AS DOUBLE) / per.n_toks END AS rarity
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """,
+    "docs_search_top10": """
+        WITH q(term) AS (VALUES ('merge'), ('scan'), ('window')),
+        t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+              FROM documents),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        df AS (SELECT w AS term, count(DISTINCT doc_id) AS df FROM tok
+               WHERE w IN (SELECT term FROM q) GROUP BY w),
+        tf AS (SELECT doc_id, w AS term, count(*) AS tf FROM tok
+               WHERE w IN (SELECT term FROM q) GROUP BY doc_id, w),
+        sc AS (SELECT tf.doc_id,
+                      CAST(sum(tf.tf * ((SELECT n_docs FROM n) * 1000 // df.df)) AS BIGINT) AS score
+               FROM tf JOIN df ON tf.term = df.term GROUP BY tf.doc_id)
+        SELECT doc_id, score FROM sc WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10
     """,
     "docs_tokens": """
         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token

@@ -37,6 +37,8 @@ __all__ = [
     "doc_frequencies",
     "top_terms_per_doc",
     "inverted_index",
+    "rarity_scores",
+    "tfidf_search",
 ]
 
 
@@ -201,3 +203,137 @@ def inverted_index(
         .groupby("token")
         .map_groups(assemble, batch_format="pyarrow")
     )
+
+
+def rarity_scores(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lower: bool = True,
+    max_broadcast_vocab: int = 20_000_000,
+) -> Dataset:
+    """Per-document mean inverse token frequency — a CCNet-style rarity /
+    quality proxy kept INTEGER-exact so the DuckDB oracle matches bitwise
+    (a float unigram-LM surprisal would differ from DuckDB by libm ulps;
+    measured: numpy and DuckDB ``log2`` disagree on ~15% of rationals).
+
+    Per token: ``inv = total_tokens // corpus_count(token)`` (floor division,
+    int64).  Per doc: ``rarity = sum(inv) / n_tokens`` — a same-integer f64
+    division, order-independent.  Output: ``(doc_id, n_toks, inv_sum,
+    rarity)``; docs with no tokens report 0 / 0 / 0.0.
+
+    Two passes: a map-side-combined wordcount (``token_counts``), then a
+    broadcast probe — the corpus never shuffles.  The vocabulary broadcast is
+    guarded like ``top_terms_per_doc``; above the cap, prune low-count tail
+    tokens into a sentinel bucket first (their ``inv`` saturates at
+    ``total`` anyway)."""
+    counts = pa.Table.from_pandas(token_counts(ds, text_col, lower).to_pandas(), preserve_index=False)
+    if counts.num_rows > max_broadcast_vocab:
+        raise ValueError(
+            f"vocabulary {counts.num_rows} exceeds max_broadcast_vocab={max_broadcast_vocab}; "
+            "prune the low-count tail before scoring (see docstring)"
+        )
+    vocab_pa = pc.cast(counts["token"], pa.string()).combine_chunks()
+    cnt_np = np.asarray(counts["n"], dtype=np.int64)
+    total = int(cnt_np.sum())
+    inv_np = total // cnt_np  # int64 floor division, exact
+    vocab_ref = ray.put(vocab_pa)
+    inv_ref = ray.put(inv_np)
+
+    def score(b: pa.Table) -> pa.Table:
+        vc, iv = ray.get(vocab_ref), ray.get(inv_ref)
+        dids, toks = _explode(b, id_col, text_col, lower)
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        o = np.argsort(ids, kind="stable")
+        pos = o[np.searchsorted(ids[o], dids)] if len(toks) else np.zeros(0, np.int64)
+        if len(toks):
+            vi = pc.fill_null(pc.index_in(pa.array(toks, pa.string()), value_set=vc), -1)
+            vi = vi.to_numpy(zero_copy_only=False).astype(np.int64)
+            # unseen token (reuse on other data): rarest possible (inv = total)
+            inv = np.where(vi >= 0, iv[np.maximum(vi, 0)], total)
+        else:
+            inv = np.zeros(0, dtype=np.int64)
+        n_toks = np.bincount(pos, minlength=b.num_rows).astype(np.int64)
+        inv_sum = np.zeros(b.num_rows, dtype=np.int64)  # exact int64 (float
+        np.add.at(inv_sum, pos, inv)  # bincount weights would round > 2^53)
+        rarity = np.divide(inv_sum, n_toks, out=np.zeros(len(n_toks)), where=n_toks > 0)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_toks": pa.array(n_toks),
+                "inv_sum": pa.array(inv_sum),
+                "rarity": pa.array(rarity, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def tfidf_search(
+    ds: Dataset,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lower: bool = True,
+) -> pa.Table:
+    """Top-``k`` documents for a term query by integer tf-idf:
+    ``score(doc) = Σ_terms tf(term, doc) · ((N_docs · 1000) // df(term))``.
+
+    The idf is integer-quantized (``· 1000 //``) instead of ``log(N/df)`` so
+    the score is exact across engines (log is monotone in N/df, so for a
+    FIXED query the integer reciprocal preserves per-term ranking; the usual
+    float BM25 drops in transparently where cross-engine bit-parity is not a
+    requirement).  Execution: one tiny stats pass (per-batch partial df for
+    the ≤ dozens of query terms + doc-count partials — a few int rows per
+    batch reach the driver), then a scoring pass with the per-term idf
+    broadcast inside the closure, then the engine's partial top-k merge
+    (never a global sort).  Returns ``(doc_id, score)``, score > 0 only,
+    ties broken by ``doc_id`` ascending."""
+    qt = sorted({t for t in (query.lower() if lower else query).split()})
+    if not qt:
+        raise ValueError("query has no terms")
+    qarr = np.array(qt, dtype=object)
+
+    def stats(b: pa.Table) -> pa.Table:
+        dids, toks = _explode(b, id_col, text_col, lower)
+        dfp = np.zeros(len(qt), dtype=np.int64)
+        if len(toks):
+            for j, term in enumerate(qt):
+                dfp[j] = len(np.unique(dids[toks == term]))
+        return pa.table(
+            {
+                "j": pa.array(np.arange(len(qt) + 1, dtype=np.int64)),
+                "c": pa.array(np.append(dfp, np.int64(b.num_rows))),
+            }
+        )
+
+    agg = (
+        ds.map_batches(stats, batch_format="pyarrow").groupby("j").aggregate(Sum("c", alias_name="c")).to_pandas()
+    )
+    agg = agg.sort_values("j").reset_index(drop=True)
+    dfs = agg["c"].to_numpy()[: len(qt)].astype(np.int64)
+    n_docs = int(agg["c"].to_numpy()[len(qt)])
+    live = dfs > 0
+    idf = np.zeros(len(qt), dtype=np.int64)
+    idf[live] = (n_docs * 1000) // dfs[live]
+
+    def score(b: pa.Table) -> pa.Table:
+        dids, toks = _explode(b, id_col, text_col, lower)
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        o = np.argsort(ids, kind="stable")
+        pos = o[np.searchsorted(ids[o], dids)] if len(toks) else np.zeros(0, np.int64)
+        sc = np.zeros(b.num_rows, dtype=np.int64)
+        for j, term in enumerate(qt):
+            if idf[j] == 0:
+                continue
+            m = toks == term
+            if m.any():
+                sc += np.bincount(pos[m], minlength=b.num_rows).astype(np.int64) * idf[j]
+        keep = sc > 0
+        return pa.table({id_col: pa.array(ids[keep]), "score": pa.array(sc[keep])})
+
+    from .topk import topk_rows
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return topk_rows(scored, ["score", id_col], [True, False], k)

@@ -146,3 +146,56 @@ def test_chunk_batch_mismatched_overlap_raises():
     b = pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array(["a b"])})
     with _pytest.raises(ValueError):
         chunk_batch(b, chunk_tokens=10, overlap=10)
+
+
+def test_rarity_scores_matches_bruteforce(ray_session):
+    from collections import Counter
+
+    from mix_blink_ray.stages.vocab import rarity_scores
+
+    tbl = _docs(40)
+    out = rarity_scores(rd.from_arrow(tbl).repartition(3)).to_pandas()
+    docs = {i: t.lower().split() for i, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())}
+    cnt = Counter(w for tk in docs.values() for w in tk)
+    total = sum(cnt.values())
+    exp = {d: (len(tk), sum(total // cnt[w] for w in tk)) for d, tk in docs.items()}
+    got = {r.doc_id: (r.n_toks, r.inv_sum) for r in out.itertuples()}
+    assert got == exp
+    fr = out.set_index("doc_id")
+    for d, (nt, inv) in exp.items():
+        assert fr.loc[d, "rarity"] == (inv / nt if nt else 0.0)
+
+
+def test_rarity_vocab_guard():
+    from mix_blink_ray.stages.vocab import rarity_scores
+
+    with pytest.raises(ValueError, match="max_broadcast_vocab"):
+        rarity_scores(rd.from_arrow(_docs(20)), max_broadcast_vocab=2)
+
+
+def test_tfidf_search_matches_bruteforce_and_breaks_ties(ray_session):
+    from mix_blink_ray.stages.vocab import tfidf_search
+
+    tbl = _docs(50)
+    res = tfidf_search(rd.from_arrow(tbl).repartition(4), "alpha gamma", k=7).to_pandas()
+    docs = {i: t.lower().split() for i, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())}
+    qt = sorted({"alpha", "gamma"})
+    dfs = {q: sum(q in tk for tk in docs.values()) for q in qt}
+    idf = {q: (len(docs) * 1000) // dfs[q] for q in qt if dfs[q]}
+    sc = {d: sum(tk.count(q) * idf.get(q, 0) for q in qt) for d, tk in docs.items()}
+    top = sorted(((s, d) for d, s in sc.items() if s > 0), key=lambda x: (-x[0], x[1]))[:7]
+    assert [(d, s) for s, d in top] == list(zip(res.doc_id, res.score))
+    # ties (same score) must come out doc_id-ascending
+    for (s1, _), (s2, _) in zip(top, top[1:]):
+        assert s1 >= s2
+
+
+def test_tfidf_search_absent_term_contributes_nothing(ray_session):
+    from mix_blink_ray.stages.vocab import tfidf_search
+
+    tbl = _docs(30)
+    a = tfidf_search(rd.from_arrow(tbl), "alpha", k=5).to_pandas()
+    b = tfidf_search(rd.from_arrow(tbl), "alpha zzznotaword", k=5).to_pandas()
+    assert a.equals(b)
+    with pytest.raises(ValueError, match="no terms"):
+        tfidf_search(rd.from_arrow(tbl), "   ", k=5)
