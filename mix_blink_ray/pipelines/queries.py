@@ -2138,6 +2138,42 @@ def docs_search_top10(sf_dir: str):
     return tfidf_search(ds, "merge window scan", k=10)
 
 
+def docs_budget_mix(sf_dir: str):
+    """Per-source token-quota mixture sampler: keep each source's docs in
+    doc_id order while the source's running token total stays ≤ 1500 — the
+    deterministic "mix N tokens per source" step of a training-data build.
+    One sort range-shuffle + a two-phase grouped prefix scan (driver sees
+    per-block per-group scalars only; see ``stages.scan.grouped_prefix_scan``)."""
+    from ..stages.scan import budget_mix
+
+    ds = _t(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.utf8_split_whitespace(pc.utf8_trim_whitespace(b["text"])))
+        return pa.table(
+            {"doc_id": b["doc_id"], "source": b["source"], "n_toks": pc.cast(n, pa.int64())}
+        )
+
+    return budget_mix(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "source",
+        ["doc_id"],
+        "n_toks",
+        budget=1500,
+        out_col="cum_toks",
+    )
+
+
+def docs_top_bigrams(sf_dir: str):
+    """Corpus top-20 adjacent token pairs (collocations / first BPE merges):
+    map-side-combined bigram counts + partial top-k merge, never a full sort."""
+    from ..stages.topk import topk_rows
+    from ..stages.vocab import bigram_counts
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return topk_rows(bigram_counts(ds, "text"), ["n", "bigram"], [True, False], 20)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2175,6 +2211,8 @@ QUERIES = {
     "docs_dup_spans": docs_dup_spans,
     "docs_rarity": docs_rarity,
     "docs_search_top10": docs_search_top10,
+    "docs_budget_mix": docs_budget_mix,
+    "docs_top_bigrams": docs_top_bigrams,
     "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_exact_dedup_hash": docs_exact_dedup_hash,
@@ -2519,6 +2557,22 @@ ORACLE_SQL = {
                       CAST(sum(tf.tf * ((SELECT n_docs FROM n) * 1000 // df.df)) AS BIGINT) AS score
                FROM tf JOIN df ON tf.term = df.term GROUP BY tf.doc_id)
         SELECT doc_id, score FROM sc WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    "docs_budget_mix": """
+        WITH t AS (SELECT doc_id, source,
+                          CAST(array_length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_toks
+                   FROM documents),
+        c AS (SELECT doc_id, source, n_toks,
+                     CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_toks
+              FROM t)
+        SELECT doc_id, source, n_toks, cum_toks FROM c WHERE cum_toks <= 1500
+    """,
+    "docs_top_bigrams": """
+        WITH t AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
+        b AS (SELECT array_to_string(list_slice(toks, i, i + 1), ' ') AS bigram
+              FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t))
+        SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+        ORDER BY n DESC, bigram LIMIT 20
     """,
     "docs_tokens": """
         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token

@@ -27,7 +27,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-__all__ = ["prefix_scan"]
+__all__ = ["prefix_scan", "grouped_prefix_scan", "budget_mix"]
 
 
 @ray.remote
@@ -73,3 +73,109 @@ def prefix_scan(
         for r, ro, so in zip(refs, row_offs, sum_offs)
     ]
     return ray.data.from_arrow_refs(out_refs)
+
+
+@ray.remote
+def _block_group_totals(tbl: pa.Table, group_col: str, value_col: str) -> list[tuple]:
+    """Per-group (rows, sum) partials for one block — groups are contiguous
+    after the (group, order) sort, so this is a segmented reduce."""
+    if tbl.num_rows == 0:
+        return []
+    g = tbl[group_col].to_numpy(zero_copy_only=False)
+    v = np.asarray(tbl[value_col], dtype=np.int64)
+    starts = np.concatenate([[0], np.flatnonzero(g[1:] != g[:-1]) + 1])
+    ends = np.append(starts[1:], len(g))
+    return [(g[s], int(e - s), int(v[s:e].sum())) for s, e in zip(starts, ends)]
+
+
+@ray.remote
+def _block_group_scan(
+    tbl: pa.Table,
+    group_col: str,
+    value_col: str,
+    offsets: dict,
+    out_col: str,
+    row_col: str,
+) -> pa.Table:
+    """Add per-group scalar offsets to a segmented local cumsum."""
+    if tbl.num_rows == 0:
+        return tbl.append_column(out_col, pa.array([], pa.int64())).append_column(
+            row_col, pa.array([], pa.int64())
+        )
+    g = tbl[group_col].to_numpy(zero_copy_only=False)
+    v = np.asarray(tbl[value_col], dtype=np.int64)
+    starts = np.concatenate([[0], np.flatnonzero(g[1:] != g[:-1]) + 1])
+    seg_of = np.repeat(np.arange(len(starts)), np.diff(np.append(starts, len(g))))
+    # segment-local cumsum: global cumsum minus the running total at each
+    # segment start (exact int64, association-free)
+    c = np.cumsum(v)
+    base = np.concatenate([[0], c[:-1]])[starts]
+    local = c - base[seg_of]
+    rows_local = np.arange(len(g), dtype=np.int64) - starts[seg_of] + 1
+    sum_off = np.array([offsets[g[s]][1] for s in starts], dtype=np.int64)
+    row_off = np.array([offsets[g[s]][0] for s in starts], dtype=np.int64)
+    return tbl.append_column(out_col, pa.array(local + sum_off[seg_of], pa.int64())).append_column(
+        row_col, pa.array(rows_local + row_off[seg_of], pa.int64())
+    )
+
+
+def grouped_prefix_scan(
+    ds: Dataset,
+    group_col: str,
+    order_keys: list[str],
+    value_col: str,
+    out_col: str = "running_sum",
+    row_col: str = "row_num",
+) -> Dataset:
+    """Per-group exact running int64 sum + 1-based per-group row number in
+    ``order_keys`` order — ``SUM(v) OVER (PARTITION BY g ORDER BY ...)``.
+
+    Same two-phase scan as :func:`prefix_scan`, with vector offsets: one
+    ``sort([group] + order_keys)`` range-shuffle, then per-block per-group
+    partials (the driver sees ``n_blocks × groups_per_block_boundary`` tiny
+    tuples, not rows — block boundaries cut at most one group each, so this
+    is O(n_blocks + n_groups) driver state; for n_groups beyond driver
+    memory, shard the scan by hash(group) first and run one scan per shard).
+    """
+    ordered = ds.sort([group_col, *order_keys]).materialize()
+    refs = ordered.to_arrow_refs()
+    partials = ray.get([_block_group_totals.remote(r, group_col, value_col) for r in refs])
+    running: dict = {}
+    offsets_per_block: list[dict] = []
+    for block in partials:
+        offs = {}
+        for grp, nrows, vsum in block:
+            offs[grp] = running.get(grp, (0, 0))
+            prev = running.get(grp, (0, 0))
+            running[grp] = (prev[0] + nrows, prev[1] + vsum)
+        offsets_per_block.append(offs)
+    out_refs = [
+        _block_group_scan.remote(r, group_col, value_col, offs, out_col, row_col)
+        for r, offs in zip(refs, offsets_per_block)
+    ]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def budget_mix(
+    ds: Dataset,
+    group_col: str,
+    order_keys: list[str],
+    value_col: str,
+    budget: int,
+    out_col: str = "cum",
+) -> Dataset:
+    """Deterministic mixture building: keep each group's rows in
+    ``order_keys`` order while the group's running ``value_col`` total stays
+    ≤ ``budget`` (inclusive) — the per-source token-quota sampler of a
+    training-data mix.  Exact, order-stable, and a pure composition of
+    :func:`grouped_prefix_scan` + a map-side filter."""
+    scanned = grouped_prefix_scan(ds, group_col, order_keys, value_col, out_col=out_col)
+
+    def gate(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.drop_columns(["row_num"]).filter(
+            pc.less_equal(b[out_col], pa.scalar(budget, pa.int64()))
+        )
+
+    return scanned.map_batches(gate, batch_format="pyarrow")

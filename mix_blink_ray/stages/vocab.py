@@ -39,6 +39,7 @@ __all__ = [
     "inverted_index",
     "rarity_scores",
     "tfidf_search",
+    "bigram_counts",
 ]
 
 
@@ -337,3 +338,36 @@ def tfidf_search(
 
     scored = ds.map_batches(score, batch_format="pyarrow")
     return topk_rows(scored, ["score", id_col], [True, False], k)
+
+
+def bigram_counts(ds: Dataset, text_col: str = "text", lower: bool = True) -> Dataset:
+    """(bigram, n) corpus counts of adjacent token pairs — the collocation /
+    first-BPE-merge statistic.  The pair strings are built with one Arrow
+    ``binary_join_element_wise`` over two shifted views of the flat token
+    buffer (no Python per-pair), deduped per batch with ``np.unique`` before
+    the exchange (same map-side-combine contract as :func:`token_counts`)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"bigram": pa.array([], pa.string()), "n_partial": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        toks = tokenize_batch(b[text_col], lower=lower)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off = off - off[0]
+        flat = pc.cast(toks.flatten(), pa.string())
+        m = len(flat) - 1
+        if m <= 0:
+            return empty
+        joined = pc.binary_join_element_wise(flat.slice(0, m), flat.slice(1, m), " ")
+        starts = np.arange(m, dtype=np.int64)
+        row = np.searchsorted(off, starts, side="right") - 1
+        valid = (starts + 2) <= off[row + 1]
+        grams = joined.to_numpy(zero_copy_only=False)[valid]
+        u, c = np.unique(grams, return_counts=True)
+        return pa.table({"bigram": pa.array(u, pa.string()), "n_partial": pa.array(c.astype(np.int64))})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n_partial", alias_name="n"))
+    )

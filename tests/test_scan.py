@@ -39,3 +39,71 @@ def test_prefix_scan_layout_invariant():
     a = _run(tbl, 2)
     b = _run(tbl, 9)
     assert a.equals(b)
+
+
+def test_grouped_prefix_scan_matches_pandas_window():
+    """Per-group running sums must match SUM() OVER (PARTITION BY g ORDER BY k)
+    at every block layout — groups straddling block boundaries is the case
+    that matters."""
+    import pandas as pd
+
+    from mix_blink_ray.stages.scan import grouped_prefix_scan
+
+    rng = np.random.default_rng(7)
+    n = 3_000
+    tbl = pa.table(
+        {
+            "g": pa.array([f"src{int(x)}" for x in rng.integers(0, 5, n)]),
+            "k": pa.array(rng.permutation(n).astype(np.int64)),
+            "v": pa.array(rng.integers(0, 100, n).astype(np.int64)),
+        }
+    )
+    df = tbl.to_pandas().sort_values(["g", "k"]).reset_index(drop=True)
+    df["want_run"] = df.groupby("g")["v"].cumsum()
+    df["want_rn"] = df.groupby("g").cumcount() + 1
+    for n_blocks in (1, 7, 40):
+        ds = ray.data.from_arrow(tbl).repartition(n_blocks)
+        out = (
+            grouped_prefix_scan(ds, "g", ["k"], "v", out_col="run", row_col="rn")
+            .to_pandas()
+            .sort_values(["g", "k"])
+            .reset_index(drop=True)
+        )
+        assert (out["run"] == df["want_run"]).all(), n_blocks
+        assert (out["rn"] == df["want_rn"]).all(), n_blocks
+
+
+def test_budget_mix_keeps_exact_prefix_per_group():
+    from mix_blink_ray.stages.scan import budget_mix
+
+    tbl = pa.table(
+        {
+            "g": pa.array(["a"] * 5 + ["b"] * 3),
+            "k": pa.array(list(range(5)) + list(range(3)), pa.int64()),
+            "v": pa.array([4, 4, 4, 4, 4, 10, 10, 10], pa.int64()),
+        }
+    )
+    out = (
+        budget_mix(ray.data.from_arrow(tbl).repartition(3), "g", ["k"], "v", budget=12, out_col="cum")
+        .to_pandas()
+        .sort_values(["g", "k"])
+        .reset_index(drop=True)
+    )
+    # a: 4,8,12 kept (inclusive budget), 16 dropped; b: 10 kept, 20 dropped
+    assert list(zip(out.g, out.k, out.cum)) == [("a", 0, 4), ("a", 1, 8), ("a", 2, 12), ("b", 0, 10)]
+
+
+def test_bigram_counts_respect_row_boundaries():
+    """The last token of one doc must not pair with the first of the next."""
+    from collections import Counter
+
+    from mix_blink_ray.stages.vocab import bigram_counts
+
+    texts = ["a b c", "c a", "x", "", "b c a b"]
+    tbl = pa.table({"doc_id": pa.array(range(5), pa.int64()), "text": pa.array(texts)})
+    out = bigram_counts(ray.data.from_arrow(tbl).repartition(2)).to_pandas()
+    want = Counter()
+    for t in texts:
+        tk = t.split()
+        want.update(" ".join(tk[i : i + 2]) for i in range(len(tk) - 1))
+    assert dict(zip(out.bigram, out.n)) == dict(want)
