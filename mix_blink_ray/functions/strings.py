@@ -18,7 +18,7 @@ import pyarrow as pa
 
 from .hashing import flat_utf8
 
-__all__ = ["pad_codes", "jaro_winkler_pairs", "jaro_winkler", "jaccard_pairs"]
+__all__ = ["pad_codes", "jaro_winkler_pairs", "jaro_winkler", "jaccard_pairs", "levenshtein_pairs"]
 
 
 def pad_codes(strings: pa.Array | pa.ChunkedArray, max_len: int = 32) -> tuple[np.ndarray, np.ndarray]:
@@ -113,3 +113,41 @@ def jaccard_pairs(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
     if sig_a.shape[0] == 0:
         return np.zeros(0, dtype=np.float64)
     return (sig_a == sig_b).mean(axis=1)
+
+
+def levenshtein_pairs(
+    am: np.ndarray, la: np.ndarray, bm: np.ndarray, lb: np.ndarray
+) -> np.ndarray:
+    """Exact Levenshtein (unit-cost) distance per row pair, vectorized ACROSS
+    pairs: the classic rolling-row DP where each DP cell is an (n_pairs,)
+    vector — O(max_len²) numpy ops total, never a Python loop over pairs.
+    Inputs are the ``pad_codes`` byte matrices + true lengths (byte-level
+    distance; identical to character distance for ASCII keys).  Integer-exact,
+    so results hash-match DuckDB's ``levenshtein`` on the same strings.
+
+    Correctness with padding: row ``i`` of the DP is captured for exactly the
+    pairs whose ``la == i`` (the final answer ``dp[la][lb]``); cells at
+    ``j > lb`` are never read, and cell ``(i, j)`` only depends on prefixes
+    ``≤ i, ≤ j``, so the zero padding never leaks into a captured value.
+    """
+    n = am.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    max_a = int(la.max(initial=0))
+    max_b = int(lb.max(initial=0))
+    dp = np.tile(np.arange(max_b + 1, dtype=np.int64), (n, 1))
+    res = np.where(la == 0, lb, 0).astype(np.int64)
+    rows = np.arange(n)
+    for i in range(1, max_a + 1):
+        prev_diag = dp[:, 0].copy()
+        dp[:, 0] = i
+        ai = am[:, i - 1]
+        for j in range(1, max_b + 1):
+            tmp = dp[:, j].copy()
+            cost = (ai != bm[:, j - 1]).astype(np.int64)
+            dp[:, j] = np.minimum(np.minimum(tmp + 1, dp[:, j - 1] + 1), prev_diag + cost)
+            prev_diag = tmp
+        done = la == i
+        if done.any():
+            res[done] = dp[rows[done], lb[done]]
+    return res

@@ -2174,6 +2174,65 @@ def docs_top_bigrams(sf_dir: str):
     return topk_rows(bigram_counts(ds, "text"), ["n", "bigram"], [True, False], 20)
 
 
+def customers_name_neighbors(sf_dir: str):
+    """Sorted-neighborhood blocking (Hernández–Stolfo) + vectorized exact
+    Levenshtein verify: customers whose names are ≤ 2 edits apart among their
+    2 nearest sort neighbors.  One sort range-shuffle; boundary pairs are
+    stitched across blocks with O(n_blocks·window) driver traffic (see
+    ``stages.blocking.sorted_neighborhood_pairs``); the edit-distance DP is
+    vectorized across pairs and integer-exact vs DuckDB ``levenshtein``."""
+    from ..functions.strings import levenshtein_pairs, pad_codes
+    from ..stages.blocking import sorted_neighborhood_pairs
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    pairs = sorted_neighborhood_pairs(cust, ["c_name", "c_custkey"], window=2)
+
+    def verify(b: pa.Table) -> pa.Table:
+        am, la = pad_codes(b["a_c_name"])
+        bm, lb = pad_codes(b["b_c_name"])
+        dist = levenshtein_pairs(am, la, bm, lb)
+        out = pa.table(
+            {
+                "a_custkey": b["a_c_custkey"],
+                "b_custkey": b["b_c_custkey"],
+                "dist": pa.array(dist),
+            }
+        )
+        return out.filter(pc.less_equal(out["dist"], pa.scalar(2, pa.int64())))
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+def events_funnel(sf_dir: str):
+    """Ordered-sequence funnel: per user, view → later click → later purchase
+    (strict ts order), counted per reached stage.  The sequential dependency
+    lives inside one ``groupby(user).map_groups`` (skew bounded by the most
+    active user); only (stage) rows reach the final tiny aggregate."""
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = np.asarray(g["ts"], dtype="datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        stage = 0
+        tv = ts[et == "view"]
+        if len(tv):
+            stage = 1
+            tc = ts[(et == "click") & (ts > tv.min())]
+            if len(tc):
+                stage = 2
+                if ((et == "purchase") & (ts > tc.min())).any():
+                    stage = 3
+        return pa.table({"stage": pa.array([stage], pa.int64())})
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby("stage")
+        .aggregate(Count(alias_name="n_users"))
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2213,6 +2272,8 @@ QUERIES = {
     "docs_search_top10": docs_search_top10,
     "docs_budget_mix": docs_budget_mix,
     "docs_top_bigrams": docs_top_bigrams,
+    "customers_name_neighbors": customers_name_neighbors,
+    "events_funnel": events_funnel,
     "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_exact_dedup_hash": docs_exact_dedup_hash,
@@ -2557,6 +2618,35 @@ ORACLE_SQL = {
                       CAST(sum(tf.tf * ((SELECT n_docs FROM n) * 1000 // df.df)) AS BIGINT) AS score
                FROM tf JOIN df ON tf.term = df.term GROUP BY tf.doc_id)
         SELECT doc_id, score FROM sc WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    "customers_name_neighbors": """
+        WITH s AS (SELECT c_custkey, c_name,
+                          row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+                   FROM customer),
+        p AS (SELECT a.c_custkey AS a_custkey, b.c_custkey AS b_custkey,
+                     CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+              FROM s a JOIN s b ON b.rn > a.rn AND b.rn <= a.rn + 2)
+        SELECT a_custkey, b_custkey, dist FROM p WHERE dist <= 2
+    """,
+    "events_funnel": """
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        v AS (SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY e.user_id)
+        SELECT CASE WHEN p.user_id IS NOT NULL THEN 3
+                    WHEN c.user_id IS NOT NULL THEN 2
+                    WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage,
+               count(*) AS n_users
+        FROM u
+        LEFT JOIN v ON u.user_id = v.user_id
+        LEFT JOIN c ON u.user_id = c.user_id
+        LEFT JOIN p ON u.user_id = p.user_id
+        GROUP BY 1
     """,
     "docs_budget_mix": """
         WITH t AS (SELECT doc_id, source,

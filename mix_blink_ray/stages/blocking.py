@@ -46,7 +46,7 @@ from ..functions.hashing import (
 _EXACT_TAG = np.uint64(0xE1AC7_0000)
 _SALT_PRIME = np.uint64(0x9E3779B97F4A7C15)
 
-__all__ = ["BlockingConfig", "block_keys_table", "add_salt", "composite_context_key"]
+__all__ = ["BlockingConfig", "block_keys_table", "add_salt", "composite_context_key", "sorted_neighborhood_pairs"]
 
 
 @dataclass(frozen=True)
@@ -133,3 +133,77 @@ def add_salt(group: pa.Table, cfg: BlockingConfig, id_col: str = "node_id") -> p
     return group.append_column("salt", pa.array(salt)).append_column(
         "salted", pa.array(np.ones(n, dtype=bool))
     )
+
+
+def sorted_neighborhood_pairs(ds, sort_keys: list[str], window: int = 2):
+    """Sorted-neighborhood blocking (Hernández–Stolfo): one range-shuffle
+    sort, then each record pairs with its next ``window`` neighbors in sort
+    order — including ACROSS block boundaries, which is the part a naive
+    per-block pairing silently drops.
+
+    Two-phase stitch in the ``prefix_scan`` style: after ``sort(...)``
+    materializes range-ordered blocks, a tiny task per block returns its
+    FIRST ``window`` rows; the driver hands block *i* the heads of blocks
+    *i+1, i+2, …* until ``window`` stitch rows are gathered (blocks can hold
+    fewer than ``window`` rows), and each block pairs locally over
+    ``concat(block, stitch)``, keeping only pairs whose LEFT element lives in
+    the original block (so no pair is emitted twice).  Driver traffic is
+    O(n_blocks × window) rows; the corpus itself moves once, in the sort.
+
+    Returns a Dataset of ``(a_<col>, b_<col>)`` rows for every column of
+    ``ds``, in sort-adjacency order.  Deterministic given a total-order
+    ``sort_keys`` (append a unique id key).
+    """
+    import ray
+    import ray.data as rd
+
+    ordered = ds.sort(sort_keys).materialize()
+    refs = ordered.to_arrow_refs()
+
+    @ray.remote
+    def head(tbl: pa.Table) -> pa.Table:
+        return tbl.slice(0, window)
+
+    heads = ray.get([head.remote(r) for r in refs])
+
+    def stitch_for(i: int) -> pa.Table:
+        rows: list[pa.Table] = []
+        need = window
+        for h in heads[i + 1 :]:
+            if need <= 0:
+                break
+            take = h.slice(0, need)
+            rows.append(take)
+            need -= take.num_rows
+        if not rows:
+            return heads[i].schema.empty_table() if heads else pa.table({})
+        return pa.concat_tables(rows)
+
+    @ray.remote
+    def pair_block(tbl: pa.Table, stitch: pa.Table) -> pa.Table:
+        own = tbl.num_rows
+        full = pa.concat_tables([tbl, stitch]) if stitch.num_rows else tbl
+        n = full.num_rows
+        if own == 0 or n < 2:
+            cols = {}
+            for name in full.column_names:
+                cols[f"a_{name}"] = full[name].slice(0, 0)
+                cols[f"b_{name}"] = full[name].slice(0, 0)
+            return pa.table(cols)
+        a_idx, b_idx = [], []
+        for off in range(1, window + 1):
+            m = min(own, n - off)  # left element must be an own row
+            if m <= 0:
+                continue
+            a_idx.append(np.arange(m, dtype=np.int64))
+            b_idx.append(np.arange(m, dtype=np.int64) + off)
+        ai = pa.array(np.concatenate(a_idx)) if a_idx else pa.array([], pa.int64())
+        bi = pa.array(np.concatenate(b_idx)) if b_idx else pa.array([], pa.int64())
+        cols = {}
+        for name in full.column_names:
+            cols[f"a_{name}"] = pc.take(full[name], ai)
+            cols[f"b_{name}"] = pc.take(full[name], bi)
+        return pa.table(cols)
+
+    out_refs = [pair_block.remote(r, ray.put(stitch_for(i))) for i, r in enumerate(refs)]
+    return rd.from_arrow_refs(out_refs)

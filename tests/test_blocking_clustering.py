@@ -139,3 +139,31 @@ def test_propagate_labels_long_chain_converges():
     out = propagate_labels(edges, nodes, num_partitions=2).to_pandas()
     assert set(out["label"]) == {"n0000"}
     assert len(out) == n
+
+
+def test_sorted_neighborhood_pairs_stitch_across_blocks():
+    """Every sort-adjacent pair within the window must appear EXACTLY once,
+    no matter the block layout — boundary pairs are the regression target."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mix_blink_ray.stages.blocking import sorted_neighborhood_pairs
+
+    n, w = 101, 3
+    rng = np.random.default_rng(11)
+    ids = rng.permutation(n).astype(np.int64)
+    tbl = pa.table({"k": pa.array(ids), "name": pa.array([f"n{int(i):04d}" for i in ids])})
+    want = set()
+    srt = sorted(ids)
+    for i in range(n):
+        for off in range(1, w + 1):
+            if i + off < n:
+                want.add((srt[i], srt[i + off]))
+    for n_blocks in (1, 2, 9, 64):
+        out = sorted_neighborhood_pairs(
+            rd.from_arrow(tbl).repartition(n_blocks), ["name", "k"], window=w
+        ).to_pandas()
+        got = list(zip(out.a_k, out.b_k))
+        assert len(got) == len(set(got)) == len(want), n_blocks
+        assert set(got) == want, n_blocks

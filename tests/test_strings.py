@@ -80,3 +80,34 @@ def test_jaccard_pairs_estimate():
     est = jaccard_pairs(sig[[0, 0]], sig[[1, 2]])
     assert est[0] > 0.5
     assert est[1] < 0.15
+
+
+def test_levenshtein_pairs_matches_reference():
+    """Vectorized DP vs a classic single-pair reference, including empties,
+    equal strings, and length-skewed pairs (padding must never leak)."""
+    import random
+
+    import pyarrow as pa
+
+    from mix_blink_ray.functions.strings import levenshtein_pairs, pad_codes
+
+    def ref(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[len(b)]
+
+    random.seed(3)
+    al = ["", "abc", "kitten", "Customer#000000001"] + [
+        "".join(random.choices("ab#01", k=random.randint(0, 15))) for _ in range(200)
+    ]
+    bl = ["", "abd", "sitting", "Customer#000000010"] + [
+        "".join(random.choices("ab#01", k=random.randint(0, 15))) for _ in range(200)
+    ]
+    am, la = pad_codes(pa.array(al))
+    bm, lb = pad_codes(pa.array(bl))
+    got = levenshtein_pairs(am, la, bm, lb)
+    assert list(got) == [ref(a, b) for a, b in zip(al, bl)]
