@@ -2233,6 +2233,40 @@ def events_funnel(sf_dir: str):
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def sources_distinctive_tokens(sf_dir: str):
+    """Per-source top-3 distinctive tokens by integer lift (in-source rate vs
+    corpus rate, ×1000 floor-quantized) — corpus-drift analytics.  Shuffle ∝
+    distinct (source, token) cells; corpus counts re-aggregate FROM the cell
+    table and broadcast under the vocab guard (see
+    ``stages.vocab.distinctive_tokens``)."""
+    from ..stages.vocab import distinctive_tokens
+
+    ds = _t(sf_dir, "documents", ["doc_id", "source", "text"])
+    return distinctive_tokens(ds, k=3)
+
+
+def events_user_paths(sf_dir: str):
+    """Per-user ordered journey string: the first 8 event types in (ts,
+    event_id) order joined with '>' — ordered string aggregation inside one
+    ``groupby(user).map_groups`` (only one small row per user comes out)."""
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = np.asarray(g["ts"], dtype="datetime64[us]").astype(np.int64)
+        eid = np.asarray(g["event_id"], dtype=np.int64)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))[:8]
+        return pa.table(
+            {
+                "user_id": g["user_id"].slice(0, 1),
+                "path": pa.array([">".join(et[order])], pa.string()),
+                "n_events": pa.array([g.num_rows], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2274,6 +2308,8 @@ QUERIES = {
     "docs_top_bigrams": docs_top_bigrams,
     "customers_name_neighbors": customers_name_neighbors,
     "events_funnel": events_funnel,
+    "sources_distinctive_tokens": sources_distinctive_tokens,
+    "events_user_paths": events_user_paths,
     "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_exact_dedup_hash": docs_exact_dedup_hash,
@@ -2618,6 +2654,32 @@ ORACLE_SQL = {
                       CAST(sum(tf.tf * ((SELECT n_docs FROM n) * 1000 // df.df)) AS BIGINT) AS score
                FROM tf JOIN df ON tf.term = df.term GROUP BY tf.doc_id)
         SELECT doc_id, score FROM sc WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    "sources_distinctive_tokens": """
+        WITH tok AS (SELECT source,
+                            unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+                     FROM documents),
+        st AS (SELECT source, w, count(*) AS tf FROM tok GROUP BY source, w),
+        stot AS (SELECT source, CAST(sum(tf) AS BIGINT) AS s_total FROM st GROUP BY source),
+        ct AS (SELECT w, CAST(sum(tf) AS BIGINT) AS ctf FROM st GROUP BY w),
+        tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM st),
+        lift AS (SELECT st.source, st.w AS token, CAST(st.tf AS BIGINT) AS tf,
+                        st.tf * (SELECT total FROM tot) * 1000 // (ct.ctf * stot.s_total) AS lift_q
+                 FROM st JOIN ct ON st.w = ct.w JOIN stot ON st.source = stot.source),
+        r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                           ORDER BY lift_q DESC, token) AS rn
+              FROM lift)
+        SELECT source, token, tf, CAST(lift_q AS BIGINT) AS lift_q FROM r WHERE rn <= 3
+    """,
+    "events_user_paths": """
+        WITH r AS (SELECT user_id, event_type,
+                          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                          count(*) OVER (PARTITION BY user_id) AS n_events
+                   FROM events)
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path,
+               CAST(min(n_events) AS BIGINT) AS n_events
+        FROM r WHERE rn <= 8 GROUP BY user_id
     """,
     "customers_name_neighbors": """
         WITH s AS (SELECT c_custkey, c_name,

@@ -40,6 +40,7 @@ __all__ = [
     "rarity_scores",
     "tfidf_search",
     "bigram_counts",
+    "distinctive_tokens",
 ]
 
 
@@ -370,4 +371,120 @@ def bigram_counts(ds: Dataset, text_col: str = "text", lower: bool = True) -> Da
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("bigram")
         .aggregate(Sum("n_partial", alias_name="n"))
+    )
+
+
+def distinctive_tokens(
+    ds: Dataset,
+    k: int = 3,
+    group_col: str = "source",
+    text_col: str = "text",
+    lower: bool = True,
+    max_broadcast_vocab: int = 20_000_000,
+) -> Dataset:
+    """Per-group top-``k`` distinctive tokens by integer lift
+    ``(tf_g · total · 1000) // (ctf · g_total)`` — the ratio of a token's
+    in-group rate to its corpus rate, kept in int64 so the oracle is exact
+    (a float log-lift would hit the libm parity wall; see ``rarity_scores``).
+
+    Shuffle ∝ distinct (group, token) cells, never rows: per-batch combined
+    cell counts → one groupby; the corpus-count side re-aggregates FROM the
+    cell table (no second corpus pass) and broadcasts under the vocab guard;
+    per-group ranking contracts map-side to ≤ k rows per group per batch
+    before a final ≤ k·blocks-per-group merge."""
+
+    def cells(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "token": pa.array([], pa.string()),
+                    "tf_partial": pa.array([], pa.int64()),
+                }
+            )
+        toks = tokenize_batch(b[text_col], lower=lower)
+        grp = pc.take(b[group_col], pc.list_parent_indices(toks)).to_numpy(zero_copy_only=False)
+        flat = pc.cast(toks.flatten(), pa.string()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((flat, grp))
+        grp, flat = grp[order], flat[order]
+        new = np.concatenate([[True], (grp[1:] != grp[:-1]) | (flat[1:] != flat[:-1])])
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.append(starts, len(grp)))
+        return pa.table(
+            {
+                group_col: pa.array(grp[starts], pa.string()),
+                "token": pa.array(flat[starts], pa.string()),
+                "tf_partial": pa.array(tf.astype(np.int64)),
+            }
+        )
+
+    grouped = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby([group_col, "token"])
+        .aggregate(Sum("tf_partial", alias_name="tf"))
+        .materialize()
+    )
+    ct_tbl = pa.Table.from_pandas(
+        grouped.groupby("token").aggregate(Sum("tf", alias_name="ctf")).to_pandas(), preserve_index=False
+    )
+    if ct_tbl.num_rows > max_broadcast_vocab:
+        raise ValueError(
+            f"vocabulary {ct_tbl.num_rows} exceeds max_broadcast_vocab={max_broadcast_vocab}; "
+            "prune the low-count tail first (tail tokens are never top-lift candidates of interest)"
+        )
+    stot = {
+        r[group_col]: int(r["g_total"])
+        for r in grouped.groupby(group_col)
+        .aggregate(Sum("tf", alias_name="g_total"))
+        .to_pandas()
+        .to_dict("records")
+    }
+    total = int(sum(stot.values()))
+    max_tf = int(np.asarray(ct_tbl["ctf"], dtype=np.int64).max(initial=0))
+    if max_tf * total * 1000 >= 2**63:  # Python ints: exact overflow check
+        raise ValueError(
+            "lift numerator would overflow int64 at this corpus size; "
+            "rescale the 1000 quantizer or pre-divide total (keep it integer)"
+        )
+    vocab = pc.cast(ct_tbl["token"], pa.string()).combine_chunks()
+    ctf = np.asarray(ct_tbl["ctf"], dtype=np.int64)
+    vocab_ref = ray.put(vocab)
+    ctf_ref = ray.put(ctf)
+
+    def rank_partial(b: pa.Table) -> pa.Table:
+        vc, cf = ray.get(vocab_ref), ray.get(ctf_ref)
+        if b.num_rows == 0:
+            return b.append_column("lift_q", pa.array([], pa.int64()))
+        grp = b[group_col].to_numpy(zero_copy_only=False)
+        tok = b["token"].to_numpy(zero_copy_only=False)
+        tf = np.asarray(b["tf"], dtype=np.int64)
+        vi = pc.index_in(pa.array(tok, pa.string()), value_set=vc).to_numpy(zero_copy_only=False)
+        c = cf[np.asarray(vi, dtype=np.int64)]
+        gt = np.array([stot[g] for g in grp], dtype=np.int64)
+        lift = (tf * total * 1000) // (c * gt)
+        # per-batch per-group top-k contraction (lift desc, token asc)
+        sel = np.lexsort((tok, -lift, grp))
+        g_sorted = grp[sel]
+        change = np.flatnonzero(np.concatenate([[True], g_sorted[1:] != g_sorted[:-1]]))
+        run_start = np.repeat(change, np.diff(np.append(change, len(g_sorted))))
+        keep = sel[np.arange(len(sel)) - run_start < k]
+        return pa.table(
+            {
+                group_col: pa.array(grp[keep], pa.string()),
+                "token": pa.array(tok[keep], pa.string()),
+                "tf": pa.array(tf[keep]),
+                "lift_q": pa.array(lift[keep]),
+            }
+        )
+
+    def top_final(g: pa.Table) -> pa.Table:
+        tok = g["token"].to_numpy(zero_copy_only=False)
+        lift = np.asarray(g["lift_q"], dtype=np.int64)
+        sel = np.lexsort((tok, -lift))[:k]
+        return g.take(pa.array(np.sort(sel)))
+
+    return (
+        grouped.map_batches(rank_partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(top_final, batch_format="pyarrow")
     )
