@@ -341,6 +341,67 @@ def cmd_quantize(args) -> None:
     ray.shutdown()
 
 
+def cmd_decon(args) -> None:
+    """Benchmark n-gram decontamination (stages/contamination.decontaminate):
+    writes per-doc hit stats; --drop-flagged also writes the clean corpus."""
+    ray = _ray_session(args.num_cpus)
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .stages.contamination import decontaminate
+
+    ds = rd.read_parquet(args.docs)
+    out = decontaminate(
+        ds, id_col=args.id_col, text_col=args.text_col, n=args.ngram, bench_mod=args.bench_mod
+    )
+    out.write_parquet(_fresh_dir(args.out))
+    stats = rd.read_parquet(args.out)
+    n_total = stats.count()
+    n_flagged = stats.map_batches(
+        lambda b: b.filter(pc.equal(b["flagged"], True)), batch_format="pyarrow"
+    ).count()
+    print(json.dumps({"docs": n_total, "flagged": n_flagged, "out": args.out}))
+    ray.shutdown()
+
+
+def cmd_dup_spans(args) -> None:
+    """Cross-doc duplicated-n-gram stats (stages/contamination.dup_span_stats)."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .stages.contamination import dup_span_stats
+
+    ds = rd.read_parquet(args.docs)
+    out = dup_span_stats(ds, id_col=args.id_col, text_col=args.text_col, n=args.ngram)
+    out.write_parquet(_fresh_dir(args.out))
+    print(json.dumps({"docs": rd.read_parquet(args.out).count(), "out": args.out}))
+    ray.shutdown()
+
+
+def cmd_mix(args) -> None:
+    """Per-group token-budget mixture sampling (stages/scan.budget_mix)."""
+    ray = _ray_session(args.num_cpus)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .stages.scan import budget_mix
+
+    ds = rd.read_parquet(args.docs)
+    group, idc, tc = args.group, args.id_col, args.text_col
+
+    def prep(b: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.utf8_split_whitespace(pc.utf8_trim_whitespace(b[tc])))
+        return pa.table({idc: b[idc], group: b[group], "n_toks": pc.cast(n, pa.int64())})
+
+    out = budget_mix(
+        ds.map_batches(prep, batch_format="pyarrow"), group, [idc], "n_toks", budget=args.budget
+    )
+    out.write_parquet(_fresh_dir(args.out))
+    print(json.dumps({"kept": rd.read_parquet(args.out).count(), "budget": args.budget, "out": args.out}))
+    ray.shutdown()
+
+
 def cmd_eval(args) -> None:
     import pyarrow.parquet as pq
 
@@ -459,6 +520,35 @@ def main(argv: list[str] | None = None) -> None:
     vp.add_argument("--out", required=True)
     vp.add_argument("--num-cpus", type=int, default=None)
     vp.set_defaults(fn=cmd_vocab)
+
+    dc = sub.add_parser("decon", help="benchmark n-gram decontamination: per-doc hit stats")
+    dc.add_argument("--docs", required=True)
+    dc.add_argument("--out", required=True)
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--ngram", type=int, default=5)
+    dc.add_argument("--bench-mod", type=int, default=13)
+    dc.add_argument("--num-cpus", type=int, default=None)
+    dc.set_defaults(fn=cmd_decon)
+
+    dsp = sub.add_parser("dup-spans", help="cross-doc duplicated n-gram stats per doc")
+    dsp.add_argument("--docs", required=True)
+    dsp.add_argument("--out", required=True)
+    dsp.add_argument("--id-col", default="doc_id")
+    dsp.add_argument("--text-col", default="text")
+    dsp.add_argument("--ngram", type=int, default=5)
+    dsp.add_argument("--num-cpus", type=int, default=None)
+    dsp.set_defaults(fn=cmd_dup_spans)
+
+    mx = sub.add_parser("mix", help="per-group token-budget mixture sampling")
+    mx.add_argument("--docs", required=True)
+    mx.add_argument("--out", required=True)
+    mx.add_argument("--group", default="source")
+    mx.add_argument("--id-col", default="doc_id")
+    mx.add_argument("--text-col", default="text")
+    mx.add_argument("--budget", type=int, required=True)
+    mx.add_argument("--num-cpus", type=int, default=None)
+    mx.set_defaults(fn=cmd_mix)
 
     di = sub.add_parser("dedup-incremental", help="delta-batch exact dedup vs persisted fingerprint state")
     di.add_argument("--docs", required=True)

@@ -165,3 +165,46 @@ def test_cli_dedup_incremental(tmp_path):
     assert r2["novel"] == 1
     kept = pq.read_table(out2).to_pandas()
     assert sorted(kept["doc_id"]) == [11] and list(kept["text"]) == ["cc"]
+
+
+def test_cli_decon_and_dup_spans(tmp_path):
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array(
+                [
+                    "the quick brown fox jumps over the lazy dog",   # bench (0 % 13 == 0)
+                    "a quick brown fox jumps over the lazy cat now", # overlaps bench
+                    "completely different words in this body here",
+                    "the quick brown fox jumps again and again",     # overlaps bench
+                    "short one",
+                    "completely different words in this body here",  # dup of 2
+                ]
+            ),
+        }
+    )
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, p)
+    res = _run(["decon", "--docs", p, "--out", str(tmp_path / "dstats"), "--num-cpus", "2"])
+    assert res["docs"] == 5 and res["flagged"] == 2
+    res2 = _run(["dup-spans", "--docs", p, "--out", str(tmp_path / "spans"), "--num-cpus", "2"])
+    assert res2["docs"] == 6
+    spans = pq.read_table(str(tmp_path / "spans")).to_pandas().set_index("doc_id")
+    assert spans.loc[2, "dup_frac"] == 1.0 and spans.loc[5, "dup_frac"] == 1.0
+
+
+def test_cli_mix(tmp_path):
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "source": pa.array(["a", "a", "a", "b", "b", "b"]),
+            "text": pa.array(["w " * 4, "w " * 4, "w " * 4, "w " * 10, "w " * 10, "w " * 10]),
+        }
+    )
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, p)
+    res = _run(["mix", "--docs", p, "--out", str(tmp_path / "mix"), "--budget", "10", "--num-cpus", "2"])
+    # a: 4+4 ≤ 10 keeps 2 of 3; b: first 10 ≤ 10 keeps 1 of 3
+    assert res["kept"] == 3
+    out = pq.read_table(str(tmp_path / "mix")).to_pandas()
+    assert sorted(out.doc_id) == [0, 1, 3]
