@@ -2267,6 +2267,35 @@ def events_user_paths(sf_dir: str):
     return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
 
 
+def events_value_locf(sf_dir: str):
+    """Last-observation-carried-forward imputation: 'error' events' values are
+    treated as missing and filled from the user's most recent prior non-error
+    value ((ts, event_id) order; -1 cents before any observation).  The
+    sequential dependency is per-user, so it lives in one
+    ``groupby(user).map_groups`` with a vectorized ``maximum.accumulate`` —
+    no cross-user coordination, no global sort."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "value", "ts"])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = np.asarray(g["ts"], dtype="datetime64[us]").astype(np.int64)
+        eid = np.asarray(g["event_id"], dtype=np.int64)
+        order = np.lexsort((eid, ts))
+        cents = np.asarray(_cents(g["value"]), dtype=np.int64)[order]
+        missing = (g["event_type"].to_numpy(zero_copy_only=False) == "error")[order]
+        obs = np.where(~missing, np.arange(len(order)), -1)
+        carried = np.maximum.accumulate(obs)
+        filled = np.where(carried >= 0, cents[np.maximum(carried, 0)], -1)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order]),
+                "user_id": g["user_id"].take(pa.array(order)),
+                "filled_cents": pa.array(filled.astype(np.int64)),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2310,6 +2339,7 @@ QUERIES = {
     "events_funnel": events_funnel,
     "sources_distinctive_tokens": sources_distinctive_tokens,
     "events_user_paths": events_user_paths,
+    "events_value_locf": events_value_locf,
     "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_exact_dedup_hash": docs_exact_dedup_hash,
@@ -2670,6 +2700,16 @@ ORACLE_SQL = {
                                            ORDER BY lift_q DESC, token) AS rn
               FROM lift)
         SELECT source, token, tf, CAST(lift_q AS BIGINT) AS lift_q FROM r WHERE rn <= 3
+    """,
+    "events_value_locf": """
+        SELECT event_id, user_id,
+               COALESCE(
+                   last_value(CASE WHEN event_type = 'error' THEN NULL
+                                   ELSE CAST(round(value * 100) AS BIGINT) END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING),
+                   -1) AS filled_cents
+        FROM events
     """,
     "events_user_paths": """
         WITH r AS (SELECT user_id, event_type,

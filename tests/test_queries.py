@@ -351,3 +351,22 @@ def test_emb_near_dup_oracle_nontrivial_at_low_threshold(con):
     w = want.sort_values(["a_id", "b_id"]).reset_index(drop=True)
     assert list(zip(g["a_id"], g["b_id"])) == list(zip(w["a_id"], w["b_id"]))
     assert np.allclose(g["cosine"], w["cosine"], atol=1e-5, rtol=0)
+
+
+def test_events_value_locf_semantics(con):
+    """LOCF invariants the hash can't explain on its own: error rows carry
+    the previous non-error value, leading errors get -1, users are isolated."""
+    import pyarrow.parquet as pq
+
+    from mix_blink_ray.pipelines.queries import events_value_locf
+
+    out = events_value_locf(SF_DIR).to_pandas()
+    ev = pq.read_table(f"{SF_DIR}/events.parquet").to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    got = out.set_index("event_id")["filled_cents"]
+    for uid, g in ev.groupby("user_id"):
+        last = -1
+        for r in g.itertuples():
+            if r.event_type != "error":
+                last = int(round(r.value * 100))
+            assert got[r.event_id] == last, (uid, r.event_id)
