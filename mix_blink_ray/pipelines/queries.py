@@ -2296,6 +2296,16 @@ def events_value_locf(sf_dir: str):
     return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
 
 
+def emb_code_gram(sf_dir: str):
+    """Integer-exact distributed Gram matrix over the uint8 quantization
+    codes (the covariance/PCA building block): one dim×dim partial per block
+    (vectors never shuffle), tiny (i, j) groupby merge.  Upper triangle."""
+    from ..stages.quantize import code_gram
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return code_gram(ds)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2340,6 +2350,7 @@ QUERIES = {
     "sources_distinctive_tokens": sources_distinctive_tokens,
     "events_user_paths": events_user_paths,
     "events_value_locf": events_value_locf,
+    "emb_code_gram": emb_code_gram,
     "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_exact_dedup_hash": docs_exact_dedup_hash,
@@ -2508,6 +2519,26 @@ ORACLE_SQL = {
     "docs_normalize": """
         SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text
         FROM documents
+    """,
+    "emb_code_gram": """
+        WITH v AS (
+            SELECT vec_id,
+                   unnest(range(1, len(embedding) + 1)) AS dim,
+                   unnest(CAST(embedding AS DOUBLE[])) AS val
+            FROM embeddings
+        ), s AS (
+            SELECT dim, min(val) AS mn, max(val) AS mx FROM v GROUP BY dim
+        ), c AS (
+            SELECT vec_id, dim - 1 AS dim0,
+                   CAST(floor((val - mn)
+                              * (CASE WHEN mx > mn THEN 255.0 / (mx - mn)
+                                      ELSE 0.0 END) + 0.5) AS BIGINT) AS code
+            FROM v JOIN s USING (dim)
+        )
+        SELECT a.dim0 AS dim_i, b.dim0 AS dim_j,
+               CAST(sum(a.code * b.code) AS BIGINT) AS g
+        FROM c a JOIN c b ON a.vec_id = b.vec_id AND b.dim0 >= a.dim0
+        GROUP BY a.dim0, b.dim0
     """,
     "emb_quantized_stats": """
         WITH v AS (

@@ -22,7 +22,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-__all__ = ["dim_min_max", "quantize_embeddings", "dequantize"]
+__all__ = ["dim_min_max", "quantize_embeddings", "dequantize", "code_gram"]
 
 
 def _stack(col) -> np.ndarray:
@@ -96,3 +96,47 @@ def dequantize(codes: np.ndarray, mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
     matches the encoder's zero point)."""
     span = mx - mn
     return mn + codes.astype(np.float64) * (span / 255.0)
+
+
+def code_gram(ds: Dataset, col: str = "embedding", id_col: str = "vec_id") -> Dataset:
+    """Distributed Gram matrix over the uint8 quantization codes:
+    ``G[i, j] = Σ_vec code_i · code_j`` (upper triangle, i ≤ j) — the
+    integer-exact flavor of the covariance/PCA building block (a float Gram
+    cannot hash-match across engines: partial-sum association differs; uint8
+    products summed in int64 are exact to ~1.4·10¹⁴ vectors).
+
+    Each block contributes one dim×dim partial (``mᵀm`` — vectors never
+    leave the worker); the exchange carries dim²/2 rows per block into a
+    tiny ``groupby((i, j)).sum``."""
+    from ray.data.aggregate import Sum
+
+    codes_ds = quantize_embeddings(ds, col, id_col)
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"dim_i": pa.array([], pa.int64()), "dim_j": pa.array([], pa.int64()),
+             "g_partial": pa.array([], pa.int64())}
+        )
+        if b.num_rows == 0:
+            return empty
+        arr = b["codes"].combine_chunks() if isinstance(b["codes"], pa.ChunkedArray) else b["codes"]
+        flat = np.asarray(arr.flatten(), dtype=np.int64)
+        d = len(flat) // b.num_rows if b.num_rows else 0
+        if d == 0:
+            return empty
+        m = flat.reshape(b.num_rows, d)
+        g = m.T @ m
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "dim_i": pa.array(iu.astype(np.int64)),
+                "dim_j": pa.array(ju.astype(np.int64)),
+                "g_partial": pa.array(g[iu, ju]),
+            }
+        )
+
+    return (
+        codes_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["dim_i", "dim_j"])
+        .aggregate(Sum("g_partial", alias_name="g"))
+    )

@@ -65,3 +65,34 @@ def test_quantize_layout_invariant():
     a = _codes(quantize_embeddings(ray.data.from_arrow(tbl).repartition(2), "embedding"))
     b = _codes(quantize_embeddings(ray.data.from_arrow(tbl).repartition(9), "embedding"))
     assert (a == b).all()
+
+
+def test_code_gram_matches_numpy_and_layouts(ray_session):
+    """Distributed Gram over codes == single-process numpy Gram, at several
+    block layouts (int64-exact, so equality is bitwise)."""
+    import ray.data as rd
+
+    from mix_blink_ray.stages.quantize import code_gram, dim_min_max, quantize_embeddings
+
+    rng = np.random.default_rng(9)
+    n, d = 120, 8
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.reshape(-1), pa.float32()), d
+            ),
+        }
+    )
+    # reference: quantize identically, then one numpy matmul
+    mn = emb.astype(np.float64).min(axis=0)
+    mx = emb.astype(np.float64).max(axis=0)
+    scale = np.where(mx > mn, 255.0 / (mx - mn), 0.0)
+    codes = np.floor((emb.astype(np.float64) - mn) * scale + 0.5).astype(np.int64)
+    want = codes.T @ codes
+    for n_blocks in (1, 5, 16):
+        out = code_gram(rd.from_arrow(tbl).repartition(n_blocks)).to_pandas()
+        assert len(out) == d * (d + 1) // 2, n_blocks
+        for r in out.itertuples():
+            assert r.g == want[r.dim_i, r.dim_j], (n_blocks, r.dim_i, r.dim_j)
