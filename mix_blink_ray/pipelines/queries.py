@@ -2306,6 +2306,326 @@ def emb_code_gram(sf_dir: str):
     return code_gram(ds)
 
 
+def q7_nation_volume(sf_dir: str):
+    """TPC-H Q7 shape (volume shipping between two nations by year): the
+    two-nation predicate makes BOTH fact sides tiny after filtering, so the
+    default plan has NO fact-fact exchange at all — supplier→nation resolves
+    from a broadcast sorted-array lut, and orders filtered to customers of
+    the two nations becomes a broadcast orderkey→nation lut (2/N of orders;
+    above ``_SEMI_BROADCAST_LIMIT`` the q3/q4 partitioned-hash-join duality
+    applies, partition count clamped so no hash partition can be empty —
+    the Ray 2.49 empty-partition join failure, see ``clamped_partitions``).
+    Per-batch pre-aggregation collapses each block to ≤ 2 nation-pairs ×
+    years rows; revenue is exact scaled integers (cents × (10000 − bp))."""
+    import ray
+
+    from ..stages.clustering import clamped_partitions
+
+    NATIONS = {"NATION_1", "NATION_2", "NATION_3", "NATION_4"}
+
+    nat = pa.Table.from_pandas(
+        _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas(), preserve_index=False
+    )
+    name_of = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    keys_ab = np.sort(
+        np.asarray([k for k, v in name_of.items() if v in NATIONS], dtype=np.int64)
+    )
+
+    def _lut(tbl_ds, kcol: str, vcol: str):
+        t = pa.Table.from_pandas(tbl_ds.to_pandas(), preserve_index=False)
+        k = np.asarray(t[kcol], dtype=np.int64)
+        v = np.asarray(t[vcol], dtype=np.int64)
+        o = np.argsort(k)
+        return k[o], v[o]
+
+    supp_ref = ray.put(
+        _lut(_t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]), "s_suppkey", "s_nationkey")
+    )
+    cust_ref = ray.put(
+        _lut(_t(sf_dir, "customer", ["c_custkey", "c_nationkey"]), "c_custkey", "c_nationkey")
+    )
+
+    # orders restricted to customers of the two nations → (orderkey, c_nat)
+    def orders_ab(b: pa.Table) -> pa.Table:
+        ck, cv = ray.get(cust_ref)
+        ckey = np.asarray(b["o_custkey"], dtype=np.int64)
+        cp = np.clip(np.searchsorted(ck, ckey), 0, len(ck) - 1)
+        c_nat = cv[cp]
+        keep = (ck[cp] == ckey) & np.isin(c_nat, keys_ab)
+        return pa.table(
+            {
+                "o_orderkey": pc.take(b["o_orderkey"], pa.array(np.flatnonzero(keep))),
+                "c_nat": pa.array(c_nat[keep]),
+            }
+        )
+
+    orders_f = (
+        _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        .map_batches(orders_ab, batch_format="pyarrow")
+        .materialize()
+    )
+    n_orders_f = orders_f.count()
+
+    def rev_partial(b: pa.Table, okey_lut) -> pa.Table:
+        """lineitem batch → per-batch grouped (s_nat, c_nat, l_year) partial
+        revenue; okey_lut = (sorted orderkeys, c_nat values) or None when the
+        order side arrives via join columns already present in the batch."""
+        empty = pa.table(
+            {
+                "s_nat": pa.array([], pa.int64()),
+                "c_nat": pa.array([], pa.int64()),
+                "l_year": pa.array([], pa.int64()),
+                "rev_scaled": pa.array([], pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        sk, sv = ray.get(supp_ref)
+        skey = np.asarray(b["l_suppkey"], dtype=np.int64)
+        sp = np.clip(np.searchsorted(sk, skey), 0, len(sk) - 1)
+        s_nat = sv[sp]
+        keep = (sk[sp] == skey) & np.isin(s_nat, keys_ab)
+        if okey_lut is not None:
+            ok, onat = ray.get(okey_lut) if isinstance(okey_lut, ray.ObjectRef) else okey_lut
+            okey = np.asarray(b["l_orderkey"], dtype=np.int64)
+            op = np.clip(np.searchsorted(ok, okey), 0, max(len(ok) - 1, 0))
+            c_nat = onat[op] if len(ok) else np.full(len(okey), -1, dtype=np.int64)
+            keep &= (ok[op] == okey) if len(ok) else False
+        else:
+            c_nat = np.asarray(b["c_nat"], dtype=np.int64)
+        keep &= s_nat != c_nat  # cross pairs only; both already in {A, B}
+        if not keep.any():
+            return empty
+        cents = np.asarray(_cents(b["l_extendedprice"]), dtype=np.int64)[keep]
+        disc_bp = np.asarray(
+            pc.cast(pc.round(pc.multiply(b["l_discount"], 10000.0)), pa.int64()), dtype=np.int64
+        )[keep]
+        year = np.asarray(pc.year(b["l_shipdate"]), dtype=np.int64)[keep]
+        sub = pa.table(
+            {
+                "s_nat": pa.array(s_nat[keep]),
+                "c_nat": pa.array(c_nat[keep]),
+                "l_year": pa.array(year),
+                "rev_scaled": pa.array(cents * (10000 - disc_bp), pa.int64()),
+            }
+        )
+        return (
+            sub.group_by(["s_nat", "c_nat", "l_year"])
+            .aggregate([("rev_scaled", "sum")])
+            .rename_columns(["s_nat", "c_nat", "l_year", "rev_scaled"])
+        )
+
+    li_cols = ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    if n_orders_f <= _SEMI_BROADCAST_LIMIT:
+        odf = orders_f.to_pandas()
+        ok = odf["o_orderkey"].to_numpy(dtype=np.int64)
+        o = np.argsort(ok)
+        okey_ref = ray.put((ok[o], odf["c_nat"].to_numpy(dtype=np.int64)[o]))
+        partials = _t(sf_dir, "lineitem", li_cols).map_batches(
+            lambda b: rev_partial(b, okey_ref), batch_format="pyarrow"
+        )
+    else:
+        n_parts = clamped_partitions(
+            n_orders_f, max(8, int(ray.cluster_resources().get("CPU", 8)))
+        )
+        joined = _t(sf_dir, "lineitem", li_cols).join(
+            orders_f, join_type="inner", num_partitions=n_parts,
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        )
+        partials = joined.map_batches(lambda b: rev_partial(b, None), batch_format="pyarrow")
+
+    agg = partials.groupby(["s_nat", "c_nat", "l_year"]).aggregate(
+        Sum("rev_scaled", alias_name="rev_scaled")
+    )
+    adf = agg.to_pandas()
+    if adf.empty:  # empty aggregates lose their schema through to_pandas
+        return pa.table(
+            {
+                "supp_nation": pa.array([], pa.string()),
+                "cust_nation": pa.array([], pa.string()),
+                "l_year": pa.array([], pa.int64()),
+                "revenue": pa.array([], pa.float64()),
+            }
+        )
+    tbl = pa.Table.from_pandas(adf, preserve_index=False)
+    names = pa.array([name_of[int(k)] for k in tbl["s_nat"].to_pylist()], pa.string())
+    cnames = pa.array([name_of[int(k)] for k in tbl["c_nat"].to_pylist()], pa.string())
+    return pa.table(
+        {
+            "supp_nation": names,
+            "cust_nation": cnames,
+            "l_year": tbl["l_year"],
+            "revenue": pc.divide(pc.cast(tbl["rev_scaled"], pa.float64()), pa.scalar(1000000.0)),
+        }
+    )
+
+
+def nation_top_customer(sf_dir: str):
+    """Argmax-per-group (TPC-H Q2's min-cost-supplier pattern): per nation,
+    the customer with the highest account balance, ties broken by smallest
+    custkey.  Per-batch partial argmax (one row per nation per block — the
+    map-side contraction) → tiny global merge; nation names attach from a
+    driver dict.  Comparison is on exact integer cents on BOTH sides so
+    float roundoff can never flip a tie."""
+    import ray
+
+    nat = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    name_ref = ray.put(dict(zip(nat["n_nationkey"].astype(int), nat["n_name"])))
+
+    def partial_argmax(b: pa.Table) -> pa.Table:
+        nk = np.asarray(b["c_nationkey"], dtype=np.int64)
+        ck = np.asarray(b["c_custkey"], dtype=np.int64)
+        cents = np.asarray(_cents(b["c_acctbal"]), dtype=np.int64)
+        # sort by (nation, -cents, custkey) and keep the first row per nation
+        order = np.lexsort((ck, -cents, nk))
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = nk[order][1:] != nk[order][:-1]
+        sel = order[first]
+        return pa.table(
+            {
+                "c_nationkey": pa.array(nk[sel]),
+                "c_custkey": pa.array(ck[sel]),
+                "cents": pa.array(cents[sel]),
+            }
+        )
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    parts = cust.map_batches(partial_argmax, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(
+        ["c_nationkey", "cents", "c_custkey"], ascending=[True, False, True], kind="stable"
+    ).drop_duplicates("c_nationkey")
+    names = ray.get(name_ref)
+    return pa.table(
+        {
+            "n_name": pa.array([names[int(k)] for k in parts["c_nationkey"]], pa.string()),
+            "c_custkey": pa.array(parts["c_custkey"].to_numpy(), pa.int64()),
+            "acctbal": pa.array(parts["cents"].to_numpy().astype(np.float64) / 100.0),
+        }
+    )
+
+
+def events_value_quartiles(sf_dir: str):
+    """NTILE(4) window per event_type (ORDER BY value, event_id — a total
+    order, so bucket boundaries are deterministic), summarized per quartile.
+    ``groupby(event_type).map_groups`` sorts each type once; SQL-NTILE bucket
+    sizing (first n%k buckets get the extra row) is replayed exactly.
+    Partitioning assumption: one event_type's rows fit one worker — same
+    bound as sessionization, documented there."""
+
+    ds = _t(sf_dir, "events", ["event_type", "event_id", "value"])
+
+    def quartiles(g: pa.Table) -> pa.Table:
+        val = np.asarray(g["value"], dtype=np.float64)
+        eid = np.asarray(g["event_id"], dtype=np.int64)
+        order = np.lexsort((eid, val))
+        n = len(order)
+        base, extra = divmod(n, 4)
+        sizes = np.full(4, base, dtype=np.int64)
+        sizes[:extra] += 1
+        qid = np.repeat(np.arange(1, 5, dtype=np.int64), sizes)
+        sv = val[order]
+        bounds = np.concatenate([[0], np.cumsum(sizes)])
+        keep = sizes > 0
+        lo = np.array([sv[bounds[i]] if sizes[i] else 0.0 for i in range(4)])
+        hi = np.array([sv[bounds[i + 1] - 1] if sizes[i] else 0.0 for i in range(4)])
+        return pa.table(
+            {
+                "event_type": pa.array([g["event_type"][0].as_py()] * int(keep.sum())),
+                "quartile": pa.array(np.arange(1, 5, dtype=np.int64)[keep]),
+                "n": pa.array(sizes[keep]),
+                "lo": _round_col(pa.array(lo[keep]), 6),
+                "hi": _round_col(pa.array(hi[keep]), 6),
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(quartiles, batch_format="pyarrow")
+
+
+def brand_distinct_suppliers(sf_dir: str):
+    """Grouped COUNT(DISTINCT) — the two-level distinct aggregation: part is
+    a broadcast partkey→brand lut; each batch contracts to its unique
+    (brand, suppkey) pairs map-side (np.unique — the combiner that keeps the
+    exchange ∝ distinct pairs, not lineitems); the global distinct is a
+    (brand, suppkey) groupby-count whose COUNT is discarded, then a per-brand
+    count of the surviving pairs."""
+    import ray
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    pk = part["p_partkey"].to_numpy(dtype=np.int64)
+    order = np.argsort(pk)
+    brands, brand_codes = np.unique(part["p_brand"].to_numpy()[order], return_inverse=True)
+    lut_ref = ray.put((pk[order], brand_codes.astype(np.int64), list(brands)))
+
+    def pairs(b: pa.Table) -> pa.Table:
+        k, codes, _ = ray.get(lut_ref)
+        pkey = np.asarray(b["l_partkey"], dtype=np.int64)
+        pos = np.clip(np.searchsorted(k, pkey), 0, len(k) - 1)
+        ok = k[pos] == pkey
+        brand = codes[pos][ok]
+        supp = np.asarray(b["l_suppkey"], dtype=np.int64)[ok]
+        uniq = np.unique(np.stack([brand, supp], axis=1), axis=0)
+        return pa.table(
+            {"brand_code": pa.array(uniq[:, 0]), "l_suppkey": pa.array(uniq[:, 1])}
+        )
+
+    li = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    distinct_pairs = (
+        li.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["brand_code", "l_suppkey"])
+        .aggregate(Count(alias_name="_c"))
+    )
+    counts = distinct_pairs.groupby("brand_code").aggregate(Count(alias_name="n_suppliers"))
+    tbl = pa.Table.from_pandas(counts.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "p_brand": pa.array([brands[int(c)] for c in tbl["brand_code"].to_pylist()], pa.string()),
+            "n_suppliers": pc.cast(tbl["n_suppliers"], pa.int64()),
+        }
+    )
+
+
+def events_retention_cohorts(sf_dir: str):
+    """Retention-cohort matrix (the behavioral-analytics staple): cohort =
+    a user's first active day; cell (cohort_day, day_offset) counts users
+    active offset days later.  Fully shuffle-bounded: (user, day) pairs
+    contract map-side per batch, the cohort table comes from a groupby-min
+    over those pairs, and the cohort attaches back via a PARTITIONED join on
+    user_id — no broadcast of the (at 100 TB, billions-row) user table."""
+    DAY_US = 86_400_000_000
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+    pairs = (
+        ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "day": pc.divide(pc.cast(b["ts"], pa.int64()), pa.scalar(DAY_US, pa.int64())),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+        .materialize()
+    )
+    cohorts = pairs.groupby("user_id").aggregate(Min("day", alias_name="cohort_day"))
+    joined = pairs.join(cohorts, join_type="inner", num_partitions=8, on=("user_id",))
+    return (
+        joined.map_batches(
+            lambda b: pa.table(
+                {
+                    "cohort_day": b["cohort_day"],
+                    "day_offset": pc.subtract(b["day"], b["cohort_day"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2351,6 +2671,11 @@ QUERIES = {
     "events_user_paths": events_user_paths,
     "events_value_locf": events_value_locf,
     "emb_code_gram": emb_code_gram,
+    "q7_nation_volume": q7_nation_volume,
+    "nation_top_customer": nation_top_customer,
+    "events_value_quartiles": events_value_quartiles,
+    "brand_distinct_suppliers": brand_distinct_suppliers,
+    "events_retention_cohorts": events_retention_cohorts,
     "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_exact_dedup_hash": docs_exact_dedup_hash,
@@ -2402,6 +2727,65 @@ QUERIES = {
 
 
 ORACLE_SQL = {
+    "q7_nation_volume": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+                   / 1000000.0 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+          AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+          AND n1.n_name <> n2.n_name
+        GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """,
+    "nation_top_customer": """
+        SELECT n_name, c_custkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) / 100.0 AS acctbal
+        FROM (
+            SELECT c_nationkey, c_custkey, c_acctbal,
+                   row_number() OVER (
+                       PARTITION BY c_nationkey
+                       ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC, c_custkey
+                   ) AS rn
+            FROM customer
+        ) JOIN nation ON c_nationkey = n_nationkey
+        WHERE rn = 1
+    """,
+    "events_value_quartiles": """
+        SELECT event_type, quartile, count(*) AS n,
+               CAST(round(min(value) * 1000000) AS BIGINT) / 1000000.0 AS lo,
+               CAST(round(max(value) * 1000000) AS BIGINT) / 1000000.0 AS hi
+        FROM (
+            SELECT event_type, value,
+                   ntile(4) OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS quartile
+            FROM events
+        )
+        GROUP BY event_type, quartile
+    """,
+    "brand_distinct_suppliers": """
+        SELECT p_brand, count(DISTINCT l_suppkey) AS n_suppliers
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+    "events_retention_cohorts": """
+        WITH d AS (
+            SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+            FROM events
+        ), c AS (
+            SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id
+        )
+        SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+               count(*) AS n_users
+        FROM d JOIN c USING (user_id)
+        GROUP BY c.cohort_day, d.day - c.cohort_day
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity) AS sum_qty,
