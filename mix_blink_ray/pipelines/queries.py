@@ -2626,6 +2626,29 @@ def events_retention_cohorts(sf_dir: str):
     )
 
 
+def docs_meta_blocking(sf_dir: str):
+    """Meta-blocking candidate generation (Papadakis TKDE'13): word-trigram
+    blocking keys, block purging outside [2, 20], CBS pair weighting, prune
+    to ≥ 2 shared blocks.  The third classic ER candidate generator next to
+    MinHash-LSH banding and sorted-neighborhood — see
+    ``stages/blocking.py`` ``meta_blocking_pairs`` for the bounded-shuffle
+    decomposition."""
+    from ..stages.blocking import meta_blocking_pairs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = meta_blocking_pairs(ds, n=3, min_block=2, max_block=20, min_shared=2)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_a": b["doc_a"],
+                "doc_b": b["doc_b"],
+                "shared_blocks": pc.cast(b["shared_blocks"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2676,6 +2699,7 @@ QUERIES = {
     "events_value_quartiles": events_value_quartiles,
     "brand_distinct_suppliers": brand_distinct_suppliers,
     "events_retention_cohorts": events_retention_cohorts,
+    "docs_meta_blocking": docs_meta_blocking,
     "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_exact_dedup_hash": docs_exact_dedup_hash,
@@ -2785,6 +2809,24 @@ ORACLE_SQL = {
                count(*) AS n_users
         FROM d JOIN c USING (user_id)
         GROUP BY c.cohort_day, d.day - c.cohort_day
+    """,
+    "docs_meta_blocking": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents WHERE trim(text) <> ''
+        ), g AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+            FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+        ), blk AS (
+            SELECT gram FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND 20
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS shared_blocks
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            JOIN blk ON a.gram = blk.gram
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, shared_blocks FROM pairs WHERE shared_blocks >= 2
     """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,

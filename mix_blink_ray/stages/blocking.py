@@ -46,7 +46,15 @@ from ..functions.hashing import (
 _EXACT_TAG = np.uint64(0xE1AC7_0000)
 _SALT_PRIME = np.uint64(0x9E3779B97F4A7C15)
 
-__all__ = ["BlockingConfig", "block_keys_table", "add_salt", "composite_context_key", "sorted_neighborhood_pairs"]
+__all__ = [
+    "BlockingConfig",
+    "block_keys_table",
+    "add_salt",
+    "composite_context_key",
+    "sorted_neighborhood_pairs",
+    "token_ngram_blocks",
+    "meta_blocking_pairs",
+]
 
 
 @dataclass(frozen=True)
@@ -207,3 +215,138 @@ def sorted_neighborhood_pairs(ds, sort_keys: list[str], window: int = 2):
 
     out_refs = [pair_block.remote(r, ray.put(stitch_for(i))) for i, r in enumerate(refs)]
     return rd.from_arrow_refs(out_refs)
+
+
+def token_ngram_blocks(
+    ds,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lower: bool = True,
+):
+    """Distinct ``(gram, id)`` membership pairs for word n-gram blocking
+    keys (the token-blocking key generator meta-blocking prunes).  Grams are
+    built with shifted views of the flat token buffer joined by one Arrow
+    ``binary_join_element_wise`` (the :func:`~..stages.vocab.bigram_counts`
+    pattern, no per-gram Python) and deduped inside the batch, so only
+    distinct memberships reach the exchange.
+
+    Grams travel as strings so the DuckDB oracle can replay them verbatim;
+    the production-scale variant hashes grams to 8-byte u64 first
+    (``functions/hashing.py`` ``token_ngram_hashes``, used by the
+    decontamination stage) — same topology, 1/10 the bytes."""
+    from .vocab import tokenize_batch
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"gram": pa.array([], pa.string()), id_col: pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        toks = tokenize_batch(b[text_col], lower=lower)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off = off - off[0]
+        flat = pc.cast(toks.flatten(), pa.string())
+        m = len(flat) - (n - 1)
+        if m <= 0:
+            return empty
+        joined = pc.binary_join_element_wise(*[flat.slice(k, m) for k in range(n)], " ")
+        starts = np.arange(m, dtype=np.int64)
+        row = np.searchsorted(off, starts, side="right") - 1
+        valid = (starts + n) <= off[row + 1]  # gram must not cross a row
+        grams = joined.to_numpy(zero_copy_only=False)[valid]
+        dids = np.asarray(b[id_col], dtype=np.int64)[row[valid]]
+        order = np.lexsort((dids, grams))
+        grams, dids = grams[order], dids[order]
+        keep = np.concatenate([[True], (grams[1:] != grams[:-1]) | (dids[1:] != dids[:-1])])
+        return pa.table({"gram": pa.array(grams[keep], pa.string()), id_col: pa.array(dids[keep])})
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def meta_blocking_pairs(
+    ds,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_block: int = 2,
+    max_block: int = 20,
+    min_shared: int = 2,
+    broadcast_threshold: int = 20_000_000,
+):
+    """Meta-blocking (Papadakis et al., TKDE'13): candidate pairs from word
+    n-gram blocking keys, **weighted by Common Block Scheme (CBS)** — the
+    number of blocking keys two records share — and pruned to
+    ``shared_blocks ≥ min_shared``.  The weight prune is what turns a noisy
+    block collection into a tractable candidate graph at web scale.
+
+    Distributed shape (every step bounded):
+
+    1. distinct (gram, id) memberships, deduped map-side
+       (:func:`token_ngram_blocks`);
+    2. block sizes via one ``groupby(gram).count``; keys outside
+       ``[min_block, max_block]`` are dropped — size-1 blocks generate no
+       pairs, oversized blocks are stop-grams (the classic block-purging
+       step, applied BEFORE any pair is materialized);
+    3. memberships filter to surviving keys — broadcast gram set below
+       ``broadcast_threshold``, partitioned inner join above it;
+    4. per-block pair emission via ``groupby(gram).map_groups`` — a block
+       emits ≤ ``max_block²/2`` pairs by construction, so no hot key;
+    5. CBS weight = one ``groupby(a, b).count`` over the emitted pairs,
+       pruned to ``min_shared``.
+
+    Returns a Dataset of ``(doc_a, doc_b, shared_blocks)`` with
+    ``doc_a < doc_b``.  Complements MinHash-LSH banding (probabilistic,
+    ``stages/dedup.py``) and sorted-neighborhood (order-based) as the
+    third classic candidate generator; all three feed the same verify /
+    cluster stages."""
+    import ray
+    from ray.data.aggregate import Count
+
+    memberships = token_ngram_blocks(ds, n=n, id_col=id_col, text_col=text_col)
+    sizes = memberships.groupby("gram").aggregate(Count(alias_name="block_size"))
+    keys = sizes.map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b["block_size"], min_block),
+                pc.less_equal(b["block_size"], max_block),
+            )
+        ).select(["gram"]),
+        batch_format="pyarrow",
+    ).materialize()
+    n_keys = keys.count()
+
+    if n_keys <= broadcast_threshold:
+        import pyarrow as _pa
+
+        tabs = [t for t in ray.get(keys.to_arrow_refs()) if t.num_rows]
+        gram_set = (
+            pa.concat_tables(tabs)["gram"].combine_chunks()
+            if tabs
+            else _pa.array([], _pa.string())
+        )
+        gram_ref = ray.put(gram_set)
+
+        def keep_blocked(b: pa.Table) -> pa.Table:
+            gs = ray.get(gram_ref)
+            return b.filter(pc.is_valid(pc.index_in(b["gram"], value_set=gs)))
+
+        blocked = memberships.map_batches(keep_blocked, batch_format="pyarrow")
+    else:
+        from .clustering import clamped_partitions
+
+        n_parts = clamped_partitions(n_keys, max(8, int(ray.cluster_resources().get("CPU", 8))))
+        blocked = memberships.join(keys, join_type="inner", num_partitions=n_parts, on=("gram",))
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        ids = np.unique(np.asarray(g[id_col], dtype=np.int64))
+        k = len(ids)
+        if k < 2:
+            return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+        ai, bi = np.triu_indices(k, k=1)
+        return pa.table({"doc_a": pa.array(ids[ai]), "doc_b": pa.array(ids[bi])})
+
+    pairs = blocked.groupby("gram").map_groups(emit_pairs, batch_format="pyarrow")
+    weighted = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="shared_blocks"))
+    return weighted.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["shared_blocks"], min_shared)),
+        batch_format="pyarrow",
+    )

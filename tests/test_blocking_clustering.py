@@ -167,3 +167,53 @@ def test_sorted_neighborhood_pairs_stitch_across_blocks():
         got = list(zip(out.a_k, out.b_k))
         assert len(got) == len(set(got)) == len(want), n_blocks
         assert set(got) == want, n_blocks
+
+
+def test_meta_blocking_pairs_vs_bruteforce():
+    """CBS weights and the min_shared prune must equal a local brute-force
+    over the same trigram block collection, at every partition layout and
+    on BOTH the broadcast and join key-filter paths."""
+    from collections import Counter
+
+    from mix_blink_ray.stages.blocking import meta_blocking_pairs
+
+    docs = [
+        "a b c d e f",          # shares 'a b c','b c d' with doc 1
+        "a b c d x y",
+        "p q r s t u",          # shares 'p q r','q r s' with doc 3
+        "p q r s z w",
+        "unrelated words only here now ok",
+        "a b c d e f",          # exact dup of doc 0 → many shared grams
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()), "text": pa.array(docs)})
+
+    # local reference
+    def grams(s):
+        t = s.split()
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+    gsets = [grams(d) for d in docs]
+    from collections import defaultdict
+    members = defaultdict(set)
+    for i, gs in enumerate(gsets):
+        for g in gs:
+            members[g].add(i)
+    want = Counter()
+    for g, mem in members.items():
+        if not (2 <= len(mem) <= 20):
+            continue
+        mem = sorted(mem)
+        for ai in range(len(mem)):
+            for bi in range(ai + 1, len(mem)):
+                want[(mem[ai], mem[bi])] += 1
+    want = {p: w for p, w in want.items() if w >= 2}
+
+    for n_blocks in (1, 3):
+        for thresh in (20_000_000, 0):  # broadcast path, then forced join path
+            out = meta_blocking_pairs(
+                rd.from_arrow(tbl).repartition(n_blocks),
+                n=3, min_block=2, max_block=20, min_shared=2,
+                broadcast_threshold=thresh,
+            ).to_pandas()
+            got = {(int(a), int(b)): int(w) for a, b, w in
+                   zip(out.doc_a, out.doc_b, out.shared_blocks)}
+            assert got == want, (n_blocks, thresh)
