@@ -2649,6 +2649,40 @@ def docs_meta_blocking(sf_dir: str):
     )
 
 
+def docs_media_features(sf_dir: str):
+    """Multimodal plumbing exercised end-to-end as a driver query: documents
+    become opaque binary payloads (UTF-8 bytes — deterministic, so the
+    integer outputs are SQL-replayable), then the REAL actor-pool stage
+    (``stages/multimodal.py`` ``ImageFeatures``: per-actor init, zero-copy
+    payload-buffer access, small batches because blobs dominate block size)
+    extracts features + integer lineage checksums.  Output keeps only the
+    integer columns (n_bytes, byte_sum) — the float feature path is covered
+    by pytest; the checksums prove the payload plumbing byte-exactly."""
+    from ..stages.multimodal import ImageFeatures
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(pc.utf8_trim_whitespace(b["text"]), "")
+        b = b.filter(keep)
+        return pa.table(
+            {
+                "media_id": pc.cast(b["doc_id"], pa.string()),
+                # zero-copy reinterpret: string → binary payload
+                "payload": pc.cast(b["text"], pa.binary()),
+            }
+        )
+
+    feats = ds.map_batches(to_media, batch_format="pyarrow").map_batches(
+        ImageFeatures,
+        fn_constructor_kwargs={"backend": "fake", "dim": 32},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        batch_size=256,
+    )
+    return feats.select_columns(["media_id", "n_bytes", "byte_sum"])
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2700,6 +2734,7 @@ QUERIES = {
     "brand_distinct_suppliers": brand_distinct_suppliers,
     "events_retention_cohorts": events_retention_cohorts,
     "docs_meta_blocking": docs_meta_blocking,
+    "docs_media_features": docs_media_features,
     "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_exact_dedup_hash": docs_exact_dedup_hash,
@@ -2809,6 +2844,17 @@ ORACLE_SQL = {
                count(*) AS n_users
         FROM d JOIN c USING (user_id)
         GROUP BY c.cohort_day, d.day - c.cohort_day
+    """,
+    "docs_media_features": """
+        WITH e AS (
+            SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) AS code
+            FROM documents, unnest(range(1, len(text) + 1)) AS r(i)
+            WHERE trim(text) <> ''
+        )
+        SELECT CAST(doc_id AS VARCHAR) AS media_id,
+               CAST(count(*) AS BIGINT) AS n_bytes,
+               CAST(sum(code) AS BIGINT) AS byte_sum
+        FROM e GROUP BY doc_id
     """,
     "docs_meta_blocking": """
         WITH toks AS (

@@ -128,6 +128,11 @@ class ImageFeatures(_FakeFeatureMixin):
         data, offsets = _payload_matrix(batch["payload"])
         emb = self._fake_embed(data, offsets)
         n = batch.num_rows
+        # integer payload checksum (lineage/validation column): exact and
+        # decoder-independent, so downstream parity checks don't depend on
+        # the float feature path
+        csum = np.concatenate([[0], np.cumsum(data, dtype=np.int64)])
+        byte_sum = csum[offsets[1:]] - csum[offsets[:-1]]
         return pa.table(
             {
                 "media_id": batch["media_id"],
@@ -135,6 +140,7 @@ class ImageFeatures(_FakeFeatureMixin):
                 "out_width": pa.array([self.resize[0]] * n, pa.int32()),
                 "out_height": pa.array([self.resize[1]] * n, pa.int32()),
                 "n_bytes": pa.array((offsets[1:] - offsets[:-1]).astype(np.int64)),
+                "byte_sum": pa.array(byte_sum.astype(np.int64)),
             }
         )
 

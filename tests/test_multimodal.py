@@ -31,7 +31,7 @@ def test_image_features_actor_pool():
         batch_format="pyarrow", concurrency=(1, 2), batch_size=8,
     ).to_pandas()
     assert len(out) == 40
-    assert set(out.columns) == {"media_id", "feature", "out_width", "out_height", "n_bytes"}
+    assert set(out.columns) == {"media_id", "feature", "out_width", "out_height", "n_bytes", "byte_sum"}
     assert all(len(f) == 16 for f in out["feature"])
     assert (out["n_bytes"] == 4096).all()
     # deterministic: rerun identical
@@ -91,3 +91,26 @@ def test_real_backend_is_explicitly_stubbed():
         AudioFeatures(backend="real")
     with pytest.raises(NotImplementedError):
         VideoFrameSampler(backend="real")
+
+
+def test_image_features_byte_sum_exact():
+    """byte_sum must equal the exact integer sum of payload bytes per row,
+    including empty payloads (cumsum-difference path, no reduceat edge)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from mix_blink_ray.stages.multimodal import ImageFeatures, media_table
+
+    rows = [
+        {"media_id": "a", "kind": "image", "payload": b"\x01\x02\x03", "mime": "image/jpeg",
+         "width": 1, "height": 1, "duration_ms": -1},
+        {"media_id": "b", "kind": "image", "payload": b"", "mime": "image/jpeg",
+         "width": 1, "height": 1, "duration_ms": -1},
+        {"media_id": "c", "kind": "image", "payload": bytes(range(256)), "mime": "image/jpeg",
+         "width": 1, "height": 1, "duration_ms": -1},
+    ]
+    out = ImageFeatures(backend="fake")(media_table(rows))
+    got = dict(zip(out["media_id"].to_pylist(), out["byte_sum"].to_pylist()))
+    assert got == {"a": 6, "b": 0, "c": sum(range(256))}
+    n = dict(zip(out["media_id"].to_pylist(), out["n_bytes"].to_pylist()))
+    assert n == {"a": 3, "b": 0, "c": 256}
