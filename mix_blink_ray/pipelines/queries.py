@@ -2683,6 +2683,49 @@ def docs_media_features(sf_dir: str):
     return feats.select_columns(["media_id", "n_bytes", "byte_sum"])
 
 
+def docs_er_clusters(sf_dir: str):
+    """The COMPLETE classic entity-resolution chain in one query, every stage
+    SQL-replayed: meta-blocking candidates (S61) → exact char-trigram Jaccard
+    verify ≥ 0.7 (vectorized sort-merge, texts joined onto the pair set) →
+    transitive closure with min-id labels (pointer-jumping; recursive-CTE
+    oracle).  Complements ``docs_window_jaccard_clusters`` (which uses the
+    order-window candidate generator) — same verify/cluster stages, blocking
+    strategy swapped, demonstrating the generators are interchangeable."""
+    from ..stages.blocking import meta_blocking_pairs
+    from ..stages.clustering import cluster_nodes
+    from ..stages.dedup import ngram_jaccard_verify
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    cands = meta_blocking_pairs(ds, n=3, min_block=2, max_block=20, min_shared=2).map_batches(
+        lambda b: pa.table({"a_id": b["doc_a"], "b_id": b["doc_b"]}),
+        batch_format="pyarrow",
+    )
+    verified = ngram_jaccard_verify(cands, ds, threshold=0.7)
+    edges = verified.map_batches(
+        lambda b: pa.table(
+            {
+                "src": pc.utf8_lpad(pc.cast(b["a_id"], pa.string()), 20, "0"),
+                "dst": pc.utf8_lpad(pc.cast(b["b_id"], pa.string()), 20, "0"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    nodes = ds.map_batches(
+        lambda b: pa.table({"node": pc.utf8_lpad(pc.cast(b["doc_id"], pa.string()), 20, "0")}),
+        batch_format="pyarrow",
+    )
+    labels = cluster_nodes(edges, nodes, mode="auto")
+    return labels.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(b["node"], pa.int64()),
+                "cluster_id": pc.cast(b["label"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2735,6 +2778,7 @@ QUERIES = {
     "events_retention_cohorts": events_retention_cohorts,
     "docs_meta_blocking": docs_meta_blocking,
     "docs_media_features": docs_media_features,
+    "docs_er_clusters": docs_er_clusters,
     "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_exact_dedup_hash": docs_exact_dedup_hash,
@@ -2844,6 +2888,44 @@ ORACLE_SQL = {
                count(*) AS n_users
         FROM d JOIN c USING (user_id)
         GROUP BY c.cohort_day, d.day - c.cohort_day
+    """,
+    "docs_er_clusters": """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents WHERE trim(text) <> ''
+        ), g AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+            FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+        ), blk AS (
+            SELECT gram FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND 20
+        ), cand AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            JOIN blk ON a.gram = blk.gram
+            GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+        ), cg AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) >= 3
+                        THEN list_distinct(list_transform(
+                                 generate_series(1, length(text) - 2),
+                                 i -> substring(text, i, 3)))
+                        WHEN length(text) > 0 THEN [text]
+                        ELSE CAST([] AS VARCHAR[]) END AS grams
+            FROM documents
+        ), p AS (
+            SELECT c.a_id, c.b_id
+            FROM cand c JOIN cg a ON a.doc_id = c.a_id JOIN cg b ON b.doc_id = c.b_id
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) >= 0.7
+        ), e AS (
+            SELECT a_id AS src, b_id AS dst FROM p
+            UNION ALL SELECT b_id, a_id FROM p
+        ), reach(node, m) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, r.m FROM reach r JOIN e ON e.src = r.node
+        )
+        SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node
     """,
     "docs_media_features": """
         WITH e AS (
