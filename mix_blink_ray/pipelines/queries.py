@@ -2726,6 +2726,68 @@ def docs_er_clusters(sf_dir: str):
     )
 
 
+def docs_blocking_quality(sf_dir: str):
+    """ER blocking-stage evaluation (pair completeness + reduction counts,
+    the standard blocking metrics): a corpus with 50 known duplicate pairs
+    (doc_id+10⁶ copies, the ``docs_dedup_corpus_exact`` construction) runs
+    through meta-blocking; the metrics count how many truth pairs the
+    candidate set finds and how many candidates it proposes.  Truth
+    membership is ARITHMETIC ((a < 50) ∧ (b = a + 10⁶)), so every count is a
+    map-side partial sum — no truth table ships anywhere, and the output is
+    one integer row the SQL oracle replays end-to-end."""
+    from ..stages.blocking import meta_blocking_pairs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    DUP = 1_000_000
+
+    def with_dups(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.less(b["doc_id"], pa.scalar(50)))
+        dup = pa.table(
+            {
+                "doc_id": pc.add(keep["doc_id"], pa.scalar(DUP, pa.int64())),
+                "text": keep["text"],
+            }
+        )
+        return pa.concat_tables([b.select(["doc_id", "text"]), dup])
+
+    corpus = ds.map_batches(with_dups, batch_format="pyarrow")
+    cands = meta_blocking_pairs(corpus, n=3, min_block=2, max_block=20, min_shared=2)
+
+    def partial(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["doc_a"], dtype=np.int64)
+        bb = np.asarray(b["doc_b"], dtype=np.int64)
+        found = int(np.count_nonzero((a < 50) & (bb == a + DUP)))
+        return pa.table(
+            {
+                "n_candidates": pa.array([len(a)], pa.int64()),
+                "n_true_found": pa.array([found], pa.int64()),
+            }
+        )
+
+    agg = (
+        cands.map_batches(partial, batch_format="pyarrow")
+        .aggregate(
+            Sum("n_candidates", alias_name="n_candidates"),
+            Sum("n_true_found", alias_name="n_true_found"),
+        )
+    )
+    n_records = corpus.count()
+    n_true = ds.map_batches(
+        lambda b: pa.table(
+            {"n": pa.array([int(pc.sum(pc.cast(pc.less(b["doc_id"], 50), pa.int64())).as_py() or 0)], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).aggregate(Sum("n", alias_name="n"))
+    return pa.table(
+        {
+            "n_records": pa.array([int(n_records)], pa.int64()),
+            "n_true_pairs": pa.array([int(n_true["n"])], pa.int64()),
+            "n_candidates": pa.array([int(agg["n_candidates"] or 0)], pa.int64()),
+            "n_true_found": pa.array([int(agg["n_true_found"] or 0)], pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2779,6 +2841,7 @@ QUERIES = {
     "docs_meta_blocking": docs_meta_blocking,
     "docs_media_features": docs_media_features,
     "docs_er_clusters": docs_er_clusters,
+    "docs_blocking_quality": docs_blocking_quality,
     "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_exact_dedup_hash": docs_exact_dedup_hash,
@@ -2888,6 +2951,31 @@ ORACLE_SQL = {
                count(*) AS n_users
         FROM d JOIN c USING (user_id)
         GROUP BY c.cohort_day, d.day - c.cohort_day
+    """,
+    "docs_blocking_quality": """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+        ), toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM corpus WHERE trim(text) <> ''
+        ), g AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+            FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+        ), blk AS (
+            SELECT gram FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND 20
+        ), cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            JOIN blk ON a.gram = blk.gram
+            GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_records,
+               (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id < 50) AS n_true_pairs,
+               CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(count(*) FILTER (doc_a < 50 AND doc_b = doc_a + 1000000) AS BIGINT)
+                   AS n_true_found
+        FROM cand
     """,
     "docs_er_clusters": """
         WITH RECURSIVE toks AS (
