@@ -2507,38 +2507,82 @@ def nation_top_customer(sf_dir: str):
 def events_value_quartiles(sf_dir: str):
     """NTILE(4) window per event_type (ORDER BY value, event_id — a total
     order, so bucket boundaries are deterministic), summarized per quartile.
-    ``groupby(event_type).map_groups`` sorts each type once; SQL-NTILE bucket
-    sizing (first n%k buckets get the extra row) is replayed exactly.
-    Partitioning assumption: one event_type's rows fit one worker — same
-    bound as sessionization, documented there."""
+
+    Scale shape: NTILE needs a global per-group rank, and event_type has a
+    HANDFUL of distinct values — a ``map_groups`` would put a whole type on
+    one worker (unacceptable at 10⁹ rows/type).  Instead: one sort
+    range-shuffle + the two-phase :func:`grouped_prefix_scan` assigns
+    per-type row numbers with O(n_blocks + n_types) driver state; the exact
+    SQL-NTILE bucket of a rank is then arithmetic (first n%k buckets take
+    base+1 rows), and the per-(type, quartile) summary is an ordinary
+    map-side-combined aggregate.  No worker ever holds a whole type."""
+    import ray
+
+    from ..stages.scan import grouped_prefix_scan
 
     ds = _t(sf_dir, "events", ["event_type", "event_id", "value"])
+    counts = ds.groupby("event_type").aggregate(Count(alias_name="n")).to_pandas()
+    n_of = dict(zip(counts["event_type"], counts["n"].astype(int)))
+    n_ref = ray.put(n_of)
 
-    def quartiles(g: pa.Table) -> pa.Table:
-        val = np.asarray(g["value"], dtype=np.float64)
-        eid = np.asarray(g["event_id"], dtype=np.int64)
-        order = np.lexsort((eid, val))
-        n = len(order)
-        base, extra = divmod(n, 4)
-        sizes = np.full(4, base, dtype=np.int64)
-        sizes[:extra] += 1
-        qid = np.repeat(np.arange(1, 5, dtype=np.int64), sizes)
-        sv = val[order]
-        bounds = np.concatenate([[0], np.cumsum(sizes)])
-        keep = sizes > 0
-        lo = np.array([sv[bounds[i]] if sizes[i] else 0.0 for i in range(4)])
-        hi = np.array([sv[bounds[i + 1] - 1] if sizes[i] else 0.0 for i in range(4)])
-        return pa.table(
+    prep = ds.map_batches(
+        lambda b: b.append_column("z", pa.array(np.zeros(b.num_rows, dtype=np.int64))),
+        batch_format="pyarrow",
+    )
+    ranked = grouped_prefix_scan(
+        prep, "event_type", ["value", "event_id"], "z", out_col="zsum", row_col="rank"
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "quartile": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "lo_p": pa.array([], pa.float64()),
+                    "hi_p": pa.array([], pa.float64()),
+                }
+            )
+        nmap = ray.get(n_ref)
+        types = b["event_type"].to_numpy(zero_copy_only=False)
+        n_grp = np.array([nmap[t] for t in types], dtype=np.int64)
+        r0 = np.asarray(b["rank"], dtype=np.int64) - 1  # 0-based rank in type
+        base, extra = n_grp // 4, n_grp % 4
+        cut = extra * (base + 1)  # ranks below cut sit in the +1-sized buckets
+        small_ok = np.maximum(base, 1)  # guard div-by-0 when n < 4 (cut covers all)
+        qid = np.where(r0 < cut, r0 // np.maximum(base + 1, 1), extra + (r0 - cut) // small_ok) + 1
+        sub = pa.table(
             {
-                "event_type": pa.array([g["event_type"][0].as_py()] * int(keep.sum())),
-                "quartile": pa.array(np.arange(1, 5, dtype=np.int64)[keep]),
-                "n": pa.array(sizes[keep]),
-                "lo": _round_col(pa.array(lo[keep]), 6),
-                "hi": _round_col(pa.array(hi[keep]), 6),
+                "event_type": b["event_type"],
+                "quartile": pa.array(qid),
+                "value": b["value"],
             }
         )
+        g = sub.group_by(["event_type", "quartile"]).aggregate(
+            [("value", "count"), ("value", "min"), ("value", "max")]
+        )
+        return g.rename_columns(["event_type", "quartile", "n", "lo_p", "hi_p"])
 
-    return ds.groupby("event_type").map_groups(quartiles, batch_format="pyarrow")
+    agg = (
+        ranked.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "quartile"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("lo_p", alias_name="lo_p"),
+            Max("hi_p", alias_name="hi_p"),
+        )
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "event_type": tbl["event_type"],
+            "quartile": pc.cast(tbl["quartile"], pa.int64()),
+            "n": pc.cast(tbl["n"], pa.int64()),
+            "lo": _round_col(tbl["lo_p"], 6),
+            "hi": _round_col(tbl["hi_p"], 6),
+        }
+    )
 
 
 def brand_distinct_suppliers(sf_dir: str):
