@@ -2832,6 +2832,112 @@ def docs_blocking_quality(sf_dir: str):
     )
 
 
+def users_click_purchase_full_outer(sf_dir: str):
+    """FULL OUTER join coverage (the one join type the catalog lacked):
+    per-user click counts ⟗ per-user purchase counts — users appearing on
+    either side survive, missing sides coalesce to 0.  Both inputs are
+    already-aggregated (one row per user), so the exchange is user-sized;
+    the key columns from both sides coalesce into one."""
+    from ..stages.clustering import clamped_partitions
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+
+    def side(ev_type: str, out: str):
+        return (
+            ds.map_batches(
+                lambda b, t=ev_type: b.filter(pc.equal(b["event_type"], t)).select(["user_id"]),
+                batch_format="pyarrow",
+            )
+            .groupby("user_id")
+            .aggregate(Count(alias_name=out))
+        )
+
+    clicks = side("click", "n_clicks").materialize()
+    buys = side("purchase", "n_purchases").map_batches(
+        lambda b: pa.table({"user_id_r": b["user_id"], "n_purchases": b["n_purchases"]}),
+        batch_format="pyarrow",
+    ).materialize()
+    n_parts = clamped_partitions(
+        max(clicks.count(), buys.count(), 1), 8
+    )
+    joined = clicks.join(
+        buys, join_type="full_outer", num_partitions=n_parts,
+        on=("user_id",), right_on=("user_id_r",),
+    )
+    def finish(b: pa.Table) -> pa.Table:
+        # Ray's full_outer join coalesces the key pair into ONE column when
+        # the right key is consumed via right_on; keep a defensive coalesce
+        # for layouts that still carry the right key separately.
+        uid = b["user_id"]
+        if "user_id_r" in b.column_names:
+            uid = pc.coalesce(uid, b["user_id_r"])
+        return pa.table(
+            {
+                "user_id": uid,
+                "n_clicks": pc.cast(pc.fill_null(b["n_clicks"], 0), pa.int64()),
+                "n_purchases": pc.cast(pc.fill_null(b["n_purchases"], 0), pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def events_tumbling_late(sf_dir: str):
+    """Event-time tumbling windows with a WATERMARK (streaming semantics on
+    a batch engine): watermark = max event time − 10 min; 10-minute windows
+    whose end ≤ watermark are CLOSED and emitted with exact cent sums;
+    later windows are still open and withheld.  The watermark is one tiny
+    global max (map-side partial → scalar broadcast); the window aggregate
+    is an ordinary map-side-combined groupby — nothing re-scans."""
+    ds = _t(sf_dir, "events", ["ts", "value"])
+    W_US = 600_000_000  # 10-minute windows; allowance = one window
+
+    mx = ds.map_batches(
+        lambda b: pa.table({"m": pa.array([pc.max(pc.cast(b["ts"], pa.int64())).as_py() or 0], pa.int64())}),
+        batch_format="pyarrow",
+    ).aggregate(Max("m", alias_name="m"))
+    watermark = int(mx["m"]) - W_US
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(b["ts"], pa.int64()), dtype=np.int64)
+        w = us // W_US
+        closed = (w + 1) * W_US <= watermark
+        cents = np.asarray(_cents(b["value"]), dtype=np.int64)[closed]
+        w = w[closed]
+        uw, inv = np.unique(w, return_inverse=True)
+        if not len(uw):
+            return pa.table(
+                {
+                    "window_start_us": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "window_start_us": pa.array(uw * W_US),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+                "cents": pa.array(np.bincount(inv, weights=cents).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("window_start_us")
+        .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "window_start_us": b["window_start_us"],
+                "n": pc.cast(b["n"], pa.int64()),
+                "total_value": pc.divide(pc.cast(b["cents"], pa.float64()), pa.scalar(100.0)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2886,6 +2992,8 @@ QUERIES = {
     "docs_media_features": docs_media_features,
     "docs_er_clusters": docs_er_clusters,
     "docs_blocking_quality": docs_blocking_quality,
+    "users_click_purchase_full_outer": users_click_purchase_full_outer,
+    "events_tumbling_late": events_tumbling_late,
     "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_exact_dedup_hash": docs_exact_dedup_hash,
@@ -2995,6 +3103,28 @@ ORACLE_SQL = {
                count(*) AS n_users
         FROM d JOIN c USING (user_id)
         GROUP BY c.cohort_day, d.day - c.cohort_day
+    """,
+    "users_click_purchase_full_outer": """
+        WITH c AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks
+            FROM events WHERE event_type = 'click' GROUP BY user_id
+        ), p AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        )
+        SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+               COALESCE(c.n_clicks, 0) AS n_clicks,
+               COALESCE(p.n_purchases, 0) AS n_purchases
+        FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    """,
+    "events_tumbling_late": """
+        WITH wm AS (SELECT max(epoch_us(ts)) - 600000000 AS watermark FROM events)
+        SELECT (epoch_us(ts) // 600000000) * 600000000 AS window_start_us,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+        FROM events, wm
+        WHERE (epoch_us(ts) // 600000000 + 1) * 600000000 <= wm.watermark
+        GROUP BY (epoch_us(ts) // 600000000) * 600000000
     """,
     "docs_blocking_quality": """
         WITH corpus AS (
