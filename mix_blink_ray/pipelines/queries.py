@@ -2938,6 +2938,54 @@ def events_tumbling_late(sf_dir: str):
     )
 
 
+def customers_surface_link_top3(sf_dir: str):
+    """The engine's DEFAULT bi-encoder scoring path, SQL-oracled end-to-end:
+    every customer surface is scored against the supplier-name catalog with
+    the hashed char-3-gram encoder (``functions/encoder.py``
+    ``HashNgramEncoder``), top-3 by raw dot product.
+
+    Exactness: with ``normalize=False`` the multihot features are SIGNED
+    INTEGER counts, so scores are exact int64 dot products — no float
+    parity games — and the oracle replays the full feature map in SQL:
+    the rolling FNV-prime hash (wrap-around mod 2⁶⁴ via HUGEINT
+    intermediates), column = h % dim, sign = bit 32.  Distribution shape =
+    the broadcast scorer (``stages/scoring.py``): catalog matrix ships once
+    via ``ray.put``; mentions stream; per-batch integer matmul + top-k."""
+    import ray
+
+    from ..functions.encoder import HashNgramEncoder
+
+    DIM = 64
+    enc = HashNgramEncoder(dim=DIM, n=3, normalize=False)
+
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    order = np.argsort(supp["s_suppkey"].to_numpy())
+    keys = supp["s_suppkey"].to_numpy(dtype=np.int64)[order]
+    cat = enc.encode(pa.array(supp["s_name"].to_numpy()[order])).astype(np.int64)
+    cat_ref = ray.put((keys, cat))
+
+    def topk(b: pa.Table) -> pa.Table:
+        k, c = ray.get(cat_ref)
+        m = enc.encode(b["c_name"]).astype(np.int64)
+        dots = m @ c.T  # exact int64: signed gram counts × signed gram counts
+        kk = min(3, dots.shape[1])
+        # tie-break: dot DESC, suppkey ASC — lexsort on (-dot, key)
+        part = np.argsort(-dots, axis=1, kind="stable")[:, :kk]  # keys sorted asc ⇒ stable = id tie-break
+        rows = np.repeat(np.arange(dots.shape[0]), kk)
+        cols = part.reshape(-1)
+        return pa.table(
+            {
+                "c_custkey": pc.take(b["c_custkey"], pa.array(rows)),
+                "rank": pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int64), dots.shape[0])),
+                "s_suppkey": pa.array(k[cols]),
+                "dot": pa.array(dots[rows, cols].astype(np.int64)),
+            }
+        )
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    return cust.map_batches(topk, batch_format="pyarrow")
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2994,6 +3042,7 @@ QUERIES = {
     "docs_blocking_quality": docs_blocking_quality,
     "users_click_purchase_full_outer": users_click_purchase_full_outer,
     "events_tumbling_late": events_tumbling_late,
+    "customers_surface_link_top3": customers_surface_link_top3,
     "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_exact_dedup_hash": docs_exact_dedup_hash,
@@ -3103,6 +3152,45 @@ ORACLE_SQL = {
                count(*) AS n_users
         FROM d JOIN c USING (user_id)
         GROUP BY c.cohort_day, d.day - c.cohort_day
+    """,
+    "customers_surface_link_top3": """
+        WITH cg AS (
+            SELECT c_custkey AS cid,
+                   ((CAST(ascii(substr(c_name, CAST(i AS INT), 1)) AS HUGEINT) * 1099511628211
+                     + ascii(substr(c_name, CAST(i AS INT) + 1, 1))) * 1099511628211
+                     + ascii(substr(c_name, CAST(i AS INT) + 2, 1)))
+                   % 18446744073709551616 AS h
+            FROM customer, unnest(range(1, len(c_name) - 1)) AS r(i)
+        ), sg AS (
+            SELECT s_suppkey AS sid,
+                   ((CAST(ascii(substr(s_name, CAST(i AS INT), 1)) AS HUGEINT) * 1099511628211
+                     + ascii(substr(s_name, CAST(i AS INT) + 1, 1))) * 1099511628211
+                     + ascii(substr(s_name, CAST(i AS INT) + 2, 1)))
+                   % 18446744073709551616 AS h
+            FROM supplier, unnest(range(1, len(s_name) - 1)) AS r(i)
+        ), cf AS (
+            SELECT cid, CAST(h % 64 AS BIGINT) AS col,
+                   CAST(sum(((h // 4294967296) % 2) * 2 - 1) AS BIGINT) AS v
+            FROM cg GROUP BY cid, h % 64
+        ), sfeat AS (
+            SELECT sid, CAST(h % 64 AS BIGINT) AS col,
+                   CAST(sum(((h // 4294967296) % 2) * 2 - 1) AS BIGINT) AS v
+            FROM sg GROUP BY sid, h % 64
+        ), d AS (
+            SELECT cf.cid, sfeat.sid, CAST(sum(cf.v * sfeat.v) AS BIGINT) AS dot
+            FROM cf JOIN sfeat ON cf.col = sfeat.col
+            GROUP BY cf.cid, sfeat.sid
+        ), fullx AS (
+            SELECT c.c_custkey, s.s_suppkey, COALESCE(d.dot, 0) AS dot
+            FROM customer c CROSS JOIN supplier s
+            LEFT JOIN d ON d.cid = c.c_custkey AND d.sid = s.s_suppkey
+        )
+        SELECT c_custkey, CAST(rank AS BIGINT) AS rank, s_suppkey, dot FROM (
+            SELECT c_custkey, s_suppkey, dot,
+                   row_number() OVER (PARTITION BY c_custkey
+                                      ORDER BY dot DESC, s_suppkey) AS rank
+            FROM fullx
+        ) WHERE rank <= 3
     """,
     "users_click_purchase_full_outer": """
         WITH c AS (
