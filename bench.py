@@ -96,6 +96,7 @@ def run_bench() -> dict:
         "docs_repetition",
         "events_running_revenue",
         "q5_local_supplier_volume",
+        "customers_surface_link_top3",
     ]
     qs = entry.queries()
     q_times: dict[str, float] = {}
