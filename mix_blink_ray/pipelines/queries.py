@@ -2986,6 +2986,131 @@ def customers_surface_link_top3(sf_dir: str):
     return cust.map_batches(topk, batch_format="pyarrow")
 
 
+def events_value_mode_median(sf_dir: str):
+    """MODE (most frequent value, ties → smallest) and INTERPOLATED median
+    (``quantile_cont`` semantics: even counts average the two middles) per
+    event_type — both read off ONE merged integer-cell histogram
+    (``stages/quantiles.py`` ``grouped_cell_histogram``: shuffle ∝ distinct
+    (group, cell) pairs, never rows).  Interpolation runs on exact int64
+    cents, so the only float arithmetic is one halving + one divide —
+    bit-identical to DuckDB's ``lower + (upper-lower)·frac``."""
+    from ..stages.quantiles import grouped_cell_histogram
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    tbl = grouped_cell_histogram(ds, "event_type", "value", scale=100.0)
+    groups = tbl["event_type"].to_numpy(zero_copy_only=False)
+    cells = np.asarray(tbl["cell"], dtype=np.int64)
+    ns = np.asarray(tbl["n"], dtype=np.int64)
+    out_g, out_mode, out_med = [], [], []
+    for g in sorted(set(groups)):
+        m = groups == g
+        order = np.argsort(cells[m], kind="stable")
+        gc, gn = cells[m][order], ns[m][order]
+        # mode: max count, ties broken by smallest cell (gc is sorted asc)
+        out_mode.append(gc[int(np.argmax(gn))] / 100.0)
+        cum = np.cumsum(gn)
+        total = int(cum[-1])
+        h = (total - 1) * 0.5
+        lo_i = int(np.searchsorted(cum, int(np.floor(h)) + 1))
+        hi_i = int(np.searchsorted(cum, int(np.ceil(h)) + 1))
+        a, b = float(gc[lo_i]), float(gc[hi_i])
+        out_med.append((a + (b - a) * 0.5) / 100.0)
+        out_g.append(g)
+    return pa.table(
+        {
+            "event_type": pa.array(out_g, pa.string()),
+            "mode_value": pa.array(out_mode, pa.float64()),
+            "median_cont": pa.array(out_med, pa.float64()),
+        }
+    )
+
+
+def q10_returned_revenue(sf_dir: str):
+    """TPC-H Q10 shape (top-20 customers by returned-item revenue): the ONE
+    fact-fact exchange is lineitem(R-flagged) ⋈ orders — the R filter
+    shrinks the left side ~3× before it moves — then per-customer revenue
+    contracts map-side, the top 20 come from the shuffle-free partial
+    top-k (``stages/topk.py``), and names attach to just 20 rows from
+    driver lookups.  Exact scaled-integer revenue throughout."""
+    import ray
+
+    from ..stages.topk import topk_rows
+
+    def returned_rev(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "rev_c4": pc.multiply(
+                    _cents(b["l_extendedprice"]),
+                    pc.subtract(pa.scalar(100, pa.int64()), _cents(b["l_discount"])),
+                ),
+            }
+        )
+
+    li = _t(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"]
+    ).map_batches(returned_rev, batch_format="pyarrow")
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = li.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"o_custkey": pa.array([], pa.int64()), "rev_c4": pa.array([], pa.int64())}
+            )
+        ck = np.asarray(b["o_custkey"], dtype=np.int64)
+        uk, inv = np.unique(ck, return_inverse=True)
+        sums = np.bincount(inv, weights=np.asarray(b["rev_c4"], dtype=np.float64)).astype(np.int64)
+        return pa.table({"o_custkey": pa.array(uk), "rev_c4": pa.array(sums)})
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("rev_c4", alias_name="rev_c4"))
+    )
+    top = topk_rows(agg, ["rev_c4", "o_custkey"], [True, False], 20)
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    nat = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cname = dict(zip(cust["c_custkey"].astype(int), cust["c_name"]))
+    cnat = dict(zip(cust["c_custkey"].astype(int), cust["c_nationkey"].astype(int)))
+    nname = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    keys = [int(k) for k in top["o_custkey"].to_pylist()]
+    return pa.table(
+        {
+            "c_custkey": pa.array(keys, pa.int64()),
+            "c_name": pa.array([cname[k] for k in keys], pa.string()),
+            "n_name": pa.array([nname[cnat[k]] for k in keys], pa.string()),
+            "revenue": pc.divide(pc.cast(top["rev_c4"], pa.float64()), pa.scalar(10000.0)),
+        }
+    )
+
+
+def events_user_type_unpivot(sf_dir: str):
+    """UNPIVOT / melt (wide → long): the per-user event-type pivot melted
+    back to (user_id, event_type, n) rows — the inverse reshape, vectorized
+    as one repeat + concat per batch (5 long rows per wide row, zeros kept
+    so the reshape is lossless)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = events_user_type_pivot(sf_dir)  # user-sized pa.Table
+    n = wide.num_rows
+    users = np.repeat(np.asarray(wide["user_id"], dtype=np.int64), len(types))
+    tcol = np.tile(np.array(types, dtype=object), n)
+    counts = np.stack(
+        [np.asarray(wide[f"n_{t}"], dtype=np.int64) for t in types], axis=1
+    ).reshape(-1)
+    return pa.table(
+        {
+            "user_id": pa.array(users),
+            "event_type": pa.array(list(tcol), pa.string()),
+            "n": pa.array(counts),
+        }
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -3043,6 +3168,9 @@ QUERIES = {
     "users_click_purchase_full_outer": users_click_purchase_full_outer,
     "events_tumbling_late": events_tumbling_late,
     "customers_surface_link_top3": customers_surface_link_top3,
+    "events_value_mode_median": events_value_mode_median,
+    "q10_returned_revenue": q10_returned_revenue,
+    "events_user_type_unpivot": events_user_type_unpivot,
     "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_exact_dedup_hash": docs_exact_dedup_hash,
@@ -3152,6 +3280,54 @@ ORACLE_SQL = {
                count(*) AS n_users
         FROM d JOIN c USING (user_id)
         GROUP BY c.cohort_day, d.day - c.cohort_day
+    """,
+    "events_value_mode_median": """
+        WITH cells AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cell
+            FROM events
+        ), modes AS (
+            SELECT event_type, cell FROM (
+                SELECT event_type, cell,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY count(*) DESC, cell) AS rn
+                FROM cells GROUP BY event_type, cell
+            ) WHERE rn = 1
+        ), med AS (
+            SELECT event_type, quantile_cont(cell, 0.5) AS m FROM cells GROUP BY event_type
+        )
+        SELECT modes.event_type, modes.cell / 100.0 AS mode_value,
+               med.m / 100.0 AS median_cont
+        FROM modes JOIN med ON modes.event_type = med.event_type
+    """,
+    "q10_returned_revenue": """
+        SELECT c_custkey, c_name, n_name,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) DESC, c_custkey
+        LIMIT 20
+    """,
+    "events_user_type_unpivot": """
+        WITH wide AS (
+            SELECT user_id,
+                   CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, 'click' AS event_type, n_click AS n FROM wide
+        UNION ALL SELECT user_id, 'error', n_error FROM wide
+        UNION ALL SELECT user_id, 'purchase', n_purchase FROM wide
+        UNION ALL SELECT user_id, 'signup', n_signup FROM wide
+        UNION ALL SELECT user_id, 'view', n_view FROM wide
     """,
     "customers_surface_link_top3": """
         WITH cg AS (

@@ -24,24 +24,20 @@ import pyarrow as pa
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
-__all__ = ["grouped_exact_quantiles"]
+__all__ = ["grouped_exact_quantiles", "grouped_cell_histogram"]
 
 
-def grouped_exact_quantiles(
+def grouped_cell_histogram(
     ds: Dataset,
     group_col: str,
     value_col: str,
-    qs: list[float],
     scale: float = 100.0,
 ) -> pa.Table:
-    """Per-group exact quantiles of ``round(value * scale) / scale``.
-
-    ``quantile_disc`` semantics (rank ``ceil(q * n)``, 1-based — calibrated
-    against DuckDB): always returns an actual data cell, no interpolation,
-    so the float division by ``scale`` is the only arithmetic and matches
-    SQL bit-for-bit.  Output columns: ``group_col`` then one ``p{q}`` per
-    requested quantile (``0.5 → p50``, ``0.99 → p99``).
-    """
+    """Per-group integer-cell histogram of ``round(value * scale)``: the
+    map-side-combined building block shared by every exact order statistic
+    here (quantiles, interpolated median, mode).  Shuffle ∝ distinct
+    (group, cell) pairs, never rows; returns the merged (group, cell, n)
+    table (small: groups × distinct cells)."""
 
     def partial(b: pa.Table) -> pa.Table:
         cells = np.rint(np.asarray(b[value_col], dtype=np.float64) * scale).astype(np.int64)
@@ -78,7 +74,25 @@ def grouped_exact_quantiles(
         .groupby([group_col, "cell"])
         .aggregate(Sum("n_partial", alias_name="n"))
     )
-    tbl = pa.Table.from_pandas(hist.to_pandas(), preserve_index=False)
+    return pa.Table.from_pandas(hist.to_pandas(), preserve_index=False)
+
+
+def grouped_exact_quantiles(
+    ds: Dataset,
+    group_col: str,
+    value_col: str,
+    qs: list[float],
+    scale: float = 100.0,
+) -> pa.Table:
+    """Per-group exact quantiles of ``round(value * scale) / scale``.
+
+    ``quantile_disc`` semantics (rank ``ceil(q * n)``, 1-based — calibrated
+    against DuckDB): always returns an actual data cell, no interpolation,
+    so the float division by ``scale`` is the only arithmetic and matches
+    SQL bit-for-bit.  Output columns: ``group_col`` then one ``p{q}`` per
+    requested quantile (``0.5 → p50``, ``0.99 → p99``).
+    """
+    tbl = grouped_cell_histogram(ds, group_col, value_col, scale)
 
     groups = tbl[group_col].to_numpy(zero_copy_only=False)
     cells = np.asarray(tbl["cell"], dtype=np.int64)
