@@ -370,3 +370,40 @@ def test_events_value_locf_semantics(con):
             if r.event_type != "error":
                 last = int(round(r.value * 100))
             assert got[r.event_id] == last, (uid, r.event_id)
+
+
+def test_mode_median_interpolation_edges():
+    """Even counts average the two middles; odd counts hit the middle cell;
+    mode ties break toward the smallest value — DuckDB semantics, replayed
+    on a hand-checked micro table."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mix_blink_ray.stages.quantiles import grouped_cell_histogram
+
+    # group 'a': values 1.00, 2.00, 4.00, 100.00 -> median_cont 3.00
+    # group 'b': values 1.00, 1.00, 2.00, 2.00, 9.00 -> median 2.00, mode tie -> 1.00
+    vals = [1.0, 2.0, 4.0, 100.0, 1.0, 1.0, 2.0, 2.0, 9.0]
+    grps = ["a"] * 4 + ["b"] * 5
+    for n_blocks in (1, 3):
+        ds = rd.from_arrow(
+            pa.table({"event_type": pa.array(grps), "value": pa.array(vals)})
+        ).repartition(n_blocks)
+        hist = grouped_cell_histogram(ds, "event_type", "value", scale=100.0)
+        g = hist["event_type"].to_numpy(zero_copy_only=False)
+        cells = np.asarray(hist["cell"], dtype=np.int64)
+        ns = np.asarray(hist["n"], dtype=np.int64)
+        got = {}
+        for grp in ("a", "b"):
+            m = g == grp
+            order = np.argsort(cells[m])
+            gc, gn = cells[m][order], ns[m][order]
+            cum = np.cumsum(gn)
+            total = int(cum[-1])
+            h = (total - 1) * 0.5
+            lo = gc[int(np.searchsorted(cum, int(np.floor(h)) + 1))]
+            hi = gc[int(np.searchsorted(cum, int(np.ceil(h)) + 1))]
+            got[grp] = ((lo + (hi - lo) * 0.5) / 100.0, gc[int(np.argmax(gn))] / 100.0)
+        assert got["a"] == (3.0, 1.0), (n_blocks, got)
+        assert got["b"] == (2.0, 1.0), (n_blocks, got)
