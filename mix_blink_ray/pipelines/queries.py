@@ -3111,6 +3111,41 @@ def events_user_type_unpivot(sf_dir: str):
     )
 
 
+def users_click_and_purchase(sf_dir: str):
+    """INTERSECT set op (the EXCEPT twin of ``users_click_no_purchase``):
+    distinct users present in BOTH the click and purchase streams.  One
+    pass: per-batch (user, which-side) dedup → groupby(user) with per-side
+    max flags → keep rows where both sides hit — no join, shuffle ∝
+    distinct users."""
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+
+    def flags(b: pa.Table) -> pa.Table:
+        users = np.asarray(b["user_id"], dtype=np.int64)
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "click") | (et == "purchase")
+        users, et = users[keep], et[keep]
+        uu, inv = np.unique(users, return_inverse=True)
+        clk = np.zeros(len(uu), dtype=np.int64)
+        buy = np.zeros(len(uu), dtype=np.int64)
+        np.maximum.at(clk, inv, (et == "click").astype(np.int64))
+        np.maximum.at(buy, inv, (et == "purchase").astype(np.int64))
+        return pa.table(
+            {"user_id": pa.array(uu), "clk": pa.array(clk), "buy": pa.array(buy)}
+        )
+
+    agg = (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("clk", alias_name="clk"), Max("buy", alias_name="buy"))
+    )
+    return agg.map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.equal(b["clk"], 1), pc.equal(b["buy"], 1))
+        ).select(["user_id"]),
+        batch_format="pyarrow",
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -3171,6 +3206,7 @@ QUERIES = {
     "events_value_mode_median": events_value_mode_median,
     "q10_returned_revenue": q10_returned_revenue,
     "events_user_type_unpivot": events_user_type_unpivot,
+    "users_click_and_purchase": users_click_and_purchase,
     "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_exact_dedup_hash": docs_exact_dedup_hash,
@@ -3280,6 +3316,11 @@ ORACLE_SQL = {
                count(*) AS n_users
         FROM d JOIN c USING (user_id)
         GROUP BY c.cohort_day, d.day - c.cohort_day
+    """,
+    "users_click_and_purchase": """
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
     """,
     "events_value_mode_median": """
         WITH cells AS (
