@@ -3146,6 +3146,107 @@ def users_click_and_purchase(sf_dir: str):
     )
 
 
+def events_value_hour_corr(sf_dir: str):
+    """Distributed Pearson correlation from SUFFICIENT STATISTICS: per
+    event_type, corr(value, hour-of-day) where every moment (Σx, Σy, Σx²,
+    Σy², Σxy, n) is an exact int64 map-side partial (value in cents, hour
+    0-23) — one tiny groupby merges them and the closed-form formula runs
+    once per group.  NOT DuckDB's incremental ``corr()`` (different float
+    path); the oracle replays the same integer-moment formula, so the
+    final sqrt/divide is the only float arithmetic and is bit-identical."""
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in ["n", "sx", "sy", "sxx", "syy", "sxy"]},
+                }
+            )
+        x = np.asarray(_cents(b["value"]), dtype=np.int64)
+        y = np.asarray(pc.hour(b["ts"]), dtype=np.int64)
+        g = b["event_type"].to_numpy(zero_copy_only=False)
+        ug, inv = np.unique(g, return_inverse=True)
+        def acc(v):
+            return np.bincount(inv, weights=v.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array(ug, pa.string()),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+                "sx": pa.array(acc(x)),
+                "sy": pa.array(acc(y)),
+                "sxx": pa.array(acc(x * x)),
+                "syy": pa.array(acc(y * y)),
+                "sxy": pa.array(acc(x * y)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(*[Sum(c, alias_name=c) for c in ["n", "sx", "sy", "sxx", "syy", "sxy"]])
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    n = np.asarray(tbl["n"], dtype=np.float64)
+    sx = np.asarray(tbl["sx"], dtype=np.float64)
+    sy = np.asarray(tbl["sy"], dtype=np.float64)
+    sxx = np.asarray(tbl["sxx"], dtype=np.float64)
+    syy = np.asarray(tbl["syy"], dtype=np.float64)
+    sxy = np.asarray(tbl["sxy"], dtype=np.float64)
+    num = n * sxy - sx * sy
+    den = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+    r = np.divide(num, den, out=np.zeros_like(num), where=den > 0)
+    return pa.table(
+        {
+            "event_type": tbl["event_type"],
+            "r": _round_col(pa.array(r), 6),
+        }
+    )
+
+
+def events_minute_rate_ewma(sf_dir: str):
+    """Exact EWMA (α = 1/2) over the per-minute event-count series — the
+    time-series-smoothing family.  The heavy part (per-minute counts) is an
+    ordinary map-side-combined groupby; the smoothing recurrence runs once
+    over the TIME-bounded series (rows ∝ minutes of history, not events).
+    α = 1/2 makes every step a halving, exact in binary float64 on both
+    sides, so the recursive-CTE oracle matches bit-for-bit."""
+    MIN_US = 60_000_000
+    ds = _t(sf_dir, "events", ["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = np.asarray(pc.cast(b["ts"], pa.int64()), dtype=np.int64) // MIN_US
+        um, inv = np.unique(m, return_inverse=True)
+        return pa.table(
+            {"minute": pa.array(um), "n_partial": pa.array(np.bincount(inv).astype(np.int64))}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("minute")
+        .aggregate(Sum("n_partial", alias_name="n"))
+        .to_pandas()
+        .sort_values("minute", kind="stable")
+    )
+    mins = counts["minute"].to_numpy(dtype=np.int64)
+    ns = counts["n"].to_numpy(dtype=np.float64)
+    ew = np.empty(len(ns), dtype=np.float64)
+    acc = 0.0
+    first = True
+    for i, v in enumerate(ns):  # time-bounded series: rows ∝ minutes, not events
+        acc = v if first else (acc + v) * 0.5
+        first = False
+        ew[i] = acc
+    return pa.table(
+        {
+            "minute": pa.array(mins),
+            "n": pa.array(ns.astype(np.int64)),
+            "ewma": pa.array(ew),
+        }
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -3207,6 +3308,8 @@ QUERIES = {
     "q10_returned_revenue": q10_returned_revenue,
     "events_user_type_unpivot": events_user_type_unpivot,
     "users_click_and_purchase": users_click_and_purchase,
+    "events_value_hour_corr": events_value_hour_corr,
+    "events_minute_rate_ewma": events_minute_rate_ewma,
     "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_exact_dedup_hash": docs_exact_dedup_hash,
@@ -3321,6 +3424,42 @@ ORACLE_SQL = {
         SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
         INTERSECT
         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    "events_value_hour_corr": """
+        WITH s AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sx,
+                   CAST(sum(CAST(hour(ts) AS BIGINT)) AS BIGINT) AS sy,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)
+                            * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sxx,
+                   CAST(sum(CAST(hour(ts) AS BIGINT) * CAST(hour(ts) AS BIGINT)) AS BIGINT) AS syy,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)
+                            * CAST(hour(ts) AS BIGINT)) AS BIGINT) AS sxy
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(round(
+                   CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                        THEN (n * sxy - sx * sy)
+                             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                        ELSE 0 END * 1000000) AS BIGINT) / 1000000.0 AS r
+        FROM s
+    """,
+    "events_minute_rate_ewma": """
+        WITH RECURSIVE c AS (
+            SELECT epoch_us(ts) // 60000000 AS minute, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY epoch_us(ts) // 60000000
+        ), o AS (
+            SELECT minute, n, row_number() OVER (ORDER BY minute) AS rn FROM c
+        ), e(rn, minute, n, ewma) AS (
+            SELECT rn, minute, n, CAST(n AS DOUBLE) FROM o WHERE rn = 1
+            UNION ALL
+            SELECT o.rn, o.minute, o.n, (e.ewma + o.n) * 0.5
+            FROM e JOIN o ON o.rn = e.rn + 1
+        )
+        SELECT minute, n, ewma FROM e
     """,
     "events_value_mode_median": """
         WITH cells AS (
