@@ -3247,6 +3247,133 @@ def events_minute_rate_ewma(sf_dir: str):
     )
 
 
+def events_value_mad(sf_dir: str):
+    """Grouped MAD (median absolute deviation — the robust-statistics
+    staple): median from one integer-cell histogram, then a SECOND histogram
+    pass over |cents − group-median| (medians broadcast as a dict) gives
+    MAD — two bounded map-side-combined passes, shuffle ∝ distinct cells,
+    everything integer until the final /100.  ``quantile_disc`` rank
+    semantics on both passes (rank = ceil(n/2)), replayed by the oracle."""
+    import ray
+
+    from ..stages.quantiles import grouped_cell_histogram
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def disc_median(hist: pa.Table) -> dict:
+        groups = hist["event_type"].to_numpy(zero_copy_only=False)
+        cells = np.asarray(hist["cell"], dtype=np.int64)
+        ns = np.asarray(hist["n"], dtype=np.int64)
+        med = {}
+        for g in sorted(set(groups)):
+            m = groups == g
+            order = np.argsort(cells[m], kind="stable")
+            gc, gn = cells[m][order], ns[m][order]
+            cum = np.cumsum(gn)
+            rank = int(np.ceil(cum[-1] * 0.5))
+            med[g] = int(gc[int(np.searchsorted(cum, max(rank, 1)))])
+        return med
+
+    med = disc_median(grouped_cell_histogram(ds, "event_type", "value", scale=100.0))
+    med_ref = ray.put(med)
+
+    def dev_partial(b: pa.Table) -> pa.Table:
+        mm = ray.get(med_ref)
+        g = b["event_type"].to_numpy(zero_copy_only=False)
+        cents = np.asarray(_cents(b["value"]), dtype=np.int64)
+        gm = np.array([mm[x] for x in g], dtype=np.int64)
+        dev = np.abs(cents - gm)
+        # histogram contraction: unique (group, dev-cell) per batch
+        ug, ginv = np.unique(g, return_inverse=True)
+        out_g, out_c, out_n = [], [], []
+        for i, gg in enumerate(ug):
+            dv = dev[ginv == i]
+            uc, cnt = np.unique(dv, return_counts=True)
+            out_g.append(np.full(len(uc), gg, dtype=object))
+            out_c.append(uc)
+            out_n.append(cnt.astype(np.int64))
+        return pa.table(
+            {
+                "event_type": pa.array(np.concatenate(out_g)),
+                "cell": pa.array(np.concatenate(out_c)),
+                "n_partial": pa.array(np.concatenate(out_n)),
+            }
+        )
+
+    hist2 = (
+        ds.map_batches(dev_partial, batch_format="pyarrow")
+        .groupby(["event_type", "cell"])
+        .aggregate(Sum("n_partial", alias_name="n"))
+    )
+    mad = disc_median(pa.Table.from_pandas(hist2.to_pandas(), preserve_index=False))
+    gs = sorted(mad)
+    return pa.table(
+        {
+            "event_type": pa.array(gs, pa.string()),
+            "median_value": pa.array([med[g] / 100.0 for g in gs], pa.float64()),
+            "mad": pa.array([mad[g] / 100.0 for g in gs], pa.float64()),
+        }
+    )
+
+
+def events_value_hour_regression(sf_dir: str):
+    """Distributed OLS fit (value-vs-hour slope + intercept per event_type)
+    from the SAME integer sufficient statistics as
+    ``events_value_hour_corr`` — one moments pass, closed-form solve per
+    group, the canonical map-side-combine regression."""
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64()) for c in ["n", "sx", "sy", "sxx", "sxy"]},
+                }
+            )
+        # x = hour (regressor), y = cents (response)
+        x = np.asarray(pc.hour(b["ts"]), dtype=np.int64)
+        y = np.asarray(_cents(b["value"]), dtype=np.int64)
+        g = b["event_type"].to_numpy(zero_copy_only=False)
+        ug, inv = np.unique(g, return_inverse=True)
+
+        def acc(v):
+            return np.bincount(inv, weights=v.astype(np.float64)).astype(np.int64)
+
+        return pa.table(
+            {
+                "event_type": pa.array(ug, pa.string()),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+                "sx": pa.array(acc(x)),
+                "sy": pa.array(acc(y)),
+                "sxx": pa.array(acc(x * x)),
+                "sxy": pa.array(acc(x * y)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(*[Sum(c, alias_name=c) for c in ["n", "sx", "sy", "sxx", "sxy"]])
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    n = np.asarray(tbl["n"], dtype=np.float64)
+    sx = np.asarray(tbl["sx"], dtype=np.float64)
+    sy = np.asarray(tbl["sy"], dtype=np.float64)
+    sxx = np.asarray(tbl["sxx"], dtype=np.float64)
+    sxy = np.asarray(tbl["sxy"], dtype=np.float64)
+    den = n * sxx - sx * sx
+    slope = np.divide(n * sxy - sx * sy, den, out=np.zeros_like(den), where=den > 0)
+    intercept = (sy - slope * sx) / n
+    return pa.table(
+        {
+            "event_type": tbl["event_type"],
+            "slope": _round_col(pa.array(slope / 100.0), 6),
+            "intercept": _round_col(pa.array(intercept / 100.0), 6),
+        }
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -3310,6 +3437,8 @@ QUERIES = {
     "users_click_and_purchase": users_click_and_purchase,
     "events_value_hour_corr": events_value_hour_corr,
     "events_minute_rate_ewma": events_minute_rate_ewma,
+    "events_value_mad": events_value_mad,
+    "events_value_hour_regression": events_value_hour_regression,
     "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_exact_dedup_hash": docs_exact_dedup_hash,
@@ -3446,6 +3575,43 @@ ORACLE_SQL = {
                                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
                         ELSE 0 END * 1000000) AS BIGINT) / 1000000.0 AS r
         FROM s
+    """,
+    "events_value_mad": """
+        WITH cells AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cell FROM events
+        ), med AS (
+            SELECT event_type, quantile_disc(cell, 0.5) AS m
+            FROM cells GROUP BY event_type
+        ), mad AS (
+            SELECT c.event_type, quantile_disc(abs(c.cell - med.m), 0.5) AS d
+            FROM cells c JOIN med ON c.event_type = med.event_type
+            GROUP BY c.event_type
+        )
+        SELECT med.event_type, med.m / 100.0 AS median_value, mad.d / 100.0 AS mad
+        FROM med JOIN mad ON med.event_type = mad.event_type
+    """,
+    "events_value_hour_regression": """
+        WITH s AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(hour(ts) AS BIGINT)) AS BIGINT) AS sx,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sy,
+                   CAST(sum(CAST(hour(ts) AS BIGINT) * CAST(hour(ts) AS BIGINT)) AS BIGINT) AS sxx,
+                   CAST(sum(CAST(hour(ts) AS BIGINT)
+                            * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sxy
+            FROM events GROUP BY event_type
+        ), fit AS (
+            SELECT event_type, n, sx, sy,
+                   CASE WHEN (n * sxx - sx * sx) > 0
+                        THEN (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)
+                        ELSE 0 END AS slope_raw
+            FROM s
+        )
+        SELECT event_type,
+               CAST(round(slope_raw / 100.0 * 1000000) AS BIGINT) / 1000000.0 AS slope,
+               CAST(round((sy - slope_raw * sx) / n / 100.0 * 1000000) AS BIGINT) / 1000000.0
+                   AS intercept
+        FROM fit
     """,
     "events_minute_rate_ewma": """
         WITH RECURSIVE c AS (
