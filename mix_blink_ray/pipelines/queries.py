@@ -3374,6 +3374,143 @@ def events_value_hour_regression(sf_dir: str):
     )
 
 
+def _simgraph_edges(sf_dir: str):
+    """Deterministic similarity graph: verified window pairs (Jaccard ≥ 0.5)
+    — the SQL-replayable edge set the graph-analytics queries run on."""
+    from ..stages.dedup import ngram_jaccard_verify
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    verified = ngram_jaccard_verify(_window_pair_table(ds, 5), ds, threshold=0.5)
+    return ds, verified.map_batches(
+        lambda b: pa.table({"a_id": b["a_id"], "b_id": b["b_id"]}), batch_format="pyarrow"
+    )
+
+
+def docs_simgraph_triangles(sf_dir: str):
+    """Distributed TRIANGLE COUNTING (the graph-analytics clustering
+    coefficient primitive) over the verified similarity graph: two
+    partitioned hash joins — wedge enumeration (a<b<c via edge orientation)
+    then the edge-closing join — so work ∝ Σ deg², never all-triples.
+    Output: one row (n_nodes, n_edges, n_triangles)."""
+    from ..stages.clustering import clamped_partitions
+
+    ds, edges = _simgraph_edges(sf_dir)
+    edges = edges.materialize()
+    n_edges = edges.count()
+    n_nodes = ds.count()
+    if n_edges == 0:
+        return pa.table(
+            {
+                "n_nodes": pa.array([n_nodes], pa.int64()),
+                "n_edges": pa.array([0], pa.int64()),
+                "n_triangles": pa.array([0], pa.int64()),
+            }
+        )
+    n_parts = clamped_partitions(n_edges, 8)
+    e2 = edges.map_batches(
+        lambda b: pa.table({"b2_id": b["a_id"], "c_id": b["b_id"]}), batch_format="pyarrow"
+    )
+    wedges = edges.join(
+        e2, join_type="inner", num_partitions=n_parts, on=("b_id",), right_on=("b2_id",)
+    )  # (a_id, b_id, c_id): a<b<c because both edges store a_id<b_id
+    e3 = edges.map_batches(
+        lambda b: pa.table({"a3_id": b["a_id"], "c3_id": b["b_id"]}), batch_format="pyarrow"
+    )
+    closed = wedges.join(
+        e3, join_type="inner", num_partitions=n_parts,
+        on=("a_id", "c_id"), right_on=("a3_id", "c3_id"),
+    )
+    n_tri = closed.count()
+    return pa.table(
+        {
+            "n_nodes": pa.array([n_nodes], pa.int64()),
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_triangles": pa.array([n_tri], pa.int64()),
+        }
+    )
+
+
+def docs_simgraph_pagerank(sf_dir: str):
+    """INTEGER-EXACT PageRank (3 iterations, d = 0.85, rank scale 10⁶) over
+    the undirected similarity graph — the iterative groupby-aggregate graph
+    algorithm, made hash-comparable: contributions are ``rank // degree``
+    and the damping update is ``150000 + (850000·Σ) // 10⁶``, all int64
+    floor arithmetic, so distributed summation order cannot change a bit.
+    Per iteration: one partitioned join (edges ⋈ ranks) + one groupby-sum —
+    the canonical Pregel-as-Dataset shape."""
+    from ..stages.clustering import clamped_partitions
+
+    ds, edges = _simgraph_edges(sf_dir)
+
+    def flip(b: pa.Table) -> pa.Table:
+        fwd = pa.table({"src": b["a_id"], "dst": b["b_id"]})
+        rev = pa.table({"src": b["b_id"], "dst": b["a_id"]})
+        return pa.concat_tables([fwd, rev])
+
+    sym = edges.map_batches(flip, batch_format="pyarrow").materialize()
+    n_sym = sym.count()
+    deg = sym.groupby("src").aggregate(Count(alias_name="deg")).materialize()
+
+    nodes = ds.map_batches(
+        lambda b: pa.table({"node": b["doc_id"]}), batch_format="pyarrow"
+    ).materialize()
+    ranks = nodes.map_batches(
+        lambda b: b.append_column("r", pa.array(np.full(b.num_rows, 1_000_000, dtype=np.int64))),
+        batch_format="pyarrow",
+    ).materialize()
+    n_parts = clamped_partitions(max(n_sym, 1), 8)
+
+    for _ in range(3):
+        contrib = deg.join(
+            ranks.map_batches(
+                lambda b: pa.table({"rnode": b["node"], "r": b["r"]}), batch_format="pyarrow"
+            ),
+            join_type="inner", num_partitions=n_parts, on=("src",), right_on=("rnode",),
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "csrc": b["src"],
+                    "c": pc.divide(b["r"], pc.cast(b["deg"], pa.int64())),  # int64 floor div
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        sums = (
+            sym.join(contrib, join_type="inner", num_partitions=n_parts, on=("src",), right_on=("csrc",))
+            .map_batches(lambda b: pa.table({"node": b["dst"], "c": b["c"]}), batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("c", alias_name="s"))
+        )
+        joined = nodes.join(
+            sums.map_batches(
+                lambda b: pa.table({"snode": b["node"], "s": b["s"]}), batch_format="pyarrow"
+            ),
+            join_type="left_outer", num_partitions=n_parts, on=("node",), right_on=("snode",),
+        )
+        ranks = joined.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "r": pc.add(
+                        pa.scalar(150_000, pa.int64()),
+                        pc.divide(
+                            pc.multiply(
+                                pa.scalar(850_000, pa.int64()),
+                                pc.cast(pc.fill_null(b["s"], 0), pa.int64()),
+                            ),
+                            pa.scalar(1_000_000, pa.int64()),
+                        ),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    return ranks.map_batches(
+        lambda b: pa.table({"doc_id": b["node"], "pagerank": b["r"]}), batch_format="pyarrow"
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -3439,6 +3576,8 @@ QUERIES = {
     "events_minute_rate_ewma": events_minute_rate_ewma,
     "events_value_mad": events_value_mad,
     "events_value_hour_regression": events_value_hour_regression,
+    "docs_simgraph_triangles": docs_simgraph_triangles,
+    "docs_simgraph_pagerank": docs_simgraph_pagerank,
     "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_exact_dedup_hash": docs_exact_dedup_hash,
@@ -3575,6 +3714,76 @@ ORACLE_SQL = {
                                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
                         ELSE 0 END * 1000000) AS BIGINT) / 1000000.0 AS r
         FROM s
+    """,
+    "docs_simgraph_triangles": """
+        WITH g AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) >= 3
+                        THEN list_distinct(list_transform(
+                                 generate_series(1, length(text) - 2),
+                                 i -> substring(text, i, 3)))
+                        WHEN length(text) > 0 THEN [text]
+                        ELSE CAST([] AS VARCHAR[]) END AS grams
+            FROM documents
+        ), p AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM g a JOIN g b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) >= 0.5
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_nodes,
+               (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_edges,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM p e1 JOIN p e2 ON e1.b_id = e2.a_id
+                JOIN p e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id) AS n_triangles
+    """,
+    "docs_simgraph_pagerank": """
+        WITH g AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) >= 3
+                        THEN list_distinct(list_transform(
+                                 generate_series(1, length(text) - 2),
+                                 i -> substring(text, i, 3)))
+                        WHEN length(text) > 0 THEN [text]
+                        ELSE CAST([] AS VARCHAR[]) END AS grams
+            FROM documents
+        ), p AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM g a JOIN g b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) >= 0.5
+        ), e AS (
+            SELECT a_id AS src, b_id AS dst FROM p
+            UNION ALL SELECT b_id, a_id FROM p
+        ), d AS (
+            SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+        ), n0 AS (
+            SELECT doc_id AS node FROM documents
+        ), r0 AS (
+            SELECT node, CAST(1000000 AS BIGINT) AS r FROM n0
+        ), s1 AS (
+            SELECT e.dst AS node, CAST(sum(r0.r // d.deg) AS BIGINT) AS s
+            FROM e JOIN d ON d.src = e.src JOIN r0 ON r0.node = e.src GROUP BY e.dst
+        ), r1 AS (
+            SELECT n0.node,
+                   CAST(150000 + (850000 * COALESCE(s1.s, 0)) // 1000000 AS BIGINT) AS r
+            FROM n0 LEFT JOIN s1 ON s1.node = n0.node
+        ), s2 AS (
+            SELECT e.dst AS node, CAST(sum(r1.r // d.deg) AS BIGINT) AS s
+            FROM e JOIN d ON d.src = e.src JOIN r1 ON r1.node = e.src GROUP BY e.dst
+        ), r2 AS (
+            SELECT n0.node,
+                   CAST(150000 + (850000 * COALESCE(s2.s, 0)) // 1000000 AS BIGINT) AS r
+            FROM n0 LEFT JOIN s2 ON s2.node = n0.node
+        ), s3 AS (
+            SELECT e.dst AS node, CAST(sum(r2.r // d.deg) AS BIGINT) AS s
+            FROM e JOIN d ON d.src = e.src JOIN r2 ON r2.node = e.src GROUP BY e.dst
+        ), r3 AS (
+            SELECT n0.node,
+                   CAST(150000 + (850000 * COALESCE(s3.s, 0)) // 1000000 AS BIGINT) AS r
+            FROM n0 LEFT JOIN s3 ON s3.node = n0.node
+        )
+        SELECT node AS doc_id, r AS pagerank FROM r3
     """,
     "events_value_mad": """
         WITH cells AS (
