@@ -3511,6 +3511,40 @@ def docs_simgraph_pagerank(sf_dir: str):
     )
 
 
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape (single-table filter + global aggregate — the
+    simplest possible pruned-scan query, a useful lower-bound baseline for
+    scan throughput): revenue from lineitems with discount in [5%, 7%] and
+    quantity < 24 in one ship-year.  Exact scaled integers; one map-side
+    partial per block, one tiny global sum."""
+    import datetime
+
+    lo = pa.scalar(datetime.datetime(1995, 1, 1))
+    hi = pa.scalar(datetime.datetime(1996, 1, 1))
+    ds = _t(sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        disc = _cents(b["l_discount"])
+        keep = pc.and_(
+            pc.and_(
+                pc.and_(pc.greater_equal(b["l_shipdate"], lo), pc.less(b["l_shipdate"], hi)),
+                pc.and_(pc.greater_equal(disc, pa.scalar(5, pa.int64())),
+                        pc.less_equal(disc, pa.scalar(7, pa.int64()))),
+            ),
+            pc.less(b["l_quantity"], pa.scalar(24.0)),
+        )
+        sub = b.filter(keep)
+        rev = pc.sum(
+            pc.multiply(_cents(sub["l_extendedprice"]), _cents(sub["l_discount"]))
+        ).as_py() or 0
+        return pa.table({"rev_c4": pa.array([int(rev)], pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(Sum("rev_c4", alias_name="rev_c4"))
+    return pa.table(
+        {"revenue": pa.array([(int(agg["rev_c4"] or 0)) / 10000.0], pa.float64())}
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -3578,6 +3612,7 @@ QUERIES = {
     "events_value_hour_regression": events_value_hour_regression,
     "docs_simgraph_triangles": docs_simgraph_triangles,
     "docs_simgraph_pagerank": docs_simgraph_pagerank,
+    "q6_forecast_revenue": q6_forecast_revenue,
     "docs_bpe_token_counts": docs_bpe_token_counts,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_exact_dedup_hash": docs_exact_dedup_hash,
@@ -3714,6 +3749,15 @@ ORACLE_SQL = {
                                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
                         ELSE 0 END * 1000000) AS BIGINT) / 1000000.0 AS r
         FROM s
+    """,
+    "q6_forecast_revenue": """
+        SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0 AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+          AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+          AND l_quantity < 24
     """,
     "docs_simgraph_triangles": """
         WITH g AS (
