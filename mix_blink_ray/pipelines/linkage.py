@@ -43,6 +43,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
+from ray.data.aggregate import Count
 
 from ..functions.encoder import Encoder, HashNgramEncoder
 from ..sources.synth import NIL_ID
@@ -134,6 +135,68 @@ class LinkageResult:
 
 
 _DUP_LOCAL_THRESHOLD = 100_000
+
+_EMPTY_PAIR_TABLE = pa.table(
+    {
+        "a_id": pa.array([], pa.string()),
+        "b_id": pa.array([], pa.string()),
+        "a_text": pa.array([], pa.string()),
+        "b_text": pa.array([], pa.string()),
+        "a_type": pa.array([], pa.string()),
+        "b_type": pa.array([], pa.string()),
+        "est_jaccard": pa.array([], pa.float32()),
+    }
+)
+
+
+def _blocked_candidate_pairs(
+    blocked: Dataset, cfg: "LinkageConfig", n_rows_hint: int = 0
+) -> Dataset:
+    """Blocked node rows (with ``block_key``) → DISTINCT candidate pair rows.
+
+    Two hotspot fixes over the round-3 shape (same pattern as
+    ``stages/dedup.py``): (1) pair generation via
+    :func:`~..stages.dedup.grouped_run_pairs` — one hash-bucket shuffle, the
+    per-block Python generator invoked only for block keys with ≥ 2 rows
+    (singleton blocks emit nothing but each paid a ``map_groups`` callback);
+    (2) cross-block dedup via ONE vectorized multi-key Count aggregate
+    instead of ``groupby(pair).map_groups(slice(0, 1))`` (a Python callback
+    per pair-group).  Grouping on every column is equivalent to keep-first
+    because duplicate (a_id, b_id) rows are fully identical: texts/types are
+    functions of the ids and ``est_jaccard`` is a deterministic function of
+    the two texts.  The float column rides through the groupby bit-cast to
+    int32 so group keys stay integer/string."""
+    from ..stages.blocking import add_salt
+    from ..stages.dedup import _auto_buckets, grouped_run_pairs
+    from ..stages.scoring import make_pair_generator
+
+    gen = make_pair_generator(cfg.scoring)
+    raw = grouped_run_pairs(
+        blocked,
+        "block_key",
+        lambda g: gen(add_salt(g, cfg.blocking)),
+        n_buckets=_auto_buckets(n_rows_hint),
+    )
+    key_cols = ["a_id", "b_id", "a_text", "b_text", "a_type", "b_type", "j_bits"]
+
+    def contract(b: pa.Table) -> pa.Table:
+        j = np.asarray(b["est_jaccard"], dtype=np.float32).view(np.int32)
+        b = b.drop_columns(["est_jaccard"]).append_column("j_bits", pa.array(j))
+        return b.group_by(key_cols).aggregate([])  # vectorized in-batch distinct
+
+    deduped = (
+        raw.map_batches(contract, batch_format="pyarrow")
+        .groupby(key_cols)
+        .aggregate(Count(alias_name="_nb"))
+    ).materialize()
+    if deduped.count() == 0:
+        return ray.data.from_arrow(_EMPTY_PAIR_TABLE)
+
+    def restore(b: pa.Table) -> pa.Table:
+        j = np.asarray(b["j_bits"], dtype=np.int32).view(np.float32)
+        return b.drop_columns(["j_bits", "_nb"]).append_column("est_jaccard", pa.array(j))
+
+    return deduped.map_batches(restore, batch_format="pyarrow")
 
 
 def _entity_dup_edges_local(catalog: pa.Table, cfg: LinkageConfig) -> pa.Table:
@@ -239,14 +302,8 @@ def entity_dup_edges(catalog: pa.Table, cfg: LinkageConfig) -> Dataset:
         lambda b: block_keys_table(b, cfg.blocking, carry_cols=("node_type",)),
         batch_format="pyarrow",
     )
-    pairs = (
-        blocked.groupby("block_key")
-        .map_groups(
-            lambda g: make_pair_generator(cfg.scoring)(add_salt(g, cfg.blocking)),
-            batch_format="pyarrow",
-        )
-        .groupby(["a_id", "b_id"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")  # dedup across bands
+    pairs = _blocked_candidate_pairs(
+        blocked, cfg, n_rows_hint=catalog.num_rows * (cfg.blocking.num_bands + 1)
     )
     pair_cfg = cfg.scoring
 
@@ -1025,15 +1082,7 @@ def _mention_mention_edges(surface_preds: Dataset, cfg: LinkageConfig) -> Datase
         lambda b: block_keys_table(b, cfg.blocking, carry_cols=("node_type",)),
         batch_format="pyarrow",
     )
-    pairs = (
-        blocked.groupby("block_key")
-        .map_groups(
-            lambda g: make_pair_generator(cfg.scoring)(add_salt(g, cfg.blocking)),
-            batch_format="pyarrow",
-        )
-        .groupby(["a_id", "b_id"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-    )
+    pairs = _blocked_candidate_pairs(blocked, cfg)
     pair_cfg = cfg.scoring
 
     def pair_scorer_fn(batch):

@@ -33,6 +33,8 @@ from ..functions.hashing import (
 
 __all__ = [
     "DedupConfig",
+    "grouped_run_pairs",
+    "distinct_pairs",
     "exact_dedup",
     "minhash_near_dup_pairs",
     "simhash_fingerprints",
@@ -57,6 +59,108 @@ class DedupConfig:
     hot_band_cap: int = 2048     # ids per LSH band before pair truncation (counted)
     bucket_cap: int = 4096       # ids per embedding-LSH bucket before salting (counted)
     seed: int = 42
+
+
+def _auto_buckets(n_rows: int, target_rows: int = 65536) -> int:
+    """Bucket count for :func:`grouped_run_pairs`: at least 2 per CPU (keeps
+    every core busy), growing with the data so one bucket stays a bounded
+    task (~``target_rows`` rows) at any corpus size."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(256, 2 * cpus, n_rows // target_rows + 1)
+
+
+def grouped_run_pairs(
+    rows: Dataset,
+    key_col: str,
+    pair_fn,
+    n_buckets: int,
+    drop_cols: tuple[str, ...] = (),
+) -> Dataset:
+    """Per-key pair generation with ONE shuffle and NO per-singleton Python.
+
+    ``groupby(key).map_groups(pair_fn)`` pays a Python callback + table
+    slice per key — at millions of mostly-singleton band/chunk/bucket keys
+    that dominated wall time (round-3 VERDICT item 1).  Here keys hash to a
+    BOUNDED set of coarse buckets (``bucket = hash(key) % n_buckets``, so a
+    key's rows always co-locate), one ``groupby(bucket)`` shuffle runs, and
+    inside each bucket rows are sorted by the EXACT key with an Arrow kernel;
+    run boundaries come from one vectorized not-equal, and ``pair_fn`` is
+    invoked only for keys with ≥ 2 rows — work ∝ colliding keys (candidate
+    pairs), not corpus size.  Same shape as ``_contract_surfaces``'s integer
+    hash-bucket groupby in ``pipelines/linkage.py``.
+
+    ``pair_fn(group: pa.Table) -> pa.Table`` must return a schema-correct
+    empty table for groups it rejects (all existing generators do).
+    """
+    from ..functions.hashing import _SEED_MIX, flat_utf8, hash_strings
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        col = b[key_col].combine_chunks() if isinstance(b[key_col], pa.ChunkedArray) else b[key_col]
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            h = hash_strings(*flat_utf8(col))
+        else:
+            h = np.asarray(col, dtype=np.int64).view(np.uint64) * _SEED_MIX
+        return b.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def bucket_fn(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"]).combine_chunks()
+        n = g.num_rows
+        empty = pair_fn(g.slice(0, 0))
+        if n < 2:
+            return empty
+        g = g.take(pc.sort_indices(g, sort_keys=[(key_col, "ascending")]))
+        keys = g[key_col].combine_chunks() if isinstance(g[key_col], pa.ChunkedArray) else g[key_col]
+        neq = np.asarray(pc.not_equal(keys.slice(1), keys.slice(0, n - 1)), dtype=bool)
+        starts = np.flatnonzero(np.r_[True, neq])
+        ends = np.r_[starts[1:], n]
+        body = g.drop_columns(list(drop_cols)) if drop_cols else g
+        outs = [empty]
+        for s, e in zip(starts, ends):  # Python ∝ COLLIDING keys only
+            if e - s >= 2:
+                outs.append(pair_fn(body.slice(s, e - s)))
+        return pa.concat_tables(outs)
+
+    return (
+        rows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_fn, batch_format="pyarrow")
+    )
+
+
+def distinct_pairs(pairs: Dataset) -> Dataset:
+    """Distinct (a_id, b_id) rows: per-batch vectorized contraction
+    (lexsort + consecutive-dup mask — no per-pair Python) then ONE
+    ``groupby.aggregate(Count)`` to dedupe across batches.  Replaces the
+    round-3 ``groupby(pair).map_groups(slice(0, 1))`` hotspot, which paid a
+    Python callback per pair-group (millions of single-row groups)."""
+
+    def contract(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())})
+        a = np.asarray(b["a_id"], dtype=np.int64)
+        bb = np.asarray(b["b_id"], dtype=np.int64)
+        order = np.lexsort((bb, a))
+        a, bb = a[order], bb[order]
+        keep = np.r_[True, (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])]
+        return pa.table({"a_id": pa.array(a[keep]), "b_id": pa.array(bb[keep])})
+
+    pairs = pairs.materialize()
+    if pairs.count() == 0:  # aggregate of an empty ds loses schema (Ray 2.49)
+        import ray.data as rd_
+
+        return rd_.from_arrow(
+            pa.table({"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())})
+        )
+    return (
+        pairs.map_batches(contract, batch_format="pyarrow")
+        .groupby(["a_id", "b_id"])
+        .aggregate(Count(alias_name="_nb"))
+        .map_batches(lambda b: b.select(["a_id", "b_id"]), batch_format="pyarrow")
+    )
 
 
 def _word_shingle_sigs(texts: pa.Array, cfg: DedupConfig) -> np.ndarray:
@@ -152,12 +256,26 @@ def minhash_near_dup_pairs(
         iu, ju = np.triu_indices(len(ids), k=1)
         return pa.table({"a_id": pa.array(ids[iu]), "b_id": pa.array(ids[ju])})
 
-    pairs = (
-        docs.map_batches(band_rows, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(in_band_pairs, batch_format="pyarrow")
-        .groupby(["a_id", "b_id"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")  # cross-band dedup
+    # Prefilter to colliding bands before map_groups (singleton bands emit
+    # nothing but each paid a Python callback — round-3 VERDICT item 1),
+    # then vectorized cross-band dedup (distinct_pairs, no per-group Python).
+    empty_result = pa.table(
+        {
+            "a_id": pa.array([], pa.int64()),
+            "b_id": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+    )
+    # docs is parquet-backed or pre-materialized in every caller, so count()
+    # is metadata-cheap; it only sizes the hash buckets.
+    n_band_rows = docs.count() * cfg.num_bands
+    pairs = distinct_pairs(
+        grouped_run_pairs(
+            docs.map_batches(band_rows, batch_format="pyarrow"),
+            "band_key",
+            in_band_pairs,
+            n_buckets=_auto_buckets(n_band_rows),
+        )
     )
     sigs = docs.map_batches(sig_rows, batch_format="pyarrow")
     from .clustering import clamped_partitions
@@ -166,15 +284,7 @@ def minhash_near_dup_pairs(
     if pairs.count() == 0:  # empty join side loses its schema (Ray 2.49)
         import ray.data as rd_
 
-        return rd_.from_arrow(
-            pa.table(
-                {
-                    "a_id": pa.array([], pa.int64()),
-                    "b_id": pa.array([], pa.int64()),
-                    "est_jaccard": pa.array([], pa.float64()),
-                }
-            )
-        )
+        return rd_.from_arrow(empty_result)
     n_parts = clamped_partitions(max(pairs.count(), 1), 8)
     a_sigs = sigs.map_batches(
         lambda b: pa.table({"a_id": b[id_col], "a_sig": b["sig"]}), batch_format="pyarrow"
@@ -295,10 +405,11 @@ def simhash_near_dup_pairs(
         b = np.maximum(ids[iu[keep]], ids[ju[keep]])
         return pa.table({"a_id": pa.array(a), "b_id": pa.array(b), "hamming": pa.array(ham[keep])})
 
-    pairs = (
-        docs.map_batches(chunk_rows, batch_format="pyarrow")
-        .groupby("chunk_key")
-        .map_groups(in_chunk_pairs, batch_format="pyarrow")
+    pairs = grouped_run_pairs(
+        docs.map_batches(chunk_rows, batch_format="pyarrow"),
+        "chunk_key",
+        in_chunk_pairs,
+        n_buckets=_auto_buckets(docs.count() * 4),
     )
     return pairs.groupby(["a_id", "b_id"]).aggregate(Min("hamming", alias_name="hamming"))
 
@@ -592,13 +703,21 @@ def embedding_near_dup_pairs(
             key |= signs[:, j].astype(np.int64) << j
         norm = np.linalg.norm(vecs, axis=1, keepdims=True)
         unit = np.divide(vecs, norm, out=np.zeros_like(vecs), where=norm > 0)
+        # unit vectors ride the shuffle as large_binary (built zero-copy from
+        # the float32 buffer): acero's hash join — used by the colliding-key
+        # prefilter — rejects fixed_size_list payload columns.
+        n_rows, dim = vecs.shape
+        offs = np.arange(n_rows + 1, dtype=np.int64) * (4 * dim)
+        unit_bin = pa.Array.from_buffers(
+            pa.large_binary(),
+            n_rows,
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(unit.astype(np.float32).tobytes())],
+        )
         return pa.table(
             {
                 "bucket": pa.array(key),
                 id_col: batch[id_col],
-                "unit": pa.FixedSizeListArray.from_arrays(
-                    pa.array(unit.reshape(-1)), vecs.shape[1]
-                ),
+                "unit": unit_bin,
             }
         )
 
@@ -615,8 +734,14 @@ def embedding_near_dup_pairs(
             return empty
         ids = np.asarray(group[id_col], dtype=np.int64)
         unit_col = group["unit"].combine_chunks() if isinstance(group["unit"], pa.ChunkedArray) else group["unit"]
-        dim = unit_col.type.list_size
-        u = np.asarray(unit_col.flatten(), dtype=np.float32).reshape(n, dim)
+        unit_col = unit_col.cast(pa.large_binary())
+        offs = np.frombuffer(unit_col.buffers()[1], dtype=np.int64)[
+            unit_col.offset : unit_col.offset + n + 1
+        ]
+        raw = np.frombuffer(unit_col.buffers()[2], dtype=np.uint8)
+        nbytes = int(offs[1] - offs[0])
+        # equal-length rows: gather each row's byte range, reinterpret float32
+        u = raw[offs[:-1, None] + np.arange(nbytes)].view(np.float32)
         # Hot-bucket salt cap (blocking.add_salt pattern): a degenerate bucket
         # is O(n²); beyond the cap, split into deterministic salted sub-groups
         # and pair only within a salt.  Unlike MinHash bands there is no band
@@ -644,10 +769,11 @@ def embedding_near_dup_pairs(
         b = np.maximum(ids[iu[keep]], ids[ju[keep]])
         return pa.table({"a_id": pa.array(a), "b_id": pa.array(b), "cosine": pa.array(c[keep])})
 
-    return (
-        embeddings.map_batches(bucket_rows, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(in_bucket_pairs, batch_format="pyarrow")
+    return grouped_run_pairs(
+        embeddings.map_batches(bucket_rows, batch_format="pyarrow"),
+        "bucket",
+        in_bucket_pairs,
+        n_buckets=_auto_buckets(embeddings.count()),
     )
 
 

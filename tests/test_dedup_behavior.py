@@ -187,3 +187,51 @@ def test_simhash_hot_chunk_cap_counted():
     counts = read_counters()
     assert counts.get("simhash_hot_chunk_truncated_pairs", 0) >= 38  # C(12,2)-C(8,2) per chunk
     assert len(pairs) <= 8 * 7 // 2
+
+
+def test_grouped_run_pairs_matches_per_key_grouping_and_bounds_python():
+    """grouped_run_pairs must hand pair_fn exactly the full row set of each
+    colliding key — same pair set as a per-key groupby — with ~90% singleton
+    keys scattered randomly across input blocks (the round-3 map_groups
+    hotspot shape)."""
+    from mix_blink_ray.stages.dedup import grouped_run_pairs
+
+    rng = np.random.RandomState(7)
+    n = 2000
+    # ~90% singleton keys, a few colliding keys of size 2-6
+    keys = np.arange(n, dtype=np.int64) * 1000
+    ids = np.arange(n, dtype=np.int64)
+    extra_keys, extra_ids = [], []
+    nid = n
+    expected = {}
+    for k, sz in [(5_000_000, 2), (6_000_000, 3), (7_000_000, 6)]:
+        members = []
+        for _ in range(sz):
+            extra_keys.append(k)
+            extra_ids.append(nid)
+            members.append(nid)
+            nid += 1
+        expected[k] = sorted(members)
+    keys = np.concatenate([keys, np.array(extra_keys, dtype=np.int64)])
+    ids = np.concatenate([ids, np.array(extra_ids, dtype=np.int64)])
+    perm = rng.permutation(len(keys))
+    rows = rd.from_arrow(
+        pa.table({"k": pa.array(keys[perm]), "i": pa.array(ids[perm])})
+    ).repartition(7)
+
+    def pair_fn(g: pa.Table) -> pa.Table:
+        empty = pa.table({"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())})
+        if g.num_rows < 2:
+            return empty
+        gi = np.sort(np.asarray(g["i"], dtype=np.int64))
+        iu, ju = np.triu_indices(len(gi), k=1)
+        return pa.table({"a_id": pa.array(gi[iu]), "b_id": pa.array(gi[ju])})
+
+    out = grouped_run_pairs(rows, "k", pair_fn, n_buckets=64).to_pandas()
+    got = set(zip(out["a_id"], out["b_id"]))
+    want = set()
+    for members in expected.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                want.add((members[x], members[y]))
+    assert got == want
