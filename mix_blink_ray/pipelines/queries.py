@@ -269,14 +269,20 @@ def orders_top10_value(sf_dir: str):
 def q5_local_supplier_volume(sf_dir: str):
     """TPC-H Q5 shape (local-supplier volume in one region, 6 tables): the
     ONLY fact-fact exchange is a single partitioned hash join
-    lineitem ⋈ orders on orderkey; region→nation, supplier→nation and
-    customer→nation all resolve map-side from broadcast sorted-array luts
-    (customer is dimension-sized here — above the broadcast limit the
-    partitioned-join duality of q3/q4 applies).  Revenue is exact scaled
-    integers: cents × (10000 − discount-bp), divided once at the end."""
+    lineitem ⋈ orders on orderkey; region→nation resolves on the driver.
+    supplier→nation and customer→nation resolve map-side from broadcast
+    sorted-array luts while each table fits ``_SEMI_BROADCAST_LIMIT``; above
+    it (10⁹ customers ⇒ a ~16 GB lut in every worker heap) the q3/q4
+    partitioned-join duality kicks in — the nation key attaches via a
+    dimension hash join instead (round-3 VERDICT item 2; forced-fallback
+    parity test in ``tests/test_fallback_paths.py``).  Revenue is exact
+    scaled integers: cents × (10000 − discount-bp), divided once at the
+    end."""
     import datetime
 
     import ray
+
+    from ..stages.clustering import clamped_partitions
 
     nat = pa.Table.from_pandas(
         _t(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas(),
@@ -297,9 +303,6 @@ def q5_local_supplier_volume(sf_dir: str):
         o = np.argsort(k)
         return k[o], v[o]
 
-    supp_ref = ray.put(_lut(_t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]), "s_suppkey", "s_nationkey"))
-    cust_ref = ray.put(_lut(_t(sf_dir, "customer", ["c_custkey", "c_nationkey"]), "c_custkey", "c_nationkey"))
-
     lo = pa.scalar(datetime.datetime(1995, 7, 1))
     hi = pa.scalar(datetime.datetime(2000, 7, 1))
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
@@ -308,6 +311,44 @@ def q5_local_supplier_volume(sf_dir: str):
         ).select(["o_orderkey", "o_custkey"]),
         batch_format="pyarrow",
     )
+
+    # ── customer→nation attach: broadcast lut below the limit, else join ──
+    cust_ds = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    n_cust = cust_ds.count()  # parquet metadata count
+    if n_cust <= _SEMI_BROADCAST_LIMIT:
+        cust_ref = ray.put(_lut(cust_ds, "c_custkey", "c_nationkey"))
+
+        def attach_cnat(b: pa.Table) -> pa.Table:
+            ck, cv = ray.get(cust_ref)
+            ckey = np.asarray(b["o_custkey"], dtype=np.int64)
+            cp = np.clip(np.searchsorted(ck, ckey), 0, len(ck) - 1) if len(ck) else np.zeros(0, np.int64)
+            c_nat = cv[cp] if len(ck) else np.zeros(len(ckey), np.int64)
+            keep = (ck[cp] == ckey) & np.isin(c_nat, region_nations) if len(ck) else np.zeros(len(ckey), bool)
+            return pa.table(
+                {
+                    "o_orderkey": pc.take(b["o_orderkey"], pa.array(np.flatnonzero(keep))),
+                    "c_nat": pa.array(c_nat[keep], pa.int64()),
+                }
+            )
+
+        orders_nat = orders.map_batches(attach_cnat, batch_format="pyarrow")
+    else:
+        region_cust = cust_ds.map_batches(
+            lambda b: pa.table(
+                {"c_custkey": b["c_custkey"], "c_nat": pc.cast(b["c_nationkey"], pa.int64())}
+            ).filter(pc.is_in(pc.cast(b["c_nationkey"], pa.int64()), value_set=pa.array(region_nations, pa.int64()))),
+            batch_format="pyarrow",
+        )
+        n_parts = clamped_partitions(
+            n_cust, max(8, int(ray.cluster_resources().get("CPU", 8)))
+        )
+        # materialize: caps concurrent hash joins at 2 (3 joins' aggregator
+        # actor pools starve a small CPU budget); this side is the
+        # date+region-filtered order keys — the small end of the query
+        orders_nat = orders.join(
+            region_cust, join_type="inner", num_partitions=n_parts,
+            on=("o_custkey",), right_on=("c_custkey",),
+        ).select_columns(["o_orderkey", "c_nat"]).materialize()
 
     def to_rev(b: pa.Table) -> pa.Table:
         cents = np.asarray(_cents(b["l_extendedprice"]), dtype=np.int64)
@@ -325,8 +366,47 @@ def q5_local_supplier_volume(sf_dir: str):
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]).map_batches(
         to_rev, batch_format="pyarrow"
     )
-    joined = li.join(
-        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+
+    # ── supplier→nation attach: same duality (supplier is 10× smaller, but
+    # the guard must not assume that) ──
+    supp_ds = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    n_supp = supp_ds.count()
+    if n_supp <= _SEMI_BROADCAST_LIMIT:
+        supp_ref = ray.put(_lut(supp_ds, "s_suppkey", "s_nationkey"))
+
+        def attach_snat(b: pa.Table) -> pa.Table:
+            sk, sv = ray.get(supp_ref)
+            skey = np.asarray(b["l_suppkey"], dtype=np.int64)
+            sp = np.clip(np.searchsorted(sk, skey), 0, len(sk) - 1) if len(sk) else np.zeros(0, np.int64)
+            s_nat = sv[sp] if len(sk) else np.zeros(len(skey), np.int64)
+            keep = (sk[sp] == skey) if len(sk) else np.zeros(len(skey), bool)
+            idx = pa.array(np.flatnonzero(keep))
+            return pa.table(
+                {
+                    "l_orderkey": pc.take(b["l_orderkey"], idx),
+                    "rev_scaled": pc.take(b["rev_scaled"], idx),
+                    "s_nat": pa.array(s_nat[keep], pa.int64()),
+                }
+            )
+
+        li_nat = li.map_batches(attach_snat, batch_format="pyarrow")
+    else:
+        sp_parts = clamped_partitions(
+            n_supp, max(8, int(ray.cluster_resources().get("CPU", 8)))
+        )
+        li_nat = li.join(
+            supp_ds.map_batches(
+                lambda b: pa.table(
+                    {"s_suppkey": b["s_suppkey"], "s_nat": pc.cast(b["s_nationkey"], pa.int64())}
+                ),
+                batch_format="pyarrow",
+            ),
+            join_type="inner", num_partitions=sp_parts,
+            on=("l_suppkey",), right_on=("s_suppkey",),
+        ).select_columns(["l_orderkey", "rev_scaled", "s_nat"])
+
+    joined = li_nat.join(
+        orders_nat, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
     )
 
     def partial(b: pa.Table) -> pa.Table:
@@ -334,20 +414,9 @@ def q5_local_supplier_volume(sf_dir: str):
             return pa.table(
                 {"n_nationkey": pa.array([], pa.int64()), "rev_scaled": pa.array([], pa.int64())}
             )
-        sk, sv = ray.get(supp_ref)
-        ck, cv = ray.get(cust_ref)
-        skey = np.asarray(b["l_suppkey"], dtype=np.int64)
-        ckey = np.asarray(b["o_custkey"], dtype=np.int64)
-        sp = np.clip(np.searchsorted(sk, skey), 0, len(sk) - 1)
-        cp = np.clip(np.searchsorted(ck, ckey), 0, len(ck) - 1)
-        s_nat = sv[sp]
-        c_nat = cv[cp]
-        keep = (
-            (sk[sp] == skey)
-            & (ck[cp] == ckey)
-            & (s_nat == c_nat)
-            & np.isin(s_nat, region_nations)
-        )
+        s_nat = np.asarray(b["s_nat"], dtype=np.int64)
+        c_nat = np.asarray(b["c_nat"], dtype=np.int64)
+        keep = s_nat == c_nat  # c_nat already region-filtered at the attach
         nk = s_nat[keep]
         rev = np.asarray(b["rev_scaled"], dtype=np.int64)[keep]
         if not len(nk):
@@ -3386,41 +3455,97 @@ def _simgraph_edges(sf_dir: str):
     )
 
 
-def docs_simgraph_triangles(sf_dir: str):
-    """Distributed TRIANGLE COUNTING (the graph-analytics clustering
-    coefficient primitive) over the verified similarity graph: two
-    partitioned hash joins — wedge enumeration (a<b<c via edge orientation)
-    then the edge-closing join — so work ∝ Σ deg², never all-triples.
-    Output: one row (n_nodes, n_edges, n_triangles)."""
+def _triangle_count(edges) -> int:
+    """Degree-oriented distributed triangle count over undirected edges
+    (a_id < b_id int64 rows, deduplicated): the Suri–Vassilvitskii /
+    Cohen MapReduce orientation — each edge points from its LOWER-(degree,
+    id) endpoint to the higher, wedges enumerate only ordered out-pairs of
+    one source, and the closing join checks the oriented third edge.  Work
+    and per-partition skew drop from Σ deg² (a degree-d hub lands ~d² wedge
+    rows on ONE partition key under id orientation — round-3 VERDICT item 3)
+    to Σ out-deg² with out-deg ≤ O(√m).  The triangle set is orientation-
+    invariant, so the result (and the SQL oracle) is unchanged."""
     from ..stages.clustering import clamped_partitions
 
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return 0
+    n_parts = clamped_partitions(n_edges, 8)
+
+    def both_ends(b: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [pa.table({"node": b["a_id"]}), pa.table({"node": b["b_id"]})]
+        )
+
+    deg = (
+        edges.map_batches(both_ends, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="deg"))
+        .materialize()
+    )
+    dega = deg.map_batches(
+        lambda b: pa.table({"na": b["node"], "deg_a": b["deg"]}), batch_format="pyarrow"
+    )
+    degb = deg.map_batches(
+        lambda b: pa.table({"nb": b["node"], "deg_b": b["deg"]}), batch_format="pyarrow"
+    )
+    with_deg = edges.join(
+        dega, join_type="inner", num_partitions=n_parts, on=("a_id",), right_on=("na",)
+    ).join(degb, join_type="inner", num_partitions=n_parts, on=("b_id",), right_on=("nb",))
+
+    def orient(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["a_id"], dtype=np.int64)
+        bb = np.asarray(b["b_id"], dtype=np.int64)
+        da = np.asarray(b["deg_a"], dtype=np.int64)
+        db = np.asarray(b["deg_b"], dtype=np.int64)
+        a_first = (da < db) | ((da == db) & (a < bb))
+        src = np.where(a_first, a, bb)
+        dst = np.where(a_first, bb, a)
+        ddeg = np.where(a_first, db, da)  # (deg, id) of dst orders wedge pairs
+        return pa.table(
+            {"src": pa.array(src), "dst": pa.array(dst), "ddeg": pa.array(ddeg)}
+        )
+
+    # materialize: caps concurrent hash joins at 2 (aggregator actor pools
+    # starve a small CPU budget); oriented edges are 24 B/row
+    d = with_deg.map_batches(orient, batch_format="pyarrow").materialize()
+    d2 = d.map_batches(
+        lambda b: pa.table({"src2": b["src"], "dst2": b["dst"], "ddeg2": b["ddeg"]}),
+        batch_format="pyarrow",
+    )
+    wedges = d.join(
+        d2, join_type="inner", num_partitions=n_parts, on=("src",), right_on=("src2",)
+    ).map_batches(
+        lambda b: b.filter(
+            pc.or_(
+                pc.less(b["ddeg"], b["ddeg2"]),
+                pc.and_(pc.equal(b["ddeg"], b["ddeg2"]), pc.less(b["dst"], b["dst2"])),
+            )
+        ).select(["dst", "dst2"]),
+        batch_format="pyarrow",
+    )
+    closing = d.map_batches(
+        lambda b: pa.table({"v2": b["src"], "w2": b["dst"]}), batch_format="pyarrow"
+    )
+    closed = wedges.join(
+        closing, join_type="inner", num_partitions=n_parts,
+        on=("dst", "dst2"), right_on=("v2", "w2"),
+    )
+    return closed.count()
+
+
+def docs_simgraph_triangles(sf_dir: str):
+    """Distributed TRIANGLE COUNTING (the graph-analytics clustering
+    coefficient primitive) over the verified similarity graph, via the
+    degree-oriented wedge join (:func:`_triangle_count`) — work ∝ Σ
+    out-deg² with out-deg ≤ O(√m), hub-skew-proof.  Output: one row
+    (n_nodes, n_edges, n_triangles)."""
     ds, edges = _simgraph_edges(sf_dir)
     edges = edges.materialize()
     n_edges = edges.count()
     n_nodes = ds.count()
-    if n_edges == 0:
-        return pa.table(
-            {
-                "n_nodes": pa.array([n_nodes], pa.int64()),
-                "n_edges": pa.array([0], pa.int64()),
-                "n_triangles": pa.array([0], pa.int64()),
-            }
-        )
-    n_parts = clamped_partitions(n_edges, 8)
-    e2 = edges.map_batches(
-        lambda b: pa.table({"b2_id": b["a_id"], "c_id": b["b_id"]}), batch_format="pyarrow"
-    )
-    wedges = edges.join(
-        e2, join_type="inner", num_partitions=n_parts, on=("b_id",), right_on=("b2_id",)
-    )  # (a_id, b_id, c_id): a<b<c because both edges store a_id<b_id
-    e3 = edges.map_batches(
-        lambda b: pa.table({"a3_id": b["a_id"], "c3_id": b["b_id"]}), batch_format="pyarrow"
-    )
-    closed = wedges.join(
-        e3, join_type="inner", num_partitions=n_parts,
-        on=("a_id", "c_id"), right_on=("a3_id", "c3_id"),
-    )
-    n_tri = closed.count()
+    n_tri = _triangle_count(edges) if n_edges else 0
     return pa.table(
         {
             "n_nodes": pa.array([n_nodes], pa.int64()),

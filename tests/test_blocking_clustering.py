@@ -217,3 +217,42 @@ def test_meta_blocking_pairs_vs_bruteforce():
             got = {(int(a), int(b)): int(w) for a, b, w in
                    zip(out.doc_a, out.doc_b, out.shared_blocks)}
             assert got == want, (n_blocks, thresh)
+
+
+def test_triangle_count_degree_oriented_hub_skew():
+    """A 500-degree hub (the skew case degree orientation exists for) plus
+    known triangles: the count must match a local reference count and be
+    identical across block layouts (round-3 VERDICT item 3)."""
+    import itertools
+
+    from mix_blink_ray.pipelines.queries import _triangle_count
+
+    edges = set()
+    for i in range(1, 501):          # star: hub 0 — no triangles by itself
+        edges.add((0, i))
+    edges.add((1, 2))                # closes triangle (0, 1, 2)
+    edges.add((3, 4))                # closes triangle (0, 3, 4)
+    for base in (1000, 2000):        # two hub-free triangles
+        a, b, c = base, base + 1, base + 2
+        edges.update([(a, b), (a, c), (b, c)])
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = sum(
+        1
+        for a, b, c in itertools.combinations(sorted(adj), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    assert expected == 4
+
+    tbl = pa.table(
+        {
+            "a_id": pa.array([a for a, _ in sorted(edges)], pa.int64()),
+            "b_id": pa.array([b for _, b in sorted(edges)], pa.int64()),
+        }
+    )
+    for n_blocks in (1, 13):
+        ds = rd.from_arrow(tbl).repartition(n_blocks)
+        assert _triangle_count(ds) == expected

@@ -307,3 +307,20 @@ def test_pack_next_fit_semantics():
         expect.append(b)
     assert got.tolist() == expect
     assert pack_next_fit(np.array([], dtype=np.int64), 8).tolist() == []
+
+
+def test_q5_partitioned_join_fallback_equals_broadcast(monkeypatch):
+    """Forcing _SEMI_BROADCAST_LIMIT=0 sends BOTH dimension attaches of
+    q5_local_supplier_volume (customer→nation, supplier→nation) down the
+    partitioned-hash-join path; the result must equal the broadcast-lut
+    path (round-3 VERDICT item 2)."""
+    from mix_blink_ray.pipelines import queries
+
+    sf = "/root/testdata/sf0.001"
+    base = queries.q5_local_supplier_volume(sf).to_pandas()
+    monkeypatch.setattr(queries, "_SEMI_BROADCAST_LIMIT", 0)
+    forced = queries.q5_local_supplier_volume(sf).to_pandas()
+    pd.testing.assert_frame_equal(
+        base.sort_values("n_name").reset_index(drop=True),
+        forced.sort_values("n_name").reset_index(drop=True),
+    )
