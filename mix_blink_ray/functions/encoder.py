@@ -52,10 +52,14 @@ class HashNgramEncoder:
     dim: int = 64
     n: int = 3
     normalize: bool = True
+    # include_short: rows shorter than ``n`` contribute one whole-string
+    # hash feature (the robust default).  SQL-oracled paths disable it so
+    # the feature map matches a gram-range replay exactly (round-3 ADVICE).
+    include_short: bool = True
 
     def encode(self, strings: pa.Array | pa.ChunkedArray) -> np.ndarray:
         data, offsets = flat_utf8(strings)
-        grams, rows = char_ngram_hashes(data, offsets, n=self.n)
+        grams, rows = char_ngram_hashes(data, offsets, n=self.n, include_short=self.include_short)
         mat = hashed_ngram_multihot(grams, rows, len(offsets) - 1, self.dim)
         if self.normalize:
             norms = np.linalg.norm(mat, axis=1, keepdims=True)

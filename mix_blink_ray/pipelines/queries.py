@@ -1557,8 +1557,10 @@ def events_range_bins(sf_dir: str):
         m = (idx >= 0) & (idx < n_bins)
         idx, v = idx[m], v[m]
         cents = np.rint(v * 100.0).astype(np.int64)
+        from ..functions.numeric import group_sums_int64
+
         n = np.bincount(idx, minlength=n_bins)
-        s = np.bincount(idx, weights=cents.astype(np.float64), minlength=n_bins).astype(np.int64)
+        (s,) = group_sums_int64(idx, n_bins, cents)  # exact int64, no float53 weights
         nz = np.flatnonzero(n)
         return pa.table(
             {
@@ -2001,8 +2003,10 @@ def nation_order_revenue(sf_dir: str):
         valid = ck[pos] == oc  # orders with no customer row drop (inner join)
         nk = cn[pos[valid]]
         cents = np.asarray(_cents(b["o_totalprice"]), dtype=np.int64)[valid]
+        from ..functions.numeric import group_sums_int64
+
         n = np.bincount(nk, minlength=n_nations)
-        s = np.bincount(nk, weights=cents.astype(np.float64), minlength=n_nations).astype(np.int64)
+        (s,) = group_sums_int64(nk, n_nations, cents)  # exact int64, no float53 weights
         nz = np.flatnonzero(n)
         return pa.table(
             {
@@ -2722,8 +2726,17 @@ def events_retention_cohorts(sf_dir: str):
         .drop_columns(["_c"])
         .materialize()
     )
+    from ..stages.clustering import clamped_partitions
+
     cohorts = pairs.groupby("user_id").aggregate(Min("day", alias_name="cohort_day"))
-    joined = pairs.join(cohorts, join_type="inner", num_partitions=8, on=("user_id",))
+    # clamp like the sibling joins: Ray 2.49's hash join fails on an empty
+    # partition, which a small/skewed corpus can produce at a fixed 8
+    joined = pairs.join(
+        cohorts,
+        join_type="inner",
+        num_partitions=clamped_partitions(pairs.count(), 8),
+        on=("user_id",),
+    )
     return (
         joined.map_batches(
             lambda b: pa.table(
@@ -2778,13 +2791,32 @@ def docs_media_features(sf_dir: str):
     def to_media(b: pa.Table) -> pa.Table:
         keep = pc.not_equal(pc.utf8_trim_whitespace(b["text"]), "")
         b = b.filter(keep)
-        return pa.table(
+        # ASCII-sanitized projection of the text: the oracle replays the
+        # payload per-CHARACTER (ascii() codepoints), while raw UTF-8 counts
+        # BYTES — they agree only on ASCII, so non-ASCII text would silently
+        # break parity (round-3 ADVICE item 3).  Dropping bytes ≥ 0x80 drops
+        # exactly the non-ASCII codepoints (every byte of a multi-byte UTF-8
+        # char has the high bit set), after which byte == codepoint.  Docs
+        # left with an empty payload drop, matching the oracle's GROUP BY.
+        col = b["text"].combine_chunks() if isinstance(b["text"], pa.ChunkedArray) else b["text"]
+        col = col.cast(pa.large_binary())
+        off = np.frombuffer(col.buffers()[1], np.int64)[col.offset : col.offset + len(col) + 1]
+        data = np.frombuffer(col.buffers()[2], np.uint8)[off[0] : off[-1]]
+        mask = data < 128
+        pref = np.concatenate([[0], np.cumsum(mask, dtype=np.int64)])
+        new_off = pref[(off - off[0]).astype(np.int64)]
+        payload = pa.Array.from_buffers(
+            pa.large_binary(),
+            len(col),
+            [None, pa.py_buffer(new_off.tobytes()), pa.py_buffer(data[mask].tobytes())],
+        )
+        out = pa.table(
             {
                 "media_id": pc.cast(b["doc_id"], pa.string()),
-                # zero-copy reinterpret: string → binary payload
-                "payload": pc.cast(b["text"], pa.binary()),
+                "payload": payload,
             }
         )
+        return out.filter(pa.array(new_off[1:] > new_off[:-1]))
 
     feats = ds.map_batches(to_media, batch_format="pyarrow").map_batches(
         ImageFeatures,
@@ -2982,11 +3014,14 @@ def events_tumbling_late(sf_dir: str):
                     "cents": pa.array([], pa.int64()),
                 }
             )
+        from ..functions.numeric import group_sums_int64
+
+        (csum,) = group_sums_int64(inv, len(uw), cents)  # exact int64
         return pa.table(
             {
                 "window_start_us": pa.array(uw * W_US),
                 "n": pa.array(np.bincount(inv).astype(np.int64)),
-                "cents": pa.array(np.bincount(inv, weights=cents).astype(np.int64)),
+                "cents": pa.array(csum),
             }
         )
 
@@ -3025,7 +3060,11 @@ def customers_surface_link_top3(sf_dir: str):
     from ..functions.encoder import HashNgramEncoder
 
     DIM = 64
-    enc = HashNgramEncoder(dim=DIM, n=3, normalize=False)
+    # include_short=False: the SQL oracle replays grams via range(1, len-1),
+    # which emits NOTHING for names shorter than 3 chars; the encoder's
+    # whole-string fallback would diverge there (round-3 ADVICE item 4 —
+    # latent only because TPC-H names are long, now structurally closed).
+    enc = HashNgramEncoder(dim=DIM, n=3, normalize=False, include_short=False)
 
     supp = _t(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
     order = np.argsort(supp["s_suppkey"].to_numpy())
@@ -3132,7 +3171,9 @@ def q10_returned_revenue(sf_dir: str):
             )
         ck = np.asarray(b["o_custkey"], dtype=np.int64)
         uk, inv = np.unique(ck, return_inverse=True)
-        sums = np.bincount(inv, weights=np.asarray(b["rev_c4"], dtype=np.float64)).astype(np.int64)
+        from ..functions.numeric import group_sums_int64
+
+        (sums,) = group_sums_int64(inv, len(uk), np.asarray(b["rev_c4"], dtype=np.int64))
         return pa.table({"o_custkey": pa.array(uk), "rev_c4": pa.array(sums)})
 
     agg = (
@@ -3237,17 +3278,22 @@ def events_value_hour_corr(sf_dir: str):
         y = np.asarray(pc.hour(b["ts"]), dtype=np.int64)
         g = b["event_type"].to_numpy(zero_copy_only=False)
         ug, inv = np.unique(g, return_inverse=True)
-        def acc(v):
-            return np.bincount(inv, weights=v.astype(np.float64)).astype(np.int64)
+        from ..functions.numeric import group_sums_int64
+
+        # exact int64 moments (cents² ≈ 1e10/row crosses float53 around 1e6
+        # rows/group/batch — round-3 ADVICE item 1)
+        sx, sy, sxx, syy, sxy = group_sums_int64(
+            inv, len(ug), x, y, x * x, y * y, x * y
+        )
         return pa.table(
             {
                 "event_type": pa.array(ug, pa.string()),
                 "n": pa.array(np.bincount(inv).astype(np.int64)),
-                "sx": pa.array(acc(x)),
-                "sy": pa.array(acc(y)),
-                "sxx": pa.array(acc(x * x)),
-                "syy": pa.array(acc(y * y)),
-                "sxy": pa.array(acc(x * y)),
+                "sx": pa.array(sx),
+                "sy": pa.array(sy),
+                "sxx": pa.array(sxx),
+                "syy": pa.array(syy),
+                "sxy": pa.array(sxy),
             }
         )
 
@@ -3257,19 +3303,24 @@ def events_value_hour_corr(sf_dir: str):
         .aggregate(*[Sum(c, alias_name=c) for c in ["n", "sx", "sy", "sxx", "syy", "sxy"]])
     )
     tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
-    n = np.asarray(tbl["n"], dtype=np.float64)
-    sx = np.asarray(tbl["sx"], dtype=np.float64)
-    sy = np.asarray(tbl["sy"], dtype=np.float64)
-    sxx = np.asarray(tbl["sxx"], dtype=np.float64)
-    syy = np.asarray(tbl["syy"], dtype=np.float64)
-    sxy = np.asarray(tbl["sxy"], dtype=np.float64)
-    num = n * sxy - sx * sy
-    den = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
-    r = np.divide(num, den, out=np.zeros_like(num), where=den > 0)
+    # Covariance terms in PYTHON INTS (exact, like the oracle's BIGINT —
+    # which would RAISE past 2⁶³ where a float64 product would silently
+    # round); the float conversion then mirrors SQL's CAST(… AS DOUBLE).
+    rs = []
+    for i in range(tbl.num_rows):
+        n_i, sx_i, sy_i = (int(tbl[c][i].as_py()) for c in ("n", "sx", "sy"))
+        sxx_i, syy_i, sxy_i = (int(tbl[c][i].as_py()) for c in ("sxx", "syy", "sxy"))
+        vxx = n_i * sxx_i - sx_i * sx_i
+        vyy = n_i * syy_i - sy_i * sy_i
+        num = n_i * sxy_i - sx_i * sy_i
+        if vxx > 0 and vyy > 0:
+            rs.append(float(num) / (np.sqrt(float(vxx)) * np.sqrt(float(vyy))))
+        else:
+            rs.append(0.0)
     return pa.table(
         {
             "event_type": tbl["event_type"],
-            "r": _round_col(pa.array(r), 6),
+            "r": _round_col(pa.array(np.array(rs, dtype=np.float64)), 6),
         }
     )
 
@@ -3405,18 +3456,18 @@ def events_value_hour_regression(sf_dir: str):
         y = np.asarray(_cents(b["value"]), dtype=np.int64)
         g = b["event_type"].to_numpy(zero_copy_only=False)
         ug, inv = np.unique(g, return_inverse=True)
+        from ..functions.numeric import group_sums_int64
 
-        def acc(v):
-            return np.bincount(inv, weights=v.astype(np.float64)).astype(np.int64)
-
+        # exact int64 moments (round-3 ADVICE item 1; see events_value_hour_corr)
+        sx, sy, sxx, sxy = group_sums_int64(inv, len(ug), x, y, x * x, x * y)
         return pa.table(
             {
                 "event_type": pa.array(ug, pa.string()),
                 "n": pa.array(np.bincount(inv).astype(np.int64)),
-                "sx": pa.array(acc(x)),
-                "sy": pa.array(acc(y)),
-                "sxx": pa.array(acc(x * x)),
-                "sxy": pa.array(acc(x * y)),
+                "sx": pa.array(sx),
+                "sy": pa.array(sy),
+                "sxx": pa.array(sxx),
+                "sxy": pa.array(sxy),
             }
         )
 
@@ -3426,14 +3477,19 @@ def events_value_hour_regression(sf_dir: str):
         .aggregate(*[Sum(c, alias_name=c) for c in ["n", "sx", "sy", "sxx", "sxy"]])
     )
     tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
-    n = np.asarray(tbl["n"], dtype=np.float64)
-    sx = np.asarray(tbl["sx"], dtype=np.float64)
-    sy = np.asarray(tbl["sy"], dtype=np.float64)
-    sxx = np.asarray(tbl["sxx"], dtype=np.float64)
-    sxy = np.asarray(tbl["sxy"], dtype=np.float64)
-    den = n * sxx - sx * sx
-    slope = np.divide(n * sxy - sx * sy, den, out=np.zeros_like(den), where=den > 0)
-    intercept = (sy - slope * sx) / n
+    # Covariance terms in PYTHON INTS (exact BIGINT analog — round-3 ADVICE
+    # item 1); slope/intercept then mirror the oracle's CAST(… AS DOUBLE).
+    slopes, intercepts = [], []
+    for i in range(tbl.num_rows):
+        n_i, sx_i, sy_i, sxx_i, sxy_i = (
+            int(tbl[c][i].as_py()) for c in ("n", "sx", "sy", "sxx", "sxy")
+        )
+        den = n_i * sxx_i - sx_i * sx_i
+        slope_raw = float(n_i * sxy_i - sx_i * sy_i) / float(den) if den > 0 else 0.0
+        slopes.append(slope_raw)
+        intercepts.append((float(sy_i) - slope_raw * float(sx_i)) / float(n_i))
+    slope = np.array(slopes, dtype=np.float64)
+    intercept = np.array(intercepts, dtype=np.float64)
     return pa.table(
         {
             "event_type": tbl["event_type"],
@@ -4186,7 +4242,7 @@ ORACLE_SQL = {
         SELECT CAST(doc_id AS VARCHAR) AS media_id,
                CAST(count(*) AS BIGINT) AS n_bytes,
                CAST(sum(code) AS BIGINT) AS byte_sum
-        FROM e GROUP BY doc_id
+        FROM e WHERE code BETWEEN 0 AND 127 GROUP BY doc_id
     """,
     "docs_meta_blocking": """
         WITH toks AS (

@@ -129,3 +129,31 @@ def test_gather_substrings():
     data, off = flat_utf8(arr)
     out = gather_substrings(data, np.array([off[0] + 6, off[1] + 3]), np.array([off[0] + 11, off[1] + 6]))
     assert out.to_pylist() == ["world", "bar"]
+
+
+def test_group_sums_int64_exact_beyond_float53():
+    """The float64-weighted bincount this helper replaces loses integer
+    exactness past 2^53 (round-3 ADVICE item 1); the segment reduce must
+    not."""
+    from mix_blink_ray.functions.numeric import group_sums_int64
+
+    v = np.concatenate([np.array([2**53], dtype=np.int64), np.ones(3, dtype=np.int64)])
+    idx = np.zeros(4, dtype=np.int64)
+    (s,) = group_sums_int64(idx, 1, v)
+    assert s[0] == 2**53 + 3
+    # the old path provably rounds here
+    f = int(np.bincount(idx, weights=v.astype(np.float64))[0])
+    assert f != 2**53 + 3
+
+    # multi-group, unsorted indices, multiple value columns
+    rng = np.random.RandomState(3)
+    idx = rng.randint(0, 7, size=500).astype(np.int64)
+    a = rng.randint(-(10**12), 10**12, size=500).astype(np.int64)
+    b = rng.randint(0, 10**6, size=500).astype(np.int64)
+    sa, sb = group_sums_int64(idx, 7, a, b)
+    for g in range(7):
+        assert sa[g] == int(a[idx == g].sum())
+        assert sb[g] == int(b[idx == g].sum())
+    # empty input
+    ea, = group_sums_int64(np.zeros(0, dtype=np.int64), 3, np.zeros(0, dtype=np.int64))
+    assert list(ea) == [0, 0, 0]
