@@ -24,7 +24,7 @@ import pyarrow as pa
 
 from .hashing import char_ngram_hashes, flat_utf8, hashed_ngram_multihot
 
-__all__ = ["Encoder", "HashNgramEncoder", "HFEncoder"]
+__all__ = ["Encoder", "HashNgramEncoder", "MiniTransformerEncoder", "HFEncoder"]
 
 
 class Encoder(Protocol):
@@ -65,6 +65,174 @@ class HashNgramEncoder:
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             np.divide(mat, norms, out=mat, where=norms > 0)
         return mat
+
+
+class MiniTransformerEncoder:
+    """Deterministic pure-numpy 2-layer MLP + attention encoder (fixed
+    seed) — the multi-layer learned-encoder stand-in that exercises
+    everything the HF path would through the REAL scorer actor pools,
+    without torch:
+
+    - weights built lazily ONCE per process (``__getstate__`` drops them, so
+      an actor rebuilds on first batch — the "load checkpoint once per
+      worker" shape; ``build_count`` observably stays 1 per process),
+    - CLS pooling in the attention branch (reference
+      ``mix_blink/modeling/encoder.py:73``),
+    - linear projection iff encoder width ≠ configured width (reference
+      ``encoder.py:48-49, 75-76`` — default hidden 48 ≠ dim, so the quirk
+      path runs),
+    - batch padding to a FIXED ``max_len`` with key masking, making each
+      row's embedding batch-composition-invariant (asserted to float32
+      tolerance — BLAS reduction order varies with batch shape, so bit
+      equality is not promised).
+
+    Architecture (untrained, so chosen for contrast rather than learned):
+    a 2-layer tanh MLP over L2-normalized hashed char-3-gram multihot
+    features (the content path — tanh is odd, so random weights add no
+    input-norm-dependent bias direction) summed with 0.25× a 2-layer
+    single-head softmax-attention stack over the gram-embedding sequence
+    with CLS pooling (the sequence path, centered at its null-input CLS to
+    strip the random-transformer anisotropy).  Near-identical surfaces share
+    most grams, so cosine stays high under typos and low across unrelated
+    strings — enough for the linkage F1 gate, which the e2e test pins.
+    """
+
+    def __init__(
+        self,
+        dim: int = 64,
+        hidden: int = 48,
+        n_layers: int = 2,
+        max_len: int = 24,
+        vocab: int = 4096,
+        feat_dim: int = 512,
+        seed: int = 42,
+        normalize: bool = True,
+    ):
+        self.dim = dim
+        self.hidden = hidden
+        self.n_layers = n_layers
+        self.max_len = max_len
+        self.vocab = vocab
+        self.feat_dim = feat_dim
+        self.seed = seed
+        self.normalize = normalize
+        self._w: dict | None = None
+        self.build_count = 0
+
+    def __getstate__(self):
+        s = self.__dict__.copy()
+        s["_w"] = None  # weights never pickled; each process rebuilds once
+        s["build_count"] = 0
+        return s
+
+    def _weights(self) -> dict:
+        if self._w is None:
+            rng = np.random.RandomState(self.seed)
+            h = self.hidden
+
+            def mat(a: int, b: int) -> np.ndarray:
+                return (rng.randn(a, b) / np.sqrt(a)).astype(np.float32)
+
+            pos = np.zeros((self.max_len, h), dtype=np.float32)
+            p = np.arange(self.max_len, dtype=np.float32)[:, None]
+            div = np.exp(np.arange(0, h, 2, dtype=np.float32) * (-np.log(10000.0) / h))
+            pos[:, 0::2] = np.sin(p * div)
+            pos[:, 1::2] = np.cos(p * div[: (h - h // 2)])
+            layers = [
+                {
+                    "wq": mat(h, h), "wk": mat(h, h), "wv": mat(h, h), "wo": mat(h, h),
+                    "w1": mat(h, 4 * h), "w2": mat(4 * h, h),
+                }
+                for _ in range(self.n_layers)
+            ]
+            self._w = {
+                # row 0 = CLS embedding; gram ids occupy 1..vocab
+                "emb": (rng.randn(self.vocab + 1, h).astype(np.float32)),
+                "pos": pos,
+                "layers": layers,
+                "wm1": mat(self.feat_dim, 4 * h),
+                "wm2": mat(4 * h, h),
+                "proj": mat(h, self.dim) if self.dim != h else None,
+            }
+            # Anisotropy correction: a random transformer's CLS vectors share
+            # a large common component, flattening cosine contrast; center at
+            # the null-input CLS (computed once, part of the "checkpoint").
+            tok0 = np.zeros((1, self.max_len), dtype=np.int64)
+            mask0 = np.zeros((1, self.max_len), dtype=bool)
+            mask0[:, 0] = True
+            self._w["null"] = self._forward(tok0, mask0)[0]
+            self.build_count += 1
+        return self._w
+
+    def _token_ids(self, strings: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+        data, offsets = flat_utf8(strings)
+        grams, rows = char_ngram_hashes(data, offsets, n=3)
+        n = len(offsets) - 1
+        ids = (grams % np.uint64(self.vocab)).astype(np.int64) + 1
+        counts = np.bincount(rows, minlength=n)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        pos_in_row = np.arange(len(rows), dtype=np.int64) - starts[rows]
+        keep = pos_in_row < self.max_len - 1
+        tok = np.zeros((n, self.max_len), dtype=np.int64)  # pos 0 = CLS (id 0)
+        mask = np.zeros((n, self.max_len), dtype=bool)
+        mask[:, 0] = True
+        tok[rows[keep], pos_in_row[keep] + 1] = ids[keep]
+        mask[rows[keep], pos_in_row[keep] + 1] = True
+        return tok, mask
+
+    @staticmethod
+    def _layernorm(x: np.ndarray, eps: float = 1e-5) -> np.ndarray:
+        mu = x.mean(axis=-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(axis=-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + eps)
+
+    @staticmethod
+    def _gelu(x: np.ndarray) -> np.ndarray:
+        return 0.5 * x * (1.0 + np.tanh(0.7978845608028654 * (x + 0.044715 * x**3)))
+
+    def _forward(self, tok: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        w = self._w
+        x = (w["emb"][tok] + w["pos"][None, :, :]).astype(np.float32)
+        neg = np.where(mask, 0.0, -np.inf).astype(np.float32)[:, None, :]  # key mask
+        scale = 1.0 / np.sqrt(self.hidden)
+        for layer in w["layers"]:
+            xn = self._layernorm(x)
+            q, k, v = xn @ layer["wq"], xn @ layer["wk"], xn @ layer["wv"]
+            att = q @ k.transpose(0, 2, 1) * scale + neg
+            att = att - att.max(axis=-1, keepdims=True)
+            e = np.exp(att)
+            att = e / e.sum(axis=-1, keepdims=True)
+            x = x + (att @ v) @ layer["wo"]
+            xn2 = self._layernorm(x)
+            x = x + self._gelu(xn2 @ layer["w1"]) @ layer["w2"]
+        # CLS pooling at HIDDEN width, reference encoder.py:73
+        return self._layernorm(x)[:, 0, :].astype(np.float32)
+
+    @staticmethod
+    def _unit(x: np.ndarray) -> np.ndarray:
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        return np.divide(x, norms, out=np.zeros_like(x), where=norms > 0)
+
+    def encode(self, strings: pa.Array | pa.ChunkedArray) -> np.ndarray:
+        from .hashing import hashed_ngram_multihot
+
+        w = self._weights()
+        data, offsets = flat_utf8(strings)
+        n = len(offsets) - 1
+        if n == 0:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        # content branch: 2-layer tanh MLP over unit multihot gram features
+        grams, rows = char_ngram_hashes(data, offsets, n=3)
+        multi = self._unit(hashed_ngram_multihot(grams, rows, n, self.feat_dim))
+        mlp_h = self._unit(np.tanh(2.0 * (multi @ w["wm1"])) @ w["wm2"])
+        # sequence branch: attention stack, CLS-pooled, null-centered
+        tok, mask = self._token_ids(strings)
+        attn_h = self._unit(self._forward(tok, mask) - w["null"][None, :])
+        hidden = mlp_h + 0.25 * attn_h
+        out = hidden @ w["proj"] if w["proj"] is not None else hidden
+        if self.normalize:
+            out = self._unit(out)
+        return out.astype(np.float32)
 
 
 class HFEncoder:
