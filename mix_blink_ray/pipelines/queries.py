@@ -2828,6 +2828,64 @@ def docs_media_features(sf_dir: str):
     return feats.select_columns(["media_id", "n_bytes", "byte_sum"])
 
 
+def docs_media_dimensions(sf_dir: str):
+    """REAL image-header decode as a driver query (round-3 VERDICT item 6):
+    every document becomes a syntactically valid image payload — even
+    doc_ids a PNG (signature + IHDR), odd a JPEG (SOI + APP0 + SOF0, so the
+    marker WALK is exercised, not a fixed peek) — with dimensions derived
+    from doc_id; the actor-pool stage (``stages/multimodal.py``
+    ``ImageFeatures(backend="real_headers")``) parses width/height back out
+    of the BYTES in pure numpy (``parse_image_dims``).  The oracle replays
+    the dimension arithmetic; a parser that misread headers, byte order, or
+    segment lengths hash-mismatches immediately."""
+    from ..stages.multimodal import ImageFeatures, make_jpeg_payloads, make_png_payloads
+
+    ds = _t(sf_dir, "documents", ["doc_id"])
+
+    def to_media(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        w = (ids % 640) + 1
+        h = (ids % 480) + 1
+        even = ids % 2 == 0
+        png_flat, png_off = make_png_payloads(w[even], h[even])
+        jpg_flat, jpg_off = make_jpeg_payloads(w[~even], h[~even])
+
+        def as_bin(flat: np.ndarray, off: np.ndarray) -> pa.Array:
+            return pa.Array.from_buffers(
+                pa.large_binary(),
+                len(off) - 1,
+                [None, pa.py_buffer(off.tobytes()), pa.py_buffer(flat.tobytes())],
+            )
+
+        ptbl = pa.table(
+            {"media_id": pc.cast(pa.array(ids[even]), pa.string()), "payload": as_bin(png_flat, png_off)}
+        )
+        jtbl = pa.table(
+            {"media_id": pc.cast(pa.array(ids[~even]), pa.string()), "payload": as_bin(jpg_flat, jpg_off)}
+        )
+        return pa.concat_tables([ptbl, jtbl])
+
+    feats = ds.map_batches(to_media, batch_format="pyarrow").map_batches(
+        ImageFeatures,
+        fn_constructor_kwargs={"backend": "real_headers", "dim": 32},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        batch_size=256,
+    )
+    return feats.map_batches(
+        lambda b: pa.table(
+            {
+                "media_id": b["media_id"],
+                "fmt": b["img_format"],
+                "width": b["img_width"],
+                "height": b["img_height"],
+                "n_bytes": b["n_bytes"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def docs_er_clusters(sf_dir: str):
     """The COMPLETE classic entity-resolution chain in one query, every stage
     SQL-replayed: meta-blocking candidates (S61) → exact char-trigram Jaccard
@@ -3778,6 +3836,7 @@ QUERIES = {
     "events_retention_cohorts": events_retention_cohorts,
     "docs_meta_blocking": docs_meta_blocking,
     "docs_media_features": docs_media_features,
+    "docs_media_dimensions": docs_media_dimensions,
     "docs_er_clusters": docs_er_clusters,
     "docs_blocking_quality": docs_blocking_quality,
     "users_click_purchase_full_outer": users_click_purchase_full_outer,
@@ -4232,6 +4291,14 @@ ORACLE_SQL = {
             SELECT e.dst, r.m FROM reach r JOIN e ON e.src = r.node
         )
         SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node
+    """,
+    "docs_media_dimensions": """
+        SELECT CAST(doc_id AS VARCHAR) AS media_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+               CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+               CAST(doc_id % 480 + 1 AS BIGINT) AS height,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 35 END AS BIGINT) AS n_bytes
+        FROM documents
     """,
     "docs_media_features": """
         WITH e AS (

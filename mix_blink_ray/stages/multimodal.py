@@ -31,6 +31,9 @@ __all__ = [
     "AudioFeatures",
     "VideoFrameSampler",
     "synth_media_batch",
+    "parse_image_dims",
+    "make_png_payloads",
+    "make_jpeg_payloads",
 ]
 
 # Canonical multimodal schema: payload + typed metadata.
@@ -85,6 +88,134 @@ def _payload_matrix(payload: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np
     return data, offsets
 
 
+_PNG_SIG = np.frombuffer(b"\x89PNG\r\n\x1a\n", dtype=np.uint8)
+
+
+def parse_image_dims(
+    data: np.ndarray, offsets: np.ndarray, scan_limit: int = 65536
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """REAL image-header decode in pure numpy — no imaging library.
+
+    Returns ``(width, height, fmt)`` int32 arrays per payload; ``fmt`` is
+    1 = PNG, 2 = JPEG, 0 = unparseable (width/height −1).
+
+    - PNG: 8-byte signature then the IHDR chunk — width big-endian at bytes
+      16-20, height at 20-24 (PNG spec §11.2.2).  Fully vectorized (fixed
+      offsets).
+    - JPEG: SOI ``FFD8`` then marker segments ``FF xx LEN(BE)``; dimensions
+      live in the SOFn frame header (``C0-CF`` except ``C4/C8/CC``): height
+      BE at +5, width BE at +7 (ITU T.81 §B.2.2).  The marker walk is
+      per-row Python but bounded by HEADER bytes — it stops at SOF/SOS or
+      ``scan_limit``, never scanning entropy-coded image data.
+    """
+    n = len(offsets) - 1
+    width = np.full(n, -1, dtype=np.int32)
+    height = np.full(n, -1, dtype=np.int32)
+    fmt = np.zeros(n, dtype=np.int32)
+    if n == 0 or len(data) == 0:
+        return width, height, fmt
+    lens = offsets[1:] - offsets[:-1]
+
+    # ── PNG: vectorized signature + IHDR field gather ──
+    cand = np.flatnonzero(lens >= 24)
+    if len(cand):
+        sig_idx = offsets[cand, None] + np.arange(8)
+        is_png = (data[sig_idx] == _PNG_SIG[None, :]).all(axis=1)
+        # first chunk type MUST be IHDR (bytes 12-16, PNG spec §5.6/§11.2.2)
+        ihdr_idx = offsets[cand, None] + 12 + np.arange(4)
+        is_png &= (data[ihdr_idx] == np.frombuffer(b"IHDR", dtype=np.uint8)[None, :]).all(axis=1)
+        png = cand[is_png]
+        if len(png):
+            def be32(at: np.ndarray) -> np.ndarray:
+                b = data[at[:, None] + np.arange(4)].astype(np.int64)
+                return (b[:, 0] << 24) | (b[:, 1] << 16) | (b[:, 2] << 8) | b[:, 3]
+
+            width[png] = be32(offsets[png] + 16).astype(np.int32)
+            height[png] = be32(offsets[png] + 20).astype(np.int32)
+            fmt[png] = 1
+
+    # ── JPEG: per-row bounded marker walk ──
+    _SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+    # clamp the probe indices so EMPTY rows (offset == len(data)) never
+    # index out of bounds; the lens>=4 mask already excludes them logically
+    first = np.minimum(offsets[:-1], len(data) - 1)
+    jcand = np.flatnonzero(
+        (lens >= 4) & (fmt == 0)
+        & (data[first] == 0xFF)
+        & (data[np.minimum(first + 1, len(data) - 1)] == 0xD8)
+    )
+    for i in jcand:
+        lo, hi = int(offsets[i]), int(offsets[i + 1])
+        hi = min(hi, lo + scan_limit)
+        p = lo + 2
+        while p + 3 < hi:
+            if data[p] != 0xFF:
+                break
+            marker = int(data[p + 1])
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # standalone markers
+                p += 2
+                continue
+            if marker in (0xD9, 0xDA):  # EOI / SOS: dimensions must precede
+                break
+            seg_len = (int(data[p + 2]) << 8) | int(data[p + 3])
+            if seg_len < 2:
+                break
+            if marker in _SOF:
+                if p + 8 < hi:
+                    height[i] = (int(data[p + 5]) << 8) | int(data[p + 6])
+                    width[i] = (int(data[p + 7]) << 8) | int(data[p + 8])
+                    fmt[i] = 2
+                break
+            p += 2 + seg_len
+    return width, height, fmt
+
+
+def make_png_payloads(widths: np.ndarray, heights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Minimal valid-header PNG payloads (signature + IHDR, zeroed CRC —
+    the parser reads fields, not checksums), vectorized: one (flat_bytes,
+    offsets) pair for n rows of 33 bytes each."""
+    n = len(widths)
+    buf = np.zeros((n, 33), dtype=np.uint8)
+    buf[:, :8] = _PNG_SIG
+    buf[:, 8:12] = np.array([0, 0, 0, 13], dtype=np.uint8)  # IHDR data length
+    buf[:, 12:16] = np.frombuffer(b"IHDR", dtype=np.uint8)
+    w = widths.astype(np.int64)
+    h = heights.astype(np.int64)
+    for j in range(4):
+        buf[:, 16 + j] = (w >> (8 * (3 - j))) & 0xFF
+        buf[:, 20 + j] = (h >> (8 * (3 - j))) & 0xFF
+    buf[:, 24] = 8   # bit depth
+    buf[:, 25] = 2   # color type: truecolor
+    offsets = np.arange(n + 1, dtype=np.int64) * 33
+    return buf.reshape(-1), offsets
+
+
+def make_jpeg_payloads(widths: np.ndarray, heights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Minimal JPEG payloads: SOI + APP0(JFIF) + SOF0 + EOI (35 bytes) —
+    the APP0 segment forces the parser to WALK markers, not peek a fixed
+    offset."""
+    n = len(widths)
+    buf = np.zeros((n, 35), dtype=np.uint8)
+    buf[:, 0:2] = [0xFF, 0xD8]                                  # SOI
+    buf[:, 2:4] = [0xFF, 0xE0]                                  # APP0
+    buf[:, 4:6] = [0x00, 0x10]                                  # len 16
+    buf[:, 6:11] = np.frombuffer(b"JFIF\x00", dtype=np.uint8)
+    buf[:, 20:22] = [0xFF, 0xC0]                                # SOF0
+    buf[:, 22:24] = [0x00, 0x0B]                                # len 11 (1 component)
+    buf[:, 24] = 8                                              # precision
+    w = widths.astype(np.int64)
+    h = heights.astype(np.int64)
+    buf[:, 25] = (h >> 8) & 0xFF
+    buf[:, 26] = h & 0xFF
+    buf[:, 27] = (w >> 8) & 0xFF
+    buf[:, 28] = w & 0xFF
+    buf[:, 29] = 1                                              # n components
+    buf[:, 30:33] = [1, 0x11, 0]                                # comp spec
+    buf[:, 33:35] = [0xFF, 0xD9]                                # EOI
+    offsets = np.arange(n + 1, dtype=np.int64) * 35
+    return buf.reshape(-1), offsets
+
+
 @dataclass
 class _FakeFeatureMixin:
     """Deterministic byte-derived features standing in for a real decoder."""
@@ -108,10 +239,15 @@ class _FakeFeatureMixin:
 class ImageFeatures(_FakeFeatureMixin):
     """Actor-pool stage: image payload → feature vector (+resize metadata).
 
-    ``backend="real"`` would decode via PIL/opencv — not in this container,
-    so it raises; ``backend="fake"`` derives deterministic features from the
-    bytes.  Use with ``map_batches(ImageFeatures, concurrency=(1, N),
-    batch_size=32)`` — small batches, payloads dominate block size.
+    ``backend="real"`` would decode pixel data via PIL/opencv — not in this
+    container, so it raises; ``backend="fake"`` derives deterministic
+    features from the bytes; ``backend="real_headers"`` additionally runs a
+    REAL pure-numpy JPEG/PNG header decode (:func:`parse_image_dims`) and
+    emits ``img_width``/``img_height``/``img_format`` (``png``/``jpeg``/
+    ``unknown``) parsed from the payload — honest real decode of the
+    dimension headers, fake float features.  Use with
+    ``map_batches(ImageFeatures, concurrency=(1, N), batch_size=32)`` —
+    small batches, payloads dominate block size.
     """
 
     def __init__(self, backend: str = "fake", dim: int = 32, resize: tuple[int, int] = (224, 224)):
@@ -120,8 +256,8 @@ class ImageFeatures(_FakeFeatureMixin):
         self.resize = resize
         if backend == "real":  # pragma: no cover - libs not in container
             raise NotImplementedError(
-                "real image decode requires PIL/opencv, which are not installed; "
-                "use backend='fake'"
+                "real pixel decode requires PIL/opencv, which are not installed; "
+                "use backend='real_headers' (header-only real decode) or 'fake'"
             )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -133,7 +269,7 @@ class ImageFeatures(_FakeFeatureMixin):
         # the float feature path
         csum = np.concatenate([[0], np.cumsum(data, dtype=np.int64)])
         byte_sum = csum[offsets[1:]] - csum[offsets[:-1]]
-        return pa.table(
+        out = pa.table(
             {
                 "media_id": batch["media_id"],
                 "feature": pa.FixedSizeListArray.from_arrays(pa.array(emb.reshape(-1)), self.dim),
@@ -143,6 +279,15 @@ class ImageFeatures(_FakeFeatureMixin):
                 "byte_sum": pa.array(byte_sum.astype(np.int64)),
             }
         )
+        if self.backend == "real_headers":
+            w, h, fmt = parse_image_dims(data, offsets)
+            names = np.array(["unknown", "png", "jpeg"], dtype=object)
+            out = (
+                out.append_column("img_width", pa.array(w.astype(np.int64)))
+                .append_column("img_height", pa.array(h.astype(np.int64)))
+                .append_column("img_format", pa.array(list(names[fmt]), pa.string()))
+            )
+        return out
 
 
 class AudioFeatures(_FakeFeatureMixin):

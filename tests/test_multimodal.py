@@ -114,3 +114,82 @@ def test_image_features_byte_sum_exact():
     assert got == {"a": 6, "b": 0, "c": sum(range(256))}
     n = dict(zip(out["media_id"].to_pylist(), out["n_bytes"].to_pylist()))
     assert n == {"a": 3, "b": 0, "c": 256}
+
+
+def test_parse_image_dims_png_jpeg_roundtrip_and_garbage():
+    """Pure-numpy header decode: exact roundtrip through the synthetic
+    PNG/JPEG builders (random dims up to 16-bit), and -1/unknown for
+    garbage, truncated, and SOF-less payloads."""
+    import numpy as np
+
+    from mix_blink_ray.stages.multimodal import (
+        make_jpeg_payloads,
+        make_png_payloads,
+        parse_image_dims,
+    )
+
+    rng = np.random.RandomState(11)
+    w = rng.randint(1, 65535, size=50).astype(np.int64)
+    h = rng.randint(1, 65535, size=50).astype(np.int64)
+    for builder, fmt_code in [(make_png_payloads, 1), (make_jpeg_payloads, 2)]:
+        flat, off = builder(w, h)
+        pw, ph, fmt = parse_image_dims(flat, off)
+        assert (pw == w).all() and (ph == h).all() and (fmt == fmt_code).all()
+
+    # garbage / truncated / marker-walk dead ends
+    bad = [
+        b"not an image at all....................",
+        b"\x89PNG\r\n\x1a\nIHDRonly20bytes..",          # too short for IHDR fields
+        b"\xff\xd8\xff\xe0\x00\x10JFIF\x00..........\xff\xd9",  # JPEG, no SOF
+        b"\xff\xd8\xff",                                  # truncated after SOI
+        b"",
+    ]
+    flat = np.frombuffer(b"".join(bad), dtype=np.uint8)
+    off = np.cumsum([0] + [len(x) for x in bad]).astype(np.int64)
+    pw, ph, fmt = parse_image_dims(flat, off)
+    assert (fmt == 0).all() and (pw == -1).all() and (ph == -1).all()
+
+
+def test_image_features_real_headers_actor_pool(ray_session):
+    """real_headers backend through the actual map_batches actor pool:
+    parsed dims surface alongside the lineage checksums."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mix_blink_ray.stages.multimodal import ImageFeatures, make_jpeg_payloads, make_png_payloads
+
+    w = np.array([640, 31], dtype=np.int64)
+    h = np.array([480, 7], dtype=np.int64)
+    pf, po = make_png_payloads(w[:1], h[:1])
+    jf, jo = make_jpeg_payloads(w[1:], h[1:])
+
+    def as_bin(flat, off):
+        return pa.Array.from_buffers(
+            pa.large_binary(), len(off) - 1,
+            [None, pa.py_buffer(off.tobytes()), pa.py_buffer(flat.tobytes())],
+        )
+
+    tbl = pa.table(
+        {
+            "media_id": pa.array(["p0", "j1"]),
+            "payload": pa.concat_arrays([as_bin(pf, po), as_bin(jf, jo)]),
+        }
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(
+            ImageFeatures,
+            fn_constructor_kwargs={"backend": "real_headers", "dim": 8},
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+            batch_size=1,
+        )
+        .to_pandas()
+        .sort_values("media_id")
+        .set_index("media_id")
+    )
+    assert out.loc["p0", "img_format"] == "png" and out.loc["j1", "img_format"] == "jpeg"
+    assert out.loc["p0", "img_width"] == 640 and out.loc["p0", "img_height"] == 480
+    assert out.loc["j1", "img_width"] == 31 and out.loc["j1", "img_height"] == 7
+    assert out.loc["p0", "n_bytes"] == 33 and out.loc["j1", "n_bytes"] == 35
