@@ -44,6 +44,9 @@ def score_matrix(queries: np.ndarray, catalog: np.ndarray, measure: str = "ip") 
     raise ValueError(f"measure must be one of {MEASURES}, got {measure!r}")
 
 
+_ROW_TILE = 16384  # rows per top-k tile; see topk_indices
+
+
 def topk_indices(scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic top-k per row: ``(indices (Q,k), scores (Q,k))``.
 
@@ -55,8 +58,40 @@ def topk_indices(scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
         raise ValueError(f"k must be positive, got {k}")
     q, v = scores.shape
     k = min(k, v)
+    if q > _ROW_TILE and k < v:
+        # Row tiling: the general path's np.argpartition materializes a
+        # FULL-width int64 permutation — multi-GB for a (300k, 1500) score
+        # matrix — and becomes memory-traffic-bound (measured 7× slower than
+        # 16k-row tiles at k=15).  Tiles keep the working set cache-sized;
+        # results are row-independent so concatenation is exact.
+        parts = [
+            topk_indices(scores[lo : lo + _ROW_TILE], k)
+            for lo in range(0, q, _ROW_TILE)
+        ]
+        return (
+            np.concatenate([p[0] for p in parts], axis=0),
+            np.concatenate([p[1] for p in parts], axis=0),
+        )
     if k == v:
         part = np.broadcast_to(np.arange(v), (q, v)).copy()
+    elif k <= 8:
+        # Small-k fast path: k argmax sweeps.  np.argpartition materializes a
+        # FULL-width int64 permutation — ~4 GB for a (300k, 1500) score
+        # matrix — and its tie repair re-scans everything; k linear argmax
+        # passes touch only the float matrix and are exactly lexicographic
+        # already (np.argmax returns the FIRST maximum ⇒ score desc, index
+        # asc — the same contract as the general path below).
+        s = scores.copy()
+        idx = np.empty((q, k), dtype=np.int64)
+        out = np.empty((q, k), dtype=scores.dtype)
+        rows = np.arange(q)
+        for j in range(k):
+            i = np.argmax(s, axis=1)
+            idx[:, j] = i
+            out[:, j] = s[rows, i]
+            if j + 1 < k:
+                s[rows, i] = -np.inf
+        return idx, out
     else:
         part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
         # argpartition picks ARBITRARY members of a tie straddling the k-th
