@@ -1513,6 +1513,21 @@ def emb_near_dup_exact(sf_dir: str):
     return _round(pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"cosine": 4})
 
 
+def emb_semantic_dedup(sf_dir: str):
+    """SemDeDup-shape semantic dedup (Abbas et al. 2023 — see
+    ``stages/dedup.py`` ``semantic_dedup``): LSH-bucketed cosine ≥ 0.3
+    candidates, deterministic keep-lowest-id drop rule, drop-list
+    broadcast/join duality.  τ = 0.3 exercises real drops on the synth
+    embeddings (max in-bucket cosine ≈ 0.35; the cosine is float64 on both
+    sides, the same boundary contract ``emb_near_dup_exact`` has run green
+    on since round 2)."""
+    from ..stages.dedup import DedupConfig, semantic_dedup
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = semantic_dedup(ds, DedupConfig(cosine_threshold=0.3))
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def emb_near_dup(sf_dir: str):
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = embedding_near_dup_pairs(ds, DedupConfig(cosine_threshold=0.95)).to_pandas()
@@ -3879,6 +3894,7 @@ QUERIES = {
     "lineitem_bloom_semi_join": lineitem_bloom_semi_join,
     "emb_norms": emb_norms,
     "emb_near_dup": emb_near_dup,
+    "emb_semantic_dedup": emb_semantic_dedup,
     "emb_near_dup_exact": emb_near_dup_exact,
     "events_value_quantiles": events_value_quantiles,
     "events_range_bins": events_range_bins,
@@ -5578,14 +5594,13 @@ def _lsh_knn_sql() -> str:
 ORACLE_SQL["emb_knn_lsh_top5"] = _lsh_knn_sql()
 
 
-def _emb_near_dup_sql(threshold: float = 0.95) -> str:
-    """Embedding-LSH near-dup replay: the single 12-plane sign sketch
-    (``RandomState(42).randn(64, 12).astype(float32)``, embedded exactly —
-    repr round-trips each f32 as a double), bucket = 12-bit key equality,
-    then in-bucket exact cosine ≥ 0.95.  Sign parity is safe: min
-    |projection| on the synth embeddings is ~2e-4, ~20× the engine's own
-    float32 dot-product noise floor; cosine-threshold parity is safe: max
-    in-bucket cosine is ~0.35, nowhere near 0.95."""
+def _emb_lsh_scored_cte() -> str:
+    """Shared replay prefix for the embedding-LSH family: the single
+    12-plane sign sketch (``RandomState(42).randn(64, 12).astype(float32)``,
+    embedded exactly — repr round-trips each f32 as a double), bucket =
+    12-bit key equality, then in-bucket exact float64 cosine.  Sign parity
+    is safe: min |projection| on the synth embeddings is ~2e-4, ~20× the
+    engine's own dot-product noise floor."""
     from ..stages.dedup import DedupConfig
 
     cfg = DedupConfig()
@@ -5615,13 +5630,42 @@ def _emb_near_dup_sql(threshold: float = 0.95) -> str:
             JOIN embeddings ea ON ea.vec_id = c.a_id
             JOIN embeddings eb ON eb.vec_id = c.b_id
         )
+    """
+
+
+def _emb_near_dup_sql(threshold: float = 0.95) -> str:
+    """Embedding-LSH near-dup replay — cosine-threshold parity is safe at
+    0.95: max in-bucket cosine on the synth embeddings is ~0.35."""
+    return (
+        _emb_lsh_scored_cte()
+        + f"""
         SELECT a_id, b_id,
                CAST(round(cos * 1000000) AS BIGINT) / 1000000.0 AS cosine
         FROM scored WHERE cos >= {threshold}
     """
+    )
+
+
+def _emb_semantic_dedup_sql(threshold: float) -> str:
+    """SemDeDup replay: the keep-lowest-id drop rule over the scored LSH
+    pairs — a vector drops iff some lower-id bucket-mate has cosine ≥ τ."""
+    return (
+        _emb_lsh_scored_cte()
+        + f""",
+        drops AS (
+            SELECT b_id AS vec_id, CAST(min(a_id) AS BIGINT) AS dup_of
+            FROM scored WHERE cos >= {threshold} GROUP BY b_id
+        )
+        SELECT e.vec_id,
+               CASE WHEN d.vec_id IS NULL THEN 'kept' ELSE 'dropped' END AS status,
+               COALESCE(d.dup_of, -1) AS dup_of
+        FROM embeddings e LEFT JOIN drops d ON e.vec_id = d.vec_id
+    """
+    )
 
 
 ORACLE_SQL["emb_near_dup"] = _emb_near_dup_sql()
+ORACLE_SQL["emb_semantic_dedup"] = _emb_semantic_dedup_sql(0.3)
 
 # The jsonl_mentions oracle reads the fixture path directly — make sure the
 # fixture exists as soon as this module is imported (the driver may run the

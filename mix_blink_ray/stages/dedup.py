@@ -41,6 +41,7 @@ __all__ = [
     "simhash_near_dup_pairs",
     "ngram_jaccard_verify",
     "embedding_near_dup_pairs",
+    "semantic_dedup",
     "similarity_join_exact",
     "dedup_corpus",
     "dedup_incremental",
@@ -701,17 +702,21 @@ def embedding_near_dup_pairs(
         key = np.zeros(len(vecs), dtype=np.int64)
         for j in range(n_planes):
             key |= signs[:, j].astype(np.int64) << j
-        norm = np.linalg.norm(vecs, axis=1, keepdims=True)
-        unit = np.divide(vecs, norm, out=np.zeros_like(vecs), where=norm > 0)
+        # normalize in FLOAT64: the verify cosine must match a float64 SQL
+        # oracle through a ≥-threshold comparison, and float32 unit vectors
+        # put ~1e-6 of noise on the boundary
+        v64 = vecs.astype(np.float64)
+        norm = np.linalg.norm(v64, axis=1, keepdims=True)
+        unit = np.divide(v64, norm, out=np.zeros_like(v64), where=norm > 0)
         # unit vectors ride the shuffle as large_binary (built zero-copy from
-        # the float32 buffer): acero's hash join — used by the colliding-key
-        # prefilter — rejects fixed_size_list payload columns.
+        # the float buffer): acero's hash join rejects fixed_size_list
+        # payload columns.
         n_rows, dim = vecs.shape
-        offs = np.arange(n_rows + 1, dtype=np.int64) * (4 * dim)
+        offs = np.arange(n_rows + 1, dtype=np.int64) * (8 * dim)
         unit_bin = pa.Array.from_buffers(
             pa.large_binary(),
             n_rows,
-            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(unit.astype(np.float32).tobytes())],
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(unit.tobytes())],
         )
         return pa.table(
             {
@@ -740,8 +745,8 @@ def embedding_near_dup_pairs(
         ]
         raw = np.frombuffer(unit_col.buffers()[2], dtype=np.uint8)
         nbytes = int(offs[1] - offs[0])
-        # equal-length rows: gather each row's byte range, reinterpret float32
-        u = raw[offs[:-1, None] + np.arange(nbytes)].view(np.float32)
+        # equal-length rows: gather each row's byte range, reinterpret float64
+        u = raw[offs[:-1, None] + np.arange(nbytes)].view(np.float64)
         # Hot-bucket salt cap (blocking.add_salt pattern): a degenerate bucket
         # is O(n²); beyond the cap, split into deterministic salted sub-groups
         # and pair only within a salt.  Unlike MinHash bands there is no band
@@ -775,6 +780,116 @@ def embedding_near_dup_pairs(
         in_bucket_pairs,
         n_buckets=_auto_buckets(embeddings.count()),
     )
+
+
+def semantic_dedup(
+    embeddings: Dataset,
+    cfg: DedupConfig = DedupConfig(),
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    broadcast_limit: int | None = None,
+) -> Dataset:
+    """SemDeDup-shape semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540: drop near-duplicate SEMANTIC neighbors found inside
+    clustered embedding buckets): LSH-bucketed candidate pairs at cosine ≥
+    ``cfg.cosine_threshold`` (:func:`embedding_near_dup_pairs` — never
+    all-pairs), then the deterministic keep-lowest-id rule — a vector drops
+    iff a LOWER-id vector matches it, ``dup_of`` = the smallest such id.
+
+    Returns one row per input vector: ``(vec_id, status kept|dropped,
+    dup_of)`` (−1 when kept).  The drop list is ∝ near-duplicates, so it
+    broadcasts below ``broadcast_limit`` (map-side searchsorted attach) and
+    falls back to a partitioned left join above it — the engine's standard
+    duality, both paths parity-tested."""
+    import os as _os
+
+    import ray
+
+    from .clustering import clamped_partitions
+
+    if broadcast_limit is None:
+        broadcast_limit = int(_os.environ.get("GRAFT_SEMI_BROADCAST_LIMIT", 20_000_000))
+    pairs = embedding_near_dup_pairs(embeddings, cfg, vec_col=vec_col, id_col=id_col)
+    drops = (
+        pairs.map_batches(
+            lambda b: pa.table({"did": b["b_id"], "dup_of": b["a_id"]}),
+            batch_format="pyarrow",
+        )
+        .groupby("did")
+        .aggregate(Min("dup_of", alias_name="dup_of"))
+        .materialize()
+    )
+    n_drops = drops.count()
+    ids_only = embeddings.map_batches(
+        lambda b: pa.table({id_col: b[id_col]}), batch_format="pyarrow"
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        dup = np.asarray(pc.fill_null(b["dup_of"], -1), dtype=np.int64)
+        status = np.where(dup >= 0, "dropped", "kept")
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "status": pa.array(list(status), pa.string()),
+                "dup_of": pa.array(dup),
+            }
+        )
+
+    if n_drops == 0:
+        return ids_only.map_batches(
+            lambda b: pa.table(
+                {
+                    id_col: b[id_col],
+                    "status": pa.array(["kept"] * b.num_rows, pa.string()),
+                    "dup_of": pa.array(np.full(b.num_rows, -1, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    if n_drops <= broadcast_limit:
+        dt = pa.concat_tables(
+            [t for t in ray.get(drops.to_arrow_refs()) if t.num_rows]  # empty blocks lose schema
+        )
+        dk = np.asarray(dt["did"], dtype=np.int64)
+        dv = np.asarray(dt["dup_of"], dtype=np.int64)
+        order = np.argsort(dk)
+        drop_ref = ray.put((dk[order], dv[order]))
+
+        def attach(b: pa.Table) -> pa.Table:
+            k, v = ray.get(drop_ref)
+            ids = np.asarray(b[id_col], dtype=np.int64)
+            pos = np.clip(np.searchsorted(k, ids), 0, len(k) - 1)
+            hit = k[pos] == ids
+            dup = np.where(hit, v[pos], -1)
+            return pa.table(
+                {
+                    id_col: b[id_col],
+                    "dup_of": pa.array(dup.astype(np.int64)),
+                }
+            )
+
+        attached = ids_only.map_batches(attach, batch_format="pyarrow")
+        return attached.map_batches(
+            lambda b: pa.table(
+                {
+                    id_col: b[id_col],
+                    "status": pa.array(
+                        list(np.where(np.asarray(b["dup_of"], dtype=np.int64) >= 0, "dropped", "kept")),
+                        pa.string(),
+                    ),
+                    "dup_of": b["dup_of"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    joined = ids_only.join(
+        drops,
+        join_type="left_outer",
+        num_partitions=clamped_partitions(n_drops, 16),
+        on=(id_col,),
+        right_on=("did",),
+    )
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 def dedup_incremental(

@@ -235,3 +235,42 @@ def test_grouped_run_pairs_matches_per_key_grouping_and_bounds_python():
             for y in range(x + 1, len(members)):
                 want.add((members[x], members[y]))
     assert got == want
+
+
+def test_semantic_dedup_keep_lowest_and_join_fallback():
+    """SemDeDup rule on a constructed corpus: three near-identical vectors
+    (cos ≈ 1) collapse to the lowest id; an orthogonal vector stays.  The
+    broadcast attach and the forced partitioned-join fallback
+    (broadcast_limit=0) must agree exactly."""
+    from mix_blink_ray.stages.dedup import DedupConfig, semantic_dedup
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(64)
+    other = rng.randn(64)
+    other -= other @ base / (base @ base) * base  # orthogonal to base
+    vecs = [base, base * 2.0, base * 0.5 + 1e-9 * other, other]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([10, 11, 12, 13], pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs]),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    out = (
+        semantic_dedup(ds, DedupConfig(cosine_threshold=0.95))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["status"]) == ["kept", "dropped", "dropped", "kept"]
+    assert list(out["dup_of"]) == [-1, 10, 10, -1]
+
+    forced = (
+        semantic_dedup(rd.from_arrow(tbl), DedupConfig(cosine_threshold=0.95), broadcast_limit=0)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(out, forced)
