@@ -1513,6 +1513,29 @@ def emb_near_dup_exact(sf_dir: str):
     return _round(pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"cosine": 4})
 
 
+def docs_lm_perplexity(sf_dir: str):
+    """CCNet-style n-gram LM quality scoring (Wenzek et al. 2020; see
+    ``stages/lm.py``): a Laplace-smoothed bigram LM counted over the corpus
+    in one map-side-combined groupby, broadcast once, then every document
+    scored vectorized — output is per-doc average bigram NLL (monotone in
+    perplexity), the quantity CCNet buckets on.  The oracle replays the
+    whole thing: token/bigram counts, V, and the −ln((c₂+1)/(c₁+V)) terms."""
+    from ..stages.lm import bigram_lm_scores
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = bigram_lm_scores(ds)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_bigrams": b["n_bigrams"],
+                "avg_nll": _round_col(b["avg_nll"], 6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def emb_semantic_dedup(sf_dir: str):
     """SemDeDup-shape semantic dedup (Abbas et al. 2023 — see
     ``stages/dedup.py`` ``semantic_dedup``): LSH-bucketed cosine ≥ 0.3
@@ -3895,6 +3918,7 @@ QUERIES = {
     "emb_norms": emb_norms,
     "emb_near_dup": emb_near_dup,
     "emb_semantic_dedup": emb_semantic_dedup,
+    "docs_lm_perplexity": docs_lm_perplexity,
     "emb_near_dup_exact": emb_near_dup_exact,
     "events_value_quantiles": events_value_quantiles,
     "events_range_bins": events_range_bins,
@@ -4307,6 +4331,26 @@ ORACLE_SQL = {
             SELECT e.dst, r.m FROM reach r JOIN e ON e.src = r.node
         )
         SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node
+    """,
+    "docs_lm_perplexity": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents WHERE trim(text) <> ''
+        ), bg AS (
+            SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS g
+            FROM toks, unnest(range(1, len(t))) AS r(i)
+        ), uni AS (
+            SELECT t[i] AS w, CAST(count(*) AS BIGINT) AS n
+            FROM toks, unnest(range(1, len(t) + 1)) AS r(i) GROUP BY t[i]
+        ), bi AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY g
+        ), v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni)
+        SELECT bg.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(round(avg(-ln((bi.n + 1.0) / (uni.n + 1.0 * v.v))) * 1000000)
+                    AS BIGINT) / 1000000.0 AS avg_nll
+        FROM bg JOIN bi USING (g) JOIN uni ON uni.w = bg.w1 CROSS JOIN v
+        GROUP BY bg.doc_id
     """,
     "docs_media_dimensions": """
         SELECT CAST(doc_id AS VARCHAR) AS media_id,

@@ -1,0 +1,47 @@
+"""Bigram LM perplexity scoring (stages/lm.py): known-value check, the
+vocabulary broadcast guard, and row-layout invariance.  SQL parity is
+covered by the oracle sweep (docs_lm_perplexity)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from mix_blink_ray.stages.lm import bigram_lm_scores
+
+
+def _corpus():
+    return pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["a b a", "a b", "solo", "  "]),
+        }
+    )
+
+
+def test_bigram_lm_known_values():
+    out = bigram_lm_scores(rd.from_arrow(_corpus())).to_pandas().set_index("doc_id")
+    # uni: a=3 b=2 solo=1 → V=3; bi: "a b"=2, "b a"=1
+    # doc0: (-ln((2+1)/(3+3)) - ln((1+1)/(2+3))) / 2 ; doc1: -ln(3/6)
+    t_ab = -np.log(3 / 6)
+    t_ba = -np.log(2 / 5)
+    assert set(out.index) == {0, 1}  # <2-token docs emit no row
+    assert out.loc[0, "n_bigrams"] == 2 and out.loc[1, "n_bigrams"] == 1
+    assert abs(out.loc[0, "avg_nll"] - (t_ab + t_ba) / 2) < 1e-12
+    assert abs(out.loc[1, "avg_nll"] - t_ab) < 1e-12
+
+
+def test_bigram_lm_block_layout_invariant():
+    a = bigram_lm_scores(rd.from_arrow(_corpus()).repartition(1)).to_pandas()
+    b = bigram_lm_scores(rd.from_arrow(_corpus()).repartition(4)).to_pandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_bigram_lm_vocab_guard_raises():
+    with pytest.raises(ValueError, match="broadcast cap"):
+        bigram_lm_scores(rd.from_arrow(_corpus()), max_vocab=2)
