@@ -1536,6 +1536,40 @@ def docs_lm_perplexity(sf_dir: str):
     )
 
 
+def docs_dsir_importance(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023; ``stages/lm.py``
+    ``dsir_log_importance``): every document weighted by log p_target −
+    log p_raw under two corpus-counted bigram LMs — target = the
+    lexicographically first source (deterministic, SQL-replayable), raw =
+    the whole corpus.  Both models broadcast once; one scoring pass.  The
+    oracle replays both count tables, both vocabularies, and every
+    smoothed −ln term (LEFT JOIN + COALESCE for the unseen-gram smoothing
+    mass)."""
+    from ..stages.lm import dsir_log_importance
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "source"])
+    srcs = ds.map_batches(
+        lambda b: pa.table({"source": pc.unique(b["source"])}), batch_format="pyarrow"
+    ).to_pandas()
+    tgt_src = sorted(srcs["source"])[0]
+    target = ds.map_batches(
+        lambda b: b.filter(pc.equal(b["source"], tgt_src)).select(["doc_id", "text"]),
+        batch_format="pyarrow",
+    )
+    raw = ds.map_batches(lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow")
+    out = dsir_log_importance(raw, target)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_bigrams": b["n_bigrams"],
+                "log_w": _round_col(b["log_w"], 6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def emb_semantic_dedup(sf_dir: str):
     """SemDeDup-shape semantic dedup (Abbas et al. 2023 — see
     ``stages/dedup.py`` ``semantic_dedup``): LSH-bucketed cosine ≥ 0.3
@@ -3919,6 +3953,7 @@ QUERIES = {
     "emb_near_dup": emb_near_dup,
     "emb_semantic_dedup": emb_semantic_dedup,
     "docs_lm_perplexity": docs_lm_perplexity,
+    "docs_dsir_importance": docs_dsir_importance,
     "emb_near_dup_exact": emb_near_dup_exact,
     "events_value_quantiles": events_value_quantiles,
     "events_range_bins": events_range_bins,
@@ -4350,6 +4385,46 @@ ORACLE_SQL = {
                CAST(round(avg(-ln((bi.n + 1.0) / (uni.n + 1.0 * v.v))) * 1000000)
                     AS BIGINT) / 1000000.0 AS avg_nll
         FROM bg JOIN bi USING (g) JOIN uni ON uni.w = bg.w1 CROSS JOIN v
+        GROUP BY bg.doc_id
+    """,
+    "docs_dsir_importance": """
+        WITH tgt AS (
+            SELECT doc_id, text FROM documents
+            WHERE source = (SELECT min(source) FROM documents)
+        ), toks_r AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents WHERE trim(text) <> ''
+        ), toks_t AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM tgt WHERE trim(text) <> ''
+        ), bg AS (
+            SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS g
+            FROM toks_r, unnest(range(1, len(t))) AS r(i)
+        ), uni_r AS (
+            SELECT t[i] AS w, CAST(count(*) AS BIGINT) AS n
+            FROM toks_r, unnest(range(1, len(t) + 1)) AS r(i) GROUP BY t[i]
+        ), bi_r AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY g
+        ), v_r AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni_r
+        ), uni_t AS (
+            SELECT t[i] AS w, CAST(count(*) AS BIGINT) AS n
+            FROM toks_t, unnest(range(1, len(t) + 1)) AS r(i) GROUP BY t[i]
+        ), bi_t AS (
+            SELECT t[i] || ' ' || t[i+1] AS g, CAST(count(*) AS BIGINT) AS n
+            FROM toks_t, unnest(range(1, len(t))) AS r(i) GROUP BY g
+        ), v_t AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni_t)
+        SELECT bg.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(round(sum(
+                   -ln((COALESCE(bi_r.n, 0) + 1.0) / (COALESCE(uni_r.n, 0) + 1.0 * v_r.v))
+                   + ln((COALESCE(bi_t.n, 0) + 1.0) / (COALESCE(uni_t.n, 0) + 1.0 * v_t.v))
+               ) * 1000000) AS BIGINT) / 1000000.0 AS log_w
+        FROM bg
+        LEFT JOIN bi_r ON bi_r.g = bg.g
+        LEFT JOIN uni_r ON uni_r.w = bg.w1
+        LEFT JOIN bi_t ON bi_t.g = bg.g
+        LEFT JOIN uni_t ON uni_t.w = bg.w1
+        CROSS JOIN v_r CROSS JOIN v_t
         GROUP BY bg.doc_id
     """,
     "docs_media_dimensions": """

@@ -45,3 +45,24 @@ def test_bigram_lm_block_layout_invariant():
 def test_bigram_lm_vocab_guard_raises():
     with pytest.raises(ValueError, match="broadcast cap"):
         bigram_lm_scores(rd.from_arrow(_corpus()), max_vocab=2)
+
+
+def test_dsir_importance_orders_target_like_docs_first():
+    """DSIR log_w = nll_raw − nll_target must rank documents resembling the
+    target distribution above off-target ones."""
+    from mix_blink_ray.stages.lm import dsir_log_importance
+
+    target_texts = ["alpha beta gamma delta"] * 3
+    raw_texts = [
+        "alpha beta gamma delta",      # 0: exactly target-like
+        "alpha beta gamma epsilon",    # 1: mostly target-like
+        "totally unrelated words here",# 2: off-target
+    ]
+    raw = rd.from_arrow(
+        pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()), "text": pa.array(raw_texts)})
+    )
+    tgt = rd.from_arrow(
+        pa.table({"doc_id": pa.array([10, 11, 12], pa.int64()), "text": pa.array(target_texts)})
+    )
+    out = dsir_log_importance(raw, tgt).to_pandas().set_index("doc_id")["log_w"]
+    assert out[0] > out[1] > out[2]
