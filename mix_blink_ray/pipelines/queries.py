@@ -1536,6 +1536,58 @@ def docs_lm_perplexity(sf_dir: str):
     )
 
 
+def docs_media_audio(sf_dir: str):
+    """REAL canonical-WAV header decode as a driver query (the audio twin
+    of ``docs_media_dimensions``): every document becomes a valid 16-bit
+    PCM WAV payload with sample rate / channels / frame count derived from
+    doc_id, and the actor-pool stage (``stages/multimodal.py``
+    ``AudioFeatures(backend="real_headers")``) parses them back out of the
+    little-endian RIFF header fields.  The oracle replays the arithmetic —
+    including ``duration_ms = frames·1000 // sample_rate`` integer floor."""
+    from ..stages.multimodal import AudioFeatures, make_wav_payloads
+
+    ds = _t(sf_dir, "documents", ["doc_id"])
+
+    def to_media(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        sr = 8000 + (ids % 8) * 4000
+        ch = 1 + (ids % 2)
+        frames = ids % 32
+        flat, off = make_wav_payloads(sr, ch, frames)
+        payload = pa.Array.from_buffers(
+            pa.large_binary(),
+            len(off) - 1,
+            [None, pa.py_buffer(off.tobytes()), pa.py_buffer(flat.tobytes())],
+        )
+        return pa.table(
+            {
+                "media_id": pc.cast(pa.array(ids), pa.string()),
+                "payload": payload,
+                "duration_ms": pa.array(np.zeros(len(ids), dtype=np.int32)),
+            }
+        )
+
+    feats = ds.map_batches(to_media, batch_format="pyarrow").map_batches(
+        AudioFeatures,
+        fn_constructor_kwargs={"backend": "real_headers", "dim": 32},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        batch_size=256,
+    )
+    return feats.map_batches(
+        lambda b: pa.table(
+            {
+                "media_id": b["media_id"],
+                "sample_rate": b["sample_rate"],
+                "n_channels": b["wav_channels"],
+                "bits_per_sample": b["bits_per_sample"],
+                "wav_duration_ms": b["wav_duration_ms"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def docs_dsir_importance(sf_dir: str):
     """DSIR importance weights (Xie et al. 2023; ``stages/lm.py``
     ``dsir_log_importance``): every document weighted by log p_target −
@@ -3909,6 +3961,7 @@ QUERIES = {
     "docs_meta_blocking": docs_meta_blocking,
     "docs_media_features": docs_media_features,
     "docs_media_dimensions": docs_media_dimensions,
+    "docs_media_audio": docs_media_audio,
     "docs_er_clusters": docs_er_clusters,
     "docs_blocking_quality": docs_blocking_quality,
     "users_click_purchase_full_outer": users_click_purchase_full_outer,
@@ -4426,6 +4479,16 @@ ORACLE_SQL = {
         LEFT JOIN uni_t ON uni_t.w = bg.w1
         CROSS JOIN v_r CROSS JOIN v_t
         GROUP BY bg.doc_id
+    """,
+    "docs_media_audio": """
+        SELECT CAST(doc_id AS VARCHAR) AS media_id,
+               CAST(8000 + (doc_id % 8) * 4000 AS BIGINT) AS sample_rate,
+               CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+               CAST(16 AS BIGINT) AS bits_per_sample,
+               CAST(((doc_id % 32) * (1 + doc_id % 2) * 2 * 1000)
+                    // ((8000 + (doc_id % 8) * 4000) * (1 + doc_id % 2) * 2)
+                    AS BIGINT) AS wav_duration_ms
+        FROM documents
     """,
     "docs_media_dimensions": """
         SELECT CAST(doc_id AS VARCHAR) AS media_id,

@@ -32,8 +32,10 @@ __all__ = [
     "VideoFrameSampler",
     "synth_media_batch",
     "parse_image_dims",
+    "parse_wav_headers",
     "make_png_payloads",
     "make_jpeg_payloads",
+    "make_wav_payloads",
 ]
 
 # Canonical multimodal schema: payload + typed metadata.
@@ -290,8 +292,99 @@ class ImageFeatures(_FakeFeatureMixin):
         return out
 
 
+def parse_wav_headers(
+    data: np.ndarray, offsets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """REAL canonical-WAV header decode in pure numpy (RIFF spec): validates
+    the ``RIFF``/``WAVE``/``fmt ``/``data`` magics at their canonical
+    offsets, then reads little-endian fields — returns ``(sample_rate,
+    n_channels, bits_per_sample, duration_ms)`` per payload, all −1 for
+    anything that is not a canonical 44-byte-header WAV.  ``duration_ms =
+    data_size · 1000 // byte_rate`` (integer floor, SQL-replayable).  Fully
+    vectorized — canonical WAV has fixed field offsets, no chunk walk."""
+    n = len(offsets) - 1
+    sr = np.full(n, -1, dtype=np.int64)
+    ch = np.full(n, -1, dtype=np.int64)
+    bits = np.full(n, -1, dtype=np.int64)
+    dur = np.full(n, -1, dtype=np.int64)
+    if n == 0 or len(data) == 0:
+        return sr, ch, bits, dur
+    lens = offsets[1:] - offsets[:-1]
+    cand = np.flatnonzero(lens >= 44)
+    if not len(cand):
+        return sr, ch, bits, dur
+
+    def eq(at: int, magic: bytes) -> np.ndarray:
+        m = np.frombuffer(magic, dtype=np.uint8)
+        idx = offsets[cand, None] + at + np.arange(len(m))
+        return (data[idx] == m[None, :]).all(axis=1)
+
+    ok = eq(0, b"RIFF") & eq(8, b"WAVE") & eq(12, b"fmt ") & eq(36, b"data")
+    wav = cand[ok]
+    if not len(wav):
+        return sr, ch, bits, dur
+
+    def le(at: int, nbytes: int) -> np.ndarray:
+        b = data[offsets[wav, None] + at + np.arange(nbytes)].astype(np.int64)
+        out = np.zeros(len(wav), dtype=np.int64)
+        for j in range(nbytes):
+            out |= b[:, j] << (8 * j)
+        return out
+
+    ch[wav] = le(22, 2)
+    sr[wav] = le(24, 4)
+    byte_rate = le(28, 4)
+    bits[wav] = le(34, 2)
+    data_size = le(40, 4)
+    dur[wav] = np.where(byte_rate > 0, data_size * 1000 // np.maximum(byte_rate, 1), -1)
+    return sr, ch, bits, dur
+
+
+def make_wav_payloads(
+    sample_rates: np.ndarray, n_channels: np.ndarray, n_frames: np.ndarray, bits: int = 16
+) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical 16-bit PCM WAV payloads (44-byte header + zeroed sample
+    data), vectorized; rows are variable length so the offsets carry it."""
+    n = len(sample_rates)
+    block = n_channels.astype(np.int64) * (bits // 8)
+    data_size = n_frames.astype(np.int64) * block
+    total = 44 + data_size
+    offsets = np.concatenate([[0], np.cumsum(total)]).astype(np.int64)
+    flat = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    starts = offsets[:-1]
+
+    def put(at: int, magic: bytes):
+        m = np.frombuffer(magic, dtype=np.uint8)
+        flat[starts[:, None] + at + np.arange(len(m))] = m[None, :]
+
+    def le(at: int, vals: np.ndarray, nbytes: int):
+        v = vals.astype(np.int64)
+        for j in range(nbytes):
+            flat[starts + at + j] = (v >> (8 * j)) & 0xFF
+
+    put(0, b"RIFF")
+    le(4, 36 + data_size, 4)
+    put(8, b"WAVE")
+    put(12, b"fmt ")
+    le(16, np.full(n, 16), 4)            # fmt chunk size
+    le(20, np.full(n, 1), 2)             # PCM
+    le(22, n_channels, 2)
+    le(24, sample_rates, 4)
+    le(28, sample_rates.astype(np.int64) * block, 4)  # byte rate
+    le(32, block, 2)
+    le(34, np.full(n, bits), 2)
+    put(36, b"data")
+    le(40, data_size, 4)
+    return flat, offsets
+
+
 class AudioFeatures(_FakeFeatureMixin):
-    """Actor-pool stage: audio payload → frame-level feature summary."""
+    """Actor-pool stage: audio payload → frame-level feature summary.
+
+    ``backend="real"`` (sample decode) raises — soundfile/librosa absent;
+    ``backend="real_headers"`` runs the REAL canonical-WAV header decode
+    (:func:`parse_wav_headers`) and emits ``sample_rate``/``wav_channels``/
+    ``bits_per_sample``/``wav_duration_ms`` parsed from the payload bytes."""
 
     def __init__(self, backend: str = "fake", dim: int = 32, frame_ms: int = 25):
         self.backend = backend
@@ -299,20 +392,30 @@ class AudioFeatures(_FakeFeatureMixin):
         self.frame_ms = frame_ms
         if backend == "real":  # pragma: no cover
             raise NotImplementedError(
-                "real audio decode requires soundfile/librosa, not installed; use backend='fake'"
+                "real audio decode requires soundfile/librosa, not installed; "
+                "use backend='real_headers' (header-only real decode) or 'fake'"
             )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         data, offsets = _payload_matrix(batch["payload"])
         emb = self._fake_embed(data, offsets)
         dur = np.asarray(batch["duration_ms"], dtype=np.int64)
-        return pa.table(
+        out = pa.table(
             {
                 "media_id": batch["media_id"],
                 "feature": pa.FixedSizeListArray.from_arrays(pa.array(emb.reshape(-1)), self.dim),
                 "n_frames": pa.array(np.maximum(dur // self.frame_ms, 0)),
             }
         )
+        if self.backend == "real_headers":
+            sr, ch, bits, wdur = parse_wav_headers(data, offsets)
+            out = (
+                out.append_column("sample_rate", pa.array(sr))
+                .append_column("wav_channels", pa.array(ch))
+                .append_column("bits_per_sample", pa.array(bits))
+                .append_column("wav_duration_ms", pa.array(wdur))
+            )
+        return out
 
 
 class VideoFrameSampler:

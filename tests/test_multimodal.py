@@ -193,3 +193,25 @@ def test_image_features_real_headers_actor_pool(ray_session):
     assert out.loc["p0", "img_width"] == 640 and out.loc["p0", "img_height"] == 480
     assert out.loc["j1", "img_width"] == 31 and out.loc["j1", "img_height"] == 7
     assert out.loc["p0", "n_bytes"] == 33 and out.loc["j1", "n_bytes"] == 35
+
+
+def test_parse_wav_headers_roundtrip_and_garbage():
+    import numpy as np
+
+    from mix_blink_ray.stages.multimodal import make_wav_payloads, parse_wav_headers
+
+    rng = np.random.RandomState(3)
+    sr = rng.choice([8000, 16000, 44100, 48000], size=30).astype(np.int64)
+    ch = rng.choice([1, 2], size=30).astype(np.int64)
+    frames = rng.randint(0, 500, size=30).astype(np.int64)
+    flat, off = make_wav_payloads(sr, ch, frames)
+    psr, pch, pbits, pdur = parse_wav_headers(flat, off)
+    assert (psr == sr).all() and (pch == ch).all() and (pbits == 16).all()
+    want_dur = frames * ch * 2 * 1000 // (sr * ch * 2)
+    assert (pdur == want_dur).all()
+
+    bad = [b"RIFFxxxxWAVEnot fmt chunk..............................", b"tiny", b""]
+    flat = np.frombuffer(b"".join(bad), dtype=np.uint8)
+    off = np.cumsum([0] + [len(x) for x in bad]).astype(np.int64)
+    psr, pch, pbits, pdur = parse_wav_headers(flat, off)
+    assert (psr == -1).all() and (pdur == -1).all()
