@@ -1588,6 +1588,54 @@ def docs_media_audio(sf_dir: str):
     )
 
 
+def docs_media_video(sf_dir: str):
+    """REAL MP4 ``moov/mvhd`` header decode driving the frame-sampling
+    flat-map (the video leg of the media trio): each document becomes a
+    structurally valid MP4 (ftyp + moov/mvhd, timescale and duration from
+    doc_id); ``VideoFrameSampler(backend="real_headers")`` walks the boxes,
+    derives the clip duration from the BYTES, and explodes one row per
+    sampled frame.  Output: per-clip frame counts — the oracle replays
+    duration_ms = dur·1000 // timescale and the sampling-grid arithmetic."""
+    from ..stages.multimodal import VideoFrameSampler, make_mp4_payloads
+
+    ds = _t(sf_dir, "documents", ["doc_id"])
+
+    def to_media(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        ts = 1000 + (ids % 10) * 100
+        dur_units = (ids % 20) * 2500
+        flat, off = make_mp4_payloads(ts, dur_units)
+        payload = pa.Array.from_buffers(
+            pa.large_binary(),
+            len(off) - 1,
+            [None, pa.py_buffer(off.tobytes()), pa.py_buffer(flat.tobytes())],
+        )
+        return pa.table(
+            {
+                "media_id": pc.cast(pa.array(ids), pa.string()),
+                "payload": payload,
+                # metadata column deliberately zero: the sampler must take
+                # the duration from the parsed mvhd, not this fallback
+                "duration_ms": pa.array(np.zeros(len(ids), dtype=np.int64)),
+            }
+        )
+
+    frames = ds.map_batches(to_media, batch_format="pyarrow").map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"backend": "real_headers", "every_ms": 1000, "max_frames": 16},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        batch_size=256,
+    )
+    return (
+        frames.map_batches(
+            lambda b: pa.table({"media_id": b["media_id"]}), batch_format="pyarrow"
+        )
+        .groupby("media_id")
+        .aggregate(Count(alias_name="n_frames"))
+    )
+
+
 def docs_dsir_importance(sf_dir: str):
     """DSIR importance weights (Xie et al. 2023; ``stages/lm.py``
     ``dsir_log_importance``): every document weighted by log p_target −
@@ -3962,6 +4010,7 @@ QUERIES = {
     "docs_media_features": docs_media_features,
     "docs_media_dimensions": docs_media_dimensions,
     "docs_media_audio": docs_media_audio,
+    "docs_media_video": docs_media_video,
     "docs_er_clusters": docs_er_clusters,
     "docs_blocking_quality": docs_blocking_quality,
     "users_click_purchase_full_outer": users_click_purchase_full_outer,
@@ -4479,6 +4528,16 @@ ORACLE_SQL = {
         LEFT JOIN uni_t ON uni_t.w = bg.w1
         CROSS JOIN v_r CROSS JOIN v_t
         GROUP BY bg.doc_id
+    """,
+    "docs_media_video": """
+        WITH v AS (
+            SELECT doc_id,
+                   (((doc_id % 20) * 2500) * 1000) // (1000 + (doc_id % 10) * 100) AS dur_ms
+            FROM documents
+        )
+        SELECT CAST(doc_id AS VARCHAR) AS media_id,
+               CAST(least(dur_ms // 1000, 16) AS BIGINT) AS n_frames
+        FROM v WHERE dur_ms // 1000 > 0
     """,
     "docs_media_audio": """
         SELECT CAST(doc_id AS VARCHAR) AS media_id,

@@ -33,9 +33,11 @@ __all__ = [
     "synth_media_batch",
     "parse_image_dims",
     "parse_wav_headers",
+    "parse_mp4_headers",
     "make_png_payloads",
     "make_jpeg_payloads",
     "make_wav_payloads",
+    "make_mp4_payloads",
 ]
 
 # Canonical multimodal schema: payload + typed metadata.
@@ -418,9 +420,101 @@ class AudioFeatures(_FakeFeatureMixin):
         return out
 
 
+def parse_mp4_headers(
+    data: np.ndarray, offsets: np.ndarray, scan_limit: int = 65536
+) -> tuple[np.ndarray, np.ndarray]:
+    """REAL MP4/ISO-BMFF header decode in pure numpy/Python: walks the
+    top-level box chain (``size(4 BE) type(4)``), descends into ``moov``,
+    reads ``mvhd`` — movie timescale + duration (version 0: 32-bit fields
+    at +20/+24; version 1: 64-bit at +28/+32, ISO 14496-12 §8.2.2).
+    Returns ``(timescale, duration_ms)``, −1 where no valid mvhd is found.
+    Like the JPEG marker walk, the per-row loop is bounded by HEADER bytes
+    (box sizes skip media data; ``scan_limit`` caps pathological files)."""
+    n = len(offsets) - 1
+    ts = np.full(n, -1, dtype=np.int64)
+    dur = np.full(n, -1, dtype=np.int64)
+    if n == 0 or len(data) == 0:
+        return ts, dur
+
+    def be(pos: int, nbytes: int) -> int:
+        v = 0
+        for j in range(nbytes):
+            v = (v << 8) | int(data[pos + j])
+        return v
+
+    for i in range(n):
+        lo, hi = int(offsets[i]), int(offsets[i + 1])
+        hi = min(hi, lo + scan_limit)
+        p = lo
+        while p + 8 <= hi:
+            size = be(p, 4)
+            typ = bytes(data[p + 4 : p + 8])
+            if typ == b"moov":
+                q = p + 8
+                moov_end = min(p + size, hi)
+                while q + 8 <= moov_end:
+                    csize = be(q, 4)
+                    ctyp = bytes(data[q + 4 : q + 8])
+                    if ctyp == b"mvhd" and q + 32 <= moov_end:
+                        version = int(data[q + 8])
+                        if version == 0:
+                            t, d = be(q + 20, 4), be(q + 24, 4)
+                        elif version == 1 and q + 40 <= moov_end:
+                            t, d = be(q + 28, 4), be(q + 32, 8)
+                        else:
+                            break
+                        if t > 0:
+                            ts[i] = t
+                            dur[i] = d * 1000 // t
+                        break
+                    if csize < 8:
+                        break
+                    q += csize
+                break
+            if size < 8:
+                break
+            p += size
+    return ts, dur
+
+
+def make_mp4_payloads(timescales: np.ndarray, durations: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Minimal structurally valid MP4 payloads: ``ftyp`` (16 B) + ``moov``
+    containing a spec-sized 108-byte version-0 ``mvhd`` — 132 B per row,
+    vectorized.  The builder writes real box sizes, so the parser must
+    genuinely WALK boxes (ftyp is skipped by its size field)."""
+    n = len(timescales)
+    buf = np.zeros((n, 132), dtype=np.uint8)
+
+    def put(at: int, magic: bytes):
+        buf[:, at : at + len(magic)] = np.frombuffer(magic, dtype=np.uint8)[None, :]
+
+    def be(at: int, vals, nbytes: int):
+        v = np.asarray(vals, dtype=np.int64)
+        for j in range(nbytes):
+            buf[:, at + j] = (v >> (8 * (nbytes - 1 - j))) & 0xFF
+
+    be(0, np.full(n, 16), 4)
+    put(4, b"ftypisom")
+    be(12, np.full(n, 512), 4)          # minor version
+    be(16, np.full(n, 116), 4)          # moov size = 8 + 108
+    put(20, b"moov")
+    be(24, np.full(n, 108), 4)          # mvhd size (spec v0 size)
+    put(28, b"mvhd")
+    # version 0 + flags already zero; ctime/mtime zero
+    be(44, timescales, 4)
+    be(48, durations, 4)
+    offsets = np.arange(n + 1, dtype=np.int64) * 132
+    return buf.reshape(-1), offsets
+
+
 class VideoFrameSampler:
     """Actor-pool flat-map: video payload → one row per sampled frame
-    (deterministic timestamps; frame payload is a stubbed byte slice)."""
+    (deterministic timestamps; frame payload is a stubbed byte slice).
+
+    ``backend="real_headers"`` takes the clip duration from a REAL MP4
+    ``moov/mvhd`` header decode (:func:`parse_mp4_headers`) instead of the
+    ``duration_ms`` metadata column (falling back to it when no valid mvhd
+    parses) — the sampling grid then derives from the payload BYTES."""
 
     def __init__(self, backend: str = "fake", every_ms: int = 1000, max_frames: int = 16):
         self.backend = backend
@@ -428,7 +522,8 @@ class VideoFrameSampler:
         self.max_frames = max_frames
         if backend == "real":  # pragma: no cover
             raise NotImplementedError(
-                "real frame extraction requires ffmpeg/opencv, not installed; use backend='fake'"
+                "real frame extraction requires ffmpeg/opencv, not installed; "
+                "use backend='real_headers' (header-derived sampling grid) or 'fake'"
             )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -437,6 +532,9 @@ class VideoFrameSampler:
         # only the byte-slice step; the explode plumbing stays identical).
         data, offsets = _payload_matrix(batch["payload"])
         dur = np.asarray(batch["duration_ms"], dtype=np.int64)
+        if self.backend == "real_headers":
+            _, parsed = parse_mp4_headers(data, offsets)
+            dur = np.where(parsed >= 0, parsed, dur)
         n_frames = np.minimum(np.maximum(dur, 0) // self.every_ms, self.max_frames)
         row = np.repeat(np.arange(batch.num_rows, dtype=np.int64), n_frames)
         frame = np.arange(row.size, dtype=np.int64) - np.repeat(

@@ -215,3 +215,23 @@ def test_parse_wav_headers_roundtrip_and_garbage():
     off = np.cumsum([0] + [len(x) for x in bad]).astype(np.int64)
     psr, pch, pbits, pdur = parse_wav_headers(flat, off)
     assert (psr == -1).all() and (pdur == -1).all()
+
+
+def test_parse_mp4_headers_roundtrip_and_garbage():
+    import numpy as np
+
+    from mix_blink_ray.stages.multimodal import make_mp4_payloads, parse_mp4_headers
+
+    rng = np.random.RandomState(9)
+    ts = rng.choice([600, 1000, 90000], size=25).astype(np.int64)
+    dur = rng.randint(0, 10**6, size=25).astype(np.int64)
+    flat, off = make_mp4_payloads(ts, dur)
+    pts, pdur = parse_mp4_headers(flat, off)
+    assert (pts == ts).all()
+    assert (pdur == dur * 1000 // ts).all()
+
+    bad = [b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00no moov here....", b"short", b""]
+    flat = np.frombuffer(b"".join(bad), dtype=np.uint8)
+    off = np.cumsum([0] + [len(x) for x in bad]).astype(np.int64)
+    pts, pdur = parse_mp4_headers(flat, off)
+    assert (pts == -1).all() and (pdur == -1).all()
