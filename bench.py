@@ -117,6 +117,12 @@ def run_bench() -> dict:
     # ── representative operator queries ─────────────────────────────────────
     # (skipped in --scaling legs: the scaling criterion measures the headline
     # pipeline, and the query suite at 2-4 CPUs costs minutes per leg)
+    #
+    # Fresh Ray session for the query phase: three headline reps leave
+    # object-store/worker residue that inflated the shuffle-heavy queries up
+    # to 4× (docs_minhash_near_dup measured 3.9 s in a fresh session vs
+    # 14-22 s after the headline on the same box) — each phase now measures
+    # in a clean room.
     bench_queries = [] if os.environ.get("GRAFT_SKIP_QUERIES") else [
         "q1_pricing_summary",
         "q3_top_orders",
@@ -134,14 +140,27 @@ def run_bench() -> dict:
         "q5_local_supplier_volume",
         "customers_surface_link_top3",
     ]
-    qs = entry.queries()
     q_times: dict[str, float] = {}
-    for name in bench_queries:
-        tq = time.time()
-        out = qs[name](sf_dir)
-        if hasattr(out, "to_pandas"):
-            out.to_pandas() if not hasattr(out, "materialize") else out.materialize()
-        q_times[name] = round(time.time() - tq, 3)
+    if bench_queries:
+        ray.shutdown()
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        rd.DataContext.get_current().enable_progress_bars = False
+        rd.range(num_cpus * 2, override_num_blocks=num_cpus * 2).map_batches(
+            _warm, batch_size=1
+        ).count()
+        qs = entry.queries()
+        for name in bench_queries:
+            tq = time.time()
+            out = qs[name](sf_dir)
+            if hasattr(out, "to_pandas"):
+                out.to_pandas() if not hasattr(out, "materialize") else out.materialize()
+            q_times[name] = round(time.time() - tq, 3)
 
     load_after = _load_context()
     steal_pct = None
