@@ -269,3 +269,36 @@ def test_merge_topk_vectorized_ties_and_ranks():
 
     empty = _merge_topk(partials.iloc[:0], k=3).to_pandas()
     assert len(empty) == 0 and list(empty.columns) == ["query_id", "vec_id", "rank"]
+
+
+@given(
+    st.lists(st.binary(max_size=200), min_size=0, max_size=8),
+    st.sampled_from(["png_prefix", "jpeg_prefix", "wav_prefix", "mp4_prefix", "raw"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_media_header_parsers_total_on_fuzz(payloads, prefix):
+    """The pure-numpy header parsers must be TOTAL: arbitrary (including
+    magic-prefixed truncated) bytes never raise — they parse or return the
+    −1 sentinels.  Real crawl data contains every possible corruption."""
+    from mix_blink_ray.stages.multimodal import (
+        parse_image_dims,
+        parse_mp4_headers,
+        parse_wav_headers,
+    )
+
+    magic = {
+        "png_prefix": b"\x89PNG\r\n\x1a\n",
+        "jpeg_prefix": b"\xff\xd8\xff",
+        "wav_prefix": b"RIFF\x10\x00\x00\x00WAVE",
+        "mp4_prefix": b"\x00\x00\x00\x10ftypisom",
+        "raw": b"",
+    }[prefix]
+    blobs = [magic + p for p in payloads]
+    flat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    off = np.cumsum([0] + [len(x) for x in blobs]).astype(np.int64)
+    w, h, fmt = parse_image_dims(flat, off)
+    assert len(w) == len(blobs) and ((fmt == 0) == (w == -1)).all()
+    sr, ch, bits, dur = parse_wav_headers(flat, off)
+    assert len(sr) == len(blobs)
+    ts, vdur = parse_mp4_headers(flat, off)
+    assert len(ts) == len(blobs)
