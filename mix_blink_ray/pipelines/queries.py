@@ -2147,6 +2147,67 @@ def docs_split_assign(sf_dir: str):
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def docs_split_leakage_safe(sf_dir: str):
+    """Leakage-safe train/val/test split: near-duplicate documents must land
+    in the SAME split, or held-out eval text leaks into training via its
+    near-copies (the intra-corpus contamination failure the GPT-3/PaLM
+    decontamination papers fix across corpora).  Pipeline: verified near-dup
+    closure (window candidate pairs → 3-gram Jaccard ≥ 0.5 →
+    min-label connected components, all distributed) assigns every doc a
+    cluster id; the split is then the Lehmer hash of the CLUSTER id — not
+    the doc id — so whole clusters move together and no verified pair can
+    ever straddle splits (asserted directly in
+    ``tests/test_leakage_split.py``).  Shuffle cost beyond the closure is
+    two label-sized exchanges; per-split counts, distinct-cluster counts and
+    an id checksum value-check the full assignment."""
+    from ..stages.clustering import cluster_nodes
+    from ..stages.dedup import ngram_jaccard_verify
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    verified = ngram_jaccard_verify(_window_pair_table(ds, 5), ds, threshold=0.5)
+    edges = verified.map_batches(
+        lambda b: pa.table(
+            {
+                "src": pc.utf8_lpad(pc.cast(b["a_id"], pa.string()), 20, "0"),
+                "dst": pc.utf8_lpad(pc.cast(b["b_id"], pa.string()), 20, "0"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    nodes = ds.map_batches(
+        lambda b: pa.table({"node": pc.utf8_lpad(pc.cast(b["doc_id"], pa.string()), 20, "0")}),
+        batch_format="pyarrow",
+    )
+    labels = cluster_nodes(edges, nodes, mode="auto")
+
+    def assign(b: pa.Table) -> pa.Table:
+        doc = pc.cast(b["node"], pa.int64()).to_numpy(zero_copy_only=False)
+        lab = pc.cast(b["label"], pa.int64()).to_numpy(zero_copy_only=False)
+        r = (lab % 2147483647) * 48271 % 2147483647 % 10
+        split = np.where(r < 8, "train", np.where(r == 8, "val", "test"))
+        return pa.table(
+            {
+                "split": pa.array(split.astype(object), pa.string()),
+                "cluster_id": pa.array(lab, pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
+            }
+        )
+
+    per_cluster = (
+        labels.map_batches(assign, batch_format="pyarrow")
+        .groupby(["split", "cluster_id"])
+        .aggregate(Count(alias_name="n_docs_c"), Sum("doc_id", alias_name="sum_id_c"))
+    )
+    out = per_cluster.groupby("split").aggregate(
+        Count(alias_name="n_clusters"),
+        Sum("n_docs_c", alias_name="n_docs"),
+        Sum("sum_id_c", alias_name="sum_doc_id"),
+    )
+    return pa.Table.from_pandas(
+        out.to_pandas()[["split", "n_docs", "n_clusters", "sum_doc_id"]], preserve_index=False
+    )
+
+
 def nation_order_revenue(sf_dir: str):
     """Multi-way dimension join (orders ⋈ customer ⋈ nation) without
     shuffling the fact table: the two dimension maps broadcast once
@@ -4073,6 +4134,7 @@ QUERIES = {
     "docs_regex_scrub": docs_regex_scrub,
     "events_p95_filter": events_p95_filter,
     "docs_split_assign": docs_split_assign,
+    "docs_split_leakage_safe": docs_split_leakage_safe,
     "nation_order_revenue": nation_order_revenue,
     "events_approx_distinct_users": events_approx_distinct_users,
     "events_value_cume_dist": events_value_cume_dist,
@@ -5358,6 +5420,43 @@ ORACLE_SQL = {
             FROM documents
         )
         GROUP BY 1, 2
+    """,
+    "docs_split_leakage_safe": """
+        WITH RECURSIVE g AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) >= 3
+                        THEN list_distinct(list_transform(
+                                 generate_series(1, length(text) - 2),
+                                 i -> substring(text, i, 3)))
+                        WHEN length(text) > 0 THEN [text]
+                        ELSE CAST([] AS VARCHAR[]) END AS grams
+            FROM documents
+        ), p AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM g a JOIN g b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) >= 0.5
+        ), e AS (
+            SELECT a_id AS src, b_id AS dst FROM p
+            UNION ALL SELECT b_id, a_id FROM p
+        ), reach(node, m) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, r.m FROM reach r JOIN e ON e.src = r.node
+        ), labels AS (
+            SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node
+        ), a AS (
+            SELECT doc_id, cluster_id,
+                   CASE WHEN (cluster_id % 2147483647) * 48271 % 2147483647 % 10 < 8
+                        THEN 'train'
+                        WHEN (cluster_id % 2147483647) * 48271 % 2147483647 % 10 = 8
+                        THEN 'val' ELSE 'test' END AS split
+            FROM labels
+        )
+        SELECT split, count(*) AS n_docs,
+               count(DISTINCT cluster_id) AS n_clusters,
+               sum(doc_id) AS sum_doc_id
+        FROM a GROUP BY split
     """,
     "nation_order_revenue": """
         SELECT n_name, count(*) AS n_orders,
