@@ -2277,6 +2277,22 @@ def events_approx_distinct_users(sf_dir: str):
     return hll_distinct(ds, "event_type", "user_id", p=12)
 
 
+def events_cms_user_counts(sf_dir: str):
+    """Count-Min point-count estimates (depth 4 × width 2048) for a fixed
+    probe set of user ids — the counter-merge dual of the HLL sketch: when
+    even the distinct-key set is too large to shuffle, per-batch counter
+    grids merge with one ``groupby(r, idx).sum`` bounded by depth × width
+    rows, row-count AND key-cardinality free.  Deterministic splitmix64 over
+    fixed public seeds, replayed bit-exact in DuckDB HUGEINT SQL
+    (``_build_cms_oracle``); estimates are ≥ true counts by construction
+    (overestimate-only property forced + asserted in
+    ``tests/test_cms.py``)."""
+    from ..stages.sketches import cms_counts
+
+    ds = _t(sf_dir, "events", ["user_id"])
+    return cms_counts(ds, "user_id", probe_keys=list(range(20)), depth=4, width=2048)
+
+
 def events_value_cume_dist(sf_dir: str):
     """Per-row ``cume_dist`` within each event type WITHOUT the global sort
     the window function implies: the cent-histogram of values per type is
@@ -4137,6 +4153,7 @@ QUERIES = {
     "docs_split_leakage_safe": docs_split_leakage_safe,
     "nation_order_revenue": nation_order_revenue,
     "events_approx_distinct_users": events_approx_distinct_users,
+    "events_cms_user_counts": events_cms_user_counts,
     "events_value_cume_dist": events_value_cume_dist,
     "users_click_no_purchase": users_click_no_purchase,
 }
@@ -5670,6 +5687,58 @@ def _build_hll_oracle(p: int = 12) -> None:
 
 
 _build_hll_oracle()
+
+
+def _build_cms_oracle(depth: int = 4, width: int = 2048, n_probes: int = 20) -> None:
+    """Replay the Count-Min sketch exactly in DuckDB: per-key exact counts
+    (the map-side contraction), the splitmix64(key ^ seed) chain per depth
+    row in HUGEINT mod-2^64 (same split-multiply trick as the HLL oracle),
+    counter cells via GROUP BY (r, idx), and the min-over-rows estimate with
+    missing cells coalesced to 0.  Seeds are the engine's own
+    ``sketches.CMS_SEEDS`` literals so the two sides cannot drift."""
+    from ..stages.sketches import CMS_SEEDS
+
+    m64 = "CAST(18446744073709551616 AS HUGEINT)"
+
+    def mulmod(col: str, c: int) -> str:
+        hi, lo = c >> 32, c & 0xFFFFFFFF
+        return (
+            f"(((({col} % 4294967296) * {hi}) % 4294967296) "
+            f"* 4294967296 + {col} * {lo}) % {m64}"
+        )
+
+    c1 = 0x9E3779B97F4A7C15
+    c2, c3 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    seeds = ", ".join(f"({r}, CAST({CMS_SEEDS[r]} AS HUGEINT))" for r in range(depth))
+    probes = ", ".join(f"(CAST({u} AS HUGEINT))" for u in range(n_probes))
+
+    def chain(src: str, key: str, keep: str) -> str:
+        """CTE chain hashing ``key`` from ``src`` per seed, carrying ``keep``."""
+        return f"""
+        {src}_s1 AS (SELECT r, {keep}, (xor({key}, s) + {c1}) % {m64} AS x
+                     FROM {src} CROSS JOIN seeds),
+        {src}_s2 AS (SELECT r, {keep}, {mulmod("xor(x, x >> 30)", c2)} AS x FROM {src}_s1),
+        {src}_s3 AS (SELECT r, {keep}, {mulmod("xor(x, x >> 27)", c3)} AS x FROM {src}_s2),
+        {src}_h AS (SELECT r, {keep}, xor(x, x >> 31) % {width} AS idx FROM {src}_s3)"""
+
+    ORACLE_SQL["events_cms_user_counts"] = f"""
+        WITH seeds(r, s) AS (VALUES {seeds}),
+        k AS (SELECT CAST(user_id AS HUGEINT) AS uid, count(*) AS n
+              FROM events GROUP BY user_id),
+        {chain("k", "uid", "n")},
+        cells AS (SELECT r, idx, sum(n) AS c FROM k_h GROUP BY r, idx),
+        p(uid) AS (VALUES {probes}),
+        {chain("p", "uid", "uid")},
+        est AS (SELECT p_h.uid, min(coalesce(cells.c, 0)) AS est
+                FROM p_h LEFT JOIN cells
+                  ON cells.r = p_h.r AND cells.idx = p_h.idx
+                GROUP BY p_h.uid)
+        SELECT CAST(uid AS BIGINT) AS user_id, CAST(est AS BIGINT) AS est_count
+        FROM est
+    """
+
+
+_build_cms_oracle()
 
 
 def _build_simhash_oracle() -> None:

@@ -24,9 +24,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Max
+from ray.data.aggregate import Max, Sum
 
-__all__ = ["hll_distinct", "heavy_hitters", "splitmix64"]
+__all__ = ["cms_counts", "hll_distinct", "heavy_hitters", "splitmix64", "CMS_SEEDS"]
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
@@ -238,4 +238,94 @@ def heavy_hitters(
     out = exact[exact["cnt"] >= threshold].sort_values(value_col)
     return pa.table(
         {value_col: pa.array(out[value_col], pa.string()), "cnt": pa.array(out["cnt"], pa.int64())}
+    )
+
+
+# Fixed public row seeds for the Count-Min hash family (digits of pi/e/phi/
+# sqrt2 in hex — nothing-up-my-sleeve constants; the SQL oracle embeds the
+# same literals so the two sides cannot drift).
+CMS_SEEDS = (
+    0x243F6A8885A308D3,  # pi
+    0xB7E151628AED2A6A,  # e
+    0x9E3779B97F4A7C15,  # phi
+    0x6A09E667F3BCC908,  # sqrt2
+)
+
+
+def _cms_partials(b: pa.Table, key_col: str, depth: int, width: int) -> pa.Table:
+    """Per-batch Count-Min counter partials: the batch's exact per-key counts
+    (one ``np.unique`` — keys never leave the batch) scattered into the
+    ``depth × width`` counter grid; only NONZERO cells are emitted, so the
+    exchange carries ≤ depth × min(width, distinct-in-batch) rows per batch
+    regardless of row count."""
+    keys = np.asarray(b[key_col], dtype=np.int64).view(np.uint64)
+    uniq, cnt = np.unique(keys, return_counts=True)
+    cnt = cnt.astype(np.int64)
+    out_r, out_i, out_c = [], [], []
+    for r in range(depth):
+        idx = (splitmix64(uniq ^ np.uint64(CMS_SEEDS[r])) % np.uint64(width)).astype(np.int64)
+        cells = np.zeros(width, dtype=np.int64)
+        np.add.at(cells, idx, cnt)
+        nz = np.flatnonzero(cells)
+        out_r.append(np.full(len(nz), r, dtype=np.int64))
+        out_i.append(nz)
+        out_c.append(cells[nz])
+    return pa.table(
+        {
+            "r": pa.array(np.concatenate(out_r), pa.int64()),
+            "idx": pa.array(np.concatenate(out_i), pa.int64()),
+            "c_partial": pa.array(np.concatenate(out_c), pa.int64()),
+        }
+    )
+
+
+def cms_counts(
+    ds: Dataset,
+    key_col: str,
+    probe_keys: "list[int]",
+    depth: int = 4,
+    width: int = 2048,
+) -> pa.Table:
+    """Count-Min point-count estimates for ``probe_keys`` over an int64 key
+    column.
+
+    The sketch is the counter-merge dual of :func:`hll_distinct`: per-batch
+    counter grids (vectorized, batch-local ``np.unique`` contraction first so
+    a cell partial costs one scatter-add, not one row), merged by ONE
+    ``groupby(r, idx).sum`` whose input is ≤ depth × width × blocks rows and
+    whose output is ≤ depth × width rows — row-count free, key-cardinality
+    free.  The estimate for a key is ``min`` over the depth rows of its
+    counter (Cormode–Muthukrishnan 2005): always ≥ the true count, within
+    ``ε·N`` of it with probability ``1 − (1/2)^depth`` for ``width ≥ 2/ε``.
+
+    Determinism: splitmix64 over fixed public seeds — estimates are
+    bit-stable across batch sizes and partition layouts (sum-merge is
+    order-free), so the whole sketch replays exactly in DuckDB HUGEINT SQL
+    (see ``queries._build_cms_oracle``).
+
+    Returns ``(key_col, est_count)`` sorted by key; absent keys estimate 0
+    unless a collision inflates them (the overestimate-only guarantee —
+    asserted as a property test with a deliberately narrow grid).
+    """
+    merged = (
+        ds.map_batches(
+            lambda b: _cms_partials(b, key_col, depth, width),
+            batch_format="pyarrow",
+        )
+        .groupby(["r", "idx"])
+        .aggregate(Sum("c_partial", alias_name="c"))
+        .to_pandas()
+    )
+    grid = np.zeros((depth, width), dtype=np.int64)
+    if len(merged):
+        grid[merged["r"].to_numpy(), merged["idx"].to_numpy()] = merged["c"].to_numpy()
+    probes = np.asarray(sorted(probe_keys), dtype=np.int64)
+    est = np.full(len(probes), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(depth):
+        idx = (
+            splitmix64(probes.view(np.uint64) ^ np.uint64(CMS_SEEDS[r])) % np.uint64(width)
+        ).astype(np.int64)
+        est = np.minimum(est, grid[r, idx])
+    return pa.table(
+        {key_col: pa.array(probes, pa.int64()), "est_count": pa.array(est, pa.int64())}
     )
