@@ -2293,6 +2293,60 @@ def events_cms_user_counts(sf_dir: str):
     return cms_counts(ds, "user_id", probe_keys=list(range(20)), depth=4, width=2048)
 
 
+def events_salted_type_join(sf_dir: str):
+    """Skew-safe SALTED partitioned join (``stages.joins.salted_join``):
+    events join a per-type weight dimension on ``event_type`` — a handful of
+    distinct values carrying millions of rows each, the worst-case hot-key
+    shape where a plain hash join puts an entire type in ONE partition.  The
+    big side takes a deterministic ``splitmix64(event_id) % n_salts`` salt,
+    the dimension replicates once per salt, and the join runs on
+    (type, salt), spreading each hot key over n_salts partitions; the result
+    multiset is identical to the unsalted join (parity-tested), so the
+    oracle is the plain SQL join.  Post-join the per-user aggregate
+    contracts map-side before one user-keyed exchange."""
+    import ray
+
+    from ..stages.clustering import clamped_partitions
+    from ..stages.joins import salted_join
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+    tdf = (
+        ds.groupby("event_type").aggregate(Count(alias_name="_n")).to_pandas()
+    )  # type-cardinality rows — dimension-sized by construction
+    dim = rd.from_arrow(
+        pa.table(
+            {
+                "t_type": pa.array(tdf["event_type"], pa.string()),
+                "weight": pa.array([len(t) for t in tdf["event_type"]], pa.int64()),
+            }
+        )
+    )
+    n_parts = clamped_partitions(ds.count(), max(8, int(ray.cluster_resources().get("CPU", 8))))
+    joined = salted_join(
+        ds, dim, on="event_type", right_on="t_type", salt_from="event_id",
+        n_salts=8, num_partitions=n_parts,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        w = pa.table(
+            {
+                "user_id": b["user_id"],
+                "wc": pc.multiply(_cents(b["value"]), pc.cast(b["weight"], pa.int64())),
+            }
+        )
+        g = w.group_by("user_id").aggregate([("wc", "sum"), ([], "count_all")])
+        return g.rename_columns(["user_id", "wc_partial", "n_partial"])
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n_partial", alias_name="n_events"), Sum("wc_partial", alias_name="wc"))
+        .to_pandas()
+    )
+    out["weighted_value"] = out.pop("wc").astype(np.float64) / 100.0
+    return pa.Table.from_pandas(out[["user_id", "n_events", "weighted_value"]], preserve_index=False)
+
+
 def events_value_cume_dist(sf_dir: str):
     """Per-row ``cume_dist`` within each event type WITHOUT the global sort
     the window function implies: the cent-histogram of values per type is
@@ -4154,6 +4208,7 @@ QUERIES = {
     "nation_order_revenue": nation_order_revenue,
     "events_approx_distinct_users": events_approx_distinct_users,
     "events_cms_user_counts": events_cms_user_counts,
+    "events_salted_type_join": events_salted_type_join,
     "events_value_cume_dist": events_value_cume_dist,
     "users_click_no_purchase": users_click_no_purchase,
 }
@@ -5437,6 +5492,17 @@ ORACLE_SQL = {
             FROM documents
         )
         GROUP BY 1, 2
+    """,
+    "events_salted_type_join": """
+        WITH dim AS (
+            SELECT DISTINCT event_type AS t_type, length(event_type) AS weight
+            FROM events
+        )
+        SELECT user_id, count(*) AS n_events,
+               sum(CAST(round(e.value * 100) AS BIGINT) * d.weight) / 100.0
+                 AS weighted_value
+        FROM events e JOIN dim d ON e.event_type = d.t_type
+        GROUP BY user_id
     """,
     "docs_split_leakage_safe": """
         WITH RECURSIVE g AS (
