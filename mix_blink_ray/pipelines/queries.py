@@ -2347,6 +2347,53 @@ def events_salted_type_join(sf_dir: str):
     return pa.Table.from_pandas(out[["user_id", "n_events", "weighted_value"]], preserve_index=False)
 
 
+def events_interval_join_windows(sf_dir: str):
+    """Partitioned INTERVAL-OVERLAP join (``stages.joins.interval_join``):
+    events matched to 180 deterministic maintenance windows (start =
+    2024-01-01 + i·233 min, duration = 45 + (67·i mod 300) min — overlapping,
+    hour-boundary-crossing) by ``start <= ts < end``.  The inequality join a
+    hash join can't express runs as: intervals exploded to covered hour
+    buckets (vectorized range expansion), events keyed by hour, ONE
+    bucket-equi-join, exact range post-filter — each pair meets exactly once,
+    both sides shuffle, neither broadcasts.  Per-window aggregate contracts
+    map-side before the final window-keyed exchange."""
+    import ray
+
+    from ..stages.clustering import clamped_partitions
+    from ..stages.joins import interval_join
+
+    ds = _t(sf_dir, "events", ["ts", "value"])
+    i = np.arange(180, dtype=np.int64)
+    anchor = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+    ws = anchor + i * 233 * 60_000_000
+    we = ws + (45 + (67 * i) % 300) * 60_000_000
+    intervals = rd.from_arrow(
+        pa.table(
+            {
+                "window_id": pa.array(i, pa.int64()),
+                "ws": pa.array(ws, pa.int64()),
+                "we": pa.array(we, pa.int64()),
+            }
+        )
+    )
+    n_parts = clamped_partitions(ds.count(), max(8, int(ray.cluster_resources().get("CPU", 8))))
+    joined = interval_join(ds, intervals, "ts", "ws", "we", num_partitions=n_parts)
+
+    def partial(b: pa.Table) -> pa.Table:
+        w = pa.table({"window_id": b["window_id"], "cents": _cents(b["value"])})
+        g = w.group_by("window_id").aggregate([("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["window_id", "c_partial", "n_partial"])
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("window_id")
+        .aggregate(Sum("n_partial", alias_name="n_events"), Sum("c_partial", alias_name="c"))
+        .to_pandas()
+    )
+    out["total_value"] = out.pop("c").astype(np.float64) / 100.0
+    return pa.Table.from_pandas(out[["window_id", "n_events", "total_value"]], preserve_index=False)
+
+
 def events_value_cume_dist(sf_dir: str):
     """Per-row ``cume_dist`` within each event type WITHOUT the global sort
     the window function implies: the cent-histogram of values per type is
@@ -4209,6 +4256,7 @@ QUERIES = {
     "events_approx_distinct_users": events_approx_distinct_users,
     "events_cms_user_counts": events_cms_user_counts,
     "events_salted_type_join": events_salted_type_join,
+    "events_interval_join_windows": events_interval_join_windows,
     "events_value_cume_dist": events_value_cume_dist,
     "users_click_no_purchase": users_click_no_purchase,
 }
@@ -5492,6 +5540,19 @@ ORACLE_SQL = {
             FROM documents
         )
         GROUP BY 1, 2
+    """,
+    "events_interval_join_windows": """
+        WITH w AS (
+            SELECT i AS window_id,
+                   TIMESTAMP '2024-01-01 00:00:00' + i * (INTERVAL 233 MINUTE) AS ws,
+                   TIMESTAMP '2024-01-01 00:00:00' + i * (INTERVAL 233 MINUTE)
+                     + (45 + (67 * i) % 300) * (INTERVAL 1 MINUTE) AS we
+            FROM (SELECT unnest(generate_series(0, 179)) AS i)
+        )
+        SELECT w.window_id, count(*) AS n_events,
+               sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0 AS total_value
+        FROM w JOIN events e ON e.ts >= w.ws AND e.ts < w.we
+        GROUP BY w.window_id
     """,
     "events_salted_type_join": """
         WITH dim AS (
