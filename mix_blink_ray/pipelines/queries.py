@@ -1926,6 +1926,61 @@ def events_rollup(sf_dir: str):
     return pa.Table.from_pandas(out[["event_type", "day", "n", "total_value"]], preserve_index=False)
 
 
+def events_cube(sf_dir: str):
+    """Full CUBE over (type, hour-of-day) — all four grouping sets — from ONE
+    exchange: each batch pre-aggregates base cells in-batch, then emits every
+    grouping set's cells with 'ALL' sentinels, and a single global
+    ``groupby(type, hour)`` merges them.  This is the scale-safe dual of
+    ``events_rollup``'s derive-coarse-levels-on-the-driver shape: here the
+    driver never holds the base cell table, so the cube stays distributed
+    even when base-cell cardinality explodes (type × hour is tiny; type ×
+    user at 10⁹ users wouldn't be).  Shuffle volume = Σ grouping-set cells
+    per batch — row-count free."""
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cells = pa.table(
+            {
+                "event_type": b["event_type"],
+                "hour": pc.cast(pc.hour(b["ts"]), pa.string()),
+                "cents": _cents(b["value"]),
+            }
+        )
+        base = (
+            cells.group_by(["event_type", "hour"])
+            .aggregate([("cents", "sum"), ([], "count_all")])
+            .rename_columns(["event_type", "hour", "c_partial", "n_partial"])
+        )
+        alls = pa.nulls(len(base), pa.string()).fill_null("ALL")
+        sets = [base]
+        for mask_type, mask_hour in ((False, True), (True, False), (True, True)):
+            t = pa.table(
+                {
+                    "event_type": alls if mask_type else base["event_type"],
+                    "hour": alls if mask_hour else base["hour"],
+                    "c_partial": base["c_partial"],
+                    "n_partial": base["n_partial"],
+                }
+            )
+            sets.append(
+                t.group_by(["event_type", "hour"])
+                .aggregate([("c_partial", "sum"), ("n_partial", "sum")])
+                .rename_columns(["event_type", "hour", "c_partial", "n_partial"])
+            )
+        return pa.concat_tables(sets)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n_partial", alias_name="n"), Sum("c_partial", alias_name="c"))
+        .to_pandas()
+    )
+    out["total_value"] = out.pop("c").astype(np.float64) / 100.0
+    return pa.Table.from_pandas(
+        out[["event_type", "hour", "n", "total_value"]], preserve_index=False
+    )
+
+
 def docs_sample_hash(sf_dir: str):
     """Deterministic ~10% corpus sample (Lehmer hash filter — reproducible
     under Ray task retry, shuffle-free; see ``stages.sampling``)."""
@@ -4246,6 +4301,7 @@ QUERIES = {
     "events_sliding_1h": events_sliding_1h,
     "events_purchase_asof_view": events_purchase_asof_view,
     "events_rollup": events_rollup,
+    "events_cube": events_cube,
     "q4_order_priority": q4_order_priority,
     "q14_promo_share": q14_promo_share,
     "docs_regex_scrub": docs_regex_scrub,
@@ -5540,6 +5596,14 @@ ORACLE_SQL = {
             FROM documents
         )
         GROUP BY 1, 2
+    """,
+    "events_cube": """
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(CAST(hr AS VARCHAR), 'ALL') AS hour,
+               count(*) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+        FROM (SELECT event_type, EXTRACT(hour FROM ts) AS hr, value FROM events)
+        GROUP BY CUBE (event_type, hr)
     """,
     "events_interval_join_windows": """
         WITH w AS (
