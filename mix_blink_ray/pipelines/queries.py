@@ -1981,6 +1981,24 @@ def events_cube(sf_dir: str):
     )
 
 
+def docs_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer-merge training (``stages.bpe.bpe_train``,
+    Sennrich et al. 2016) — 12 merges learned over the corpus word-frequency
+    table: one corpus pass builds (word, count), every round after touches
+    only the vocabulary-sized word table (pair-count partials → one tiny
+    groupby → partial-top-k argmax → vectorized leftmost-greedy merge).
+    Rows-only by design: the K-round global argmax is iterative and
+    SQL-inexpressible; determinism + exact semantics are gated instead by
+    the independent single-process reference parity in
+    ``tests/test_bpe.py`` (merge sequences identical at two partition
+    layouts)."""
+    from ..stages.bpe import bpe_train
+    from ..stages.vocab import token_counts
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return bpe_train(token_counts(ds, "text"), n_merges=12, min_count=2)
+
+
 def docs_sample_hash(sf_dir: str):
     """Deterministic ~10% corpus sample (Lehmer hash filter — reproducible
     under Ray task retry, shuffle-free; see ``stages.sampling``)."""
@@ -4302,6 +4320,7 @@ QUERIES = {
     "events_purchase_asof_view": events_purchase_asof_view,
     "events_rollup": events_rollup,
     "events_cube": events_cube,
+    "docs_bpe_merges": docs_bpe_merges,
     "q4_order_priority": q4_order_priority,
     "q14_promo_share": q14_promo_share,
     "docs_regex_scrub": docs_regex_scrub,

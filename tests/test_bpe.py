@@ -1,0 +1,97 @@
+"""bpe_train vs an independently-written single-process reference BPE
+(Sennrich et al. 2016 get_stats/merge loop): identical merge sequences,
+layout invariance, overlap (aaa) greedy semantics, early stop."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from mix_blink_ray.stages.bpe import EOW, bpe_train
+
+SEP = "\x1e"
+
+
+def ref_bpe(word_counts: dict, n_merges: int, min_count: int = 2):
+    """Plain-Python reference: dict-of-tuples vocab, O(V·L) per round."""
+    vocab = {tuple(list(w) + [EOW]): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(n_merges):
+        stats = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] = stats.get((syms[i], syms[i + 1]), 0) + c
+        if not stats:
+            break
+        best_c = max(stats.values())
+        if best_c < min_count:
+            break
+        cands = [p for p, c in stats.items() if c == best_c]
+        a, b = min(cands, key=lambda p: p[0] + SEP + p[1])
+        merges.append((rank, a, b, a + b, best_c))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def _wc_table(wc: dict) -> pa.Table:
+    return pa.table(
+        {
+            "token": pa.array(list(wc.keys()), pa.string()),
+            "n": pa.array(list(wc.values()), pa.int64()),
+        }
+    )
+
+
+CORPUS = {
+    "low": 5, "lower": 2, "lowest": 2, "newer": 6, "wider": 3,
+    "new": 4, "widest": 1, "aaa": 4, "aaaa": 2, "banana": 3,
+}
+
+
+@pytest.mark.parametrize("parallelism", [1, 7])
+def test_bpe_matches_reference(ray_session, parallelism):
+    got = bpe_train(
+        rd.from_arrow(_wc_table(CORPUS)).repartition(parallelism), 15, min_count=2
+    ).to_pandas()
+    want = ref_bpe(CORPUS, 15, min_count=2)
+    assert len(got) == len(want)
+    for row, (rank, a, b, m, c) in zip(got.itertuples(index=False), want):
+        assert (row.rank, row.left, row.right, row.merged, row.pair_count) == (
+            rank, a, b, m, c,
+        )
+
+
+def test_bpe_overlap_run_semantics(ray_session):
+    # "aaaa": pairs (a,a) counted 3x per occurrence; leftmost-greedy merge
+    # yields aa,aa — both sides must agree exactly
+    wc = {"aaaa": 7, "aaa": 5}
+    got = bpe_train(rd.from_arrow(_wc_table(wc)), 4, min_count=1).to_pandas()
+    want = ref_bpe(wc, 4, min_count=1)
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_bpe_early_stop(ray_session):
+    # all-distinct chars: after the singleton merges nothing reaches min_count
+    wc = {"ab": 1, "cd": 1}
+    got = bpe_train(rd.from_arrow(_wc_table(wc)), 10, min_count=2).to_pandas()
+    want = ref_bpe(wc, 10, min_count=2)
+    assert len(got) == len(want)
+
+
+def test_bpe_empty_input(ray_session):
+    got = bpe_train(
+        rd.from_arrow(pa.table({"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())})),
+        5,
+    )
+    assert got.num_rows == 0
