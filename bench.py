@@ -139,6 +139,11 @@ def run_bench() -> dict:
         "events_running_revenue",
         "q5_local_supplier_volume",
         "customers_surface_link_top3",
+        # round-4 additions
+        "events_salted_type_join",
+        "events_interval_join_windows",
+        "events_cms_user_counts",
+        "docs_bpe_merges",
     ]
     q_times: dict[str, float] = {}
     if bench_queries:
