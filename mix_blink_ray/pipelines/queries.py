@@ -1999,6 +1999,32 @@ def docs_bpe_merges(sf_dir: str):
     return bpe_train(token_counts(ds, "text"), n_merges=12, min_count=2)
 
 
+# Fixed BPE merge table for the oracled encode query (rank order).  Shared
+# literal between the engine call and the generated SQL so they cannot drift.
+_BPE_FIXED_MERGES = [
+    ("e", "r"), ("er", "</w>"), ("t", "h"), ("th", "e"), ("the", "</w>"),
+    ("i", "n"), ("in", "</w>"), ("o", "n"), ("a", "n"), ("s", "</w>"),
+]
+
+
+def docs_bpe_encode_fixed(sf_dir: str):
+    """BPE ENCODE with a fixed merge table (the inference side of
+    ``docs_bpe_merges``): shuffle-free map-only segmentation — each batch
+    contracts to distinct tokens, applies the merges with the training
+    kernel, scatters subword lengths back per doc.  Because the merges are
+    fixed inputs, the whole segmentation replays in SQL as sequential
+    ``replace()`` over separator-joined characters (leftmost-greedy
+    non-overlapping — exactly the engine's run-parity semantics), making
+    this the ORACLED half of the BPE pair."""
+    from ..stages.bpe import bpe_encode
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: b.filter(pc.not_equal(pc.utf8_trim_whitespace(b["text"]), "")),
+        batch_format="pyarrow",
+    )
+    return bpe_encode(ds, _BPE_FIXED_MERGES)
+
+
 def docs_sample_hash(sf_dir: str):
     """Deterministic ~10% corpus sample (Lehmer hash filter — reproducible
     under Ray task retry, shuffle-free; see ``stages.sampling``)."""
@@ -4321,6 +4347,7 @@ QUERIES = {
     "events_rollup": events_rollup,
     "events_cube": events_cube,
     "docs_bpe_merges": docs_bpe_merges,
+    "docs_bpe_encode_fixed": docs_bpe_encode_fixed,
     "q4_order_priority": q4_order_priority,
     "q14_promo_share": q14_promo_share,
     "docs_regex_scrub": docs_regex_scrub,
@@ -5949,6 +5976,32 @@ def _build_cms_oracle(depth: int = 4, width: int = 2048, n_probes: int = 20) -> 
 
 
 _build_cms_oracle()
+
+
+def _build_bpe_encode_oracle() -> None:
+    """Sequential ``replace()`` over '|'-joined characters replays the
+    fixed-merge BPE segmentation exactly: SQL replace is non-overlapping
+    left-to-right — the same leftmost-greedy semantics as the engine's
+    run-parity merge kernel.  Generated from ``_BPE_FIXED_MERGES`` so the
+    two sides share one literal."""
+    expr = "regexp_replace(tok, '(.)', '\\1|', 'g') || '</w>'"
+    for lf, rt in _BPE_FIXED_MERGES:
+        expr = f"replace({expr}, '{lf}|{rt}', '{lf}{rt}')"
+    ORACLE_SQL["docs_bpe_encode_fixed"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+            FROM documents WHERE trim(text) <> ''
+        ), seg AS (
+            SELECT doc_id, {expr} AS s FROM t
+        )
+        SELECT doc_id, count(*) AS n_tokens,
+               sum(len(string_split(s, '|'))) AS n_subwords
+        FROM seg GROUP BY doc_id
+    """
+
+
+_build_bpe_encode_oracle()
 
 
 def _build_simhash_oracle() -> None:

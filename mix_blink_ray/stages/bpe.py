@@ -38,7 +38,7 @@ from ray.data.aggregate import Sum
 
 from ..functions.numeric import group_sums_int64
 
-__all__ = ["bpe_train", "EOW"]
+__all__ = ["bpe_train", "bpe_encode", "EOW"]
 
 EOW = "</w>"  # end-of-word marker symbol (never a whitespace-token substring)
 _SEP = "\x1e"  # pair-string separator (record separator; never in tokens)
@@ -169,3 +169,67 @@ def bpe_train(word_counts: Dataset, n_merges: int, min_count: int = 2) -> pa.Tab
             "pair_count": pa.array(counts, pa.int64()),
         }
     )
+
+
+def bpe_encode(
+    ds: Dataset,
+    merges: "list[tuple[str, str]]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Apply a FIXED merge table (rank order, leftmost-greedy — the inference
+    side of BPE) and return per-document ``(id_col, n_tokens, n_subwords)``.
+
+    Stateless map-only stage: no shuffle at all.  Each batch contracts to its
+    DISTINCT tokens first (``np.unique`` — the merge loop runs over unique
+    words, not token occurrences), applies the merges with the same
+    vectorized ``_apply_merge`` kernel training uses, and scatters subword
+    lengths back to documents through the inverse index with exact int64
+    grouped sums.  Because the merge list is a fixed input (not learned
+    in-flight), the whole segmentation is SQL-expressible — sequential
+    ``replace()`` over separator-joined characters — so the driver query is
+    fully DuckDB-oracled, unlike learned-merge training."""
+    from .vocab import tokenize_batch
+
+    merge_list = [(lf, rt, lf + rt) for lf, rt in merges]
+
+    def encode(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "n_subwords": pa.array([], pa.int64()),
+                }
+            )
+        toks = tokenize_batch(b[text_col], lower=True)
+        import pyarrow.compute as pc
+
+        doc_pos = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(flat.astype(str), return_inverse=True)
+        tbl = _init_symbols(
+            pa.table(
+                {
+                    "token": pa.array(uniq, pa.string()),
+                    "n": pa.array(np.ones(len(uniq), dtype=np.int64)),
+                }
+            )
+        )
+        for lf, rt, mg in merge_list:
+            tbl = _apply_merge(tbl, lf, rt, mg)
+        sym = tbl["sym"].combine_chunks() if isinstance(tbl["sym"], pa.ChunkedArray) else tbl["sym"]
+        lens = np.diff(np.asarray(sym.offsets, dtype=np.int64))
+        per_doc = group_sums_int64(
+            doc_pos, b.num_rows, lens[inv], np.ones(len(inv), dtype=np.int64)
+        )
+        keep = per_doc[1] > 0  # docs with ≥1 token (oracle trims empty docs)
+        return pa.table(
+            {
+                id_col: pa.array(np.asarray(b[id_col], dtype=np.int64)[keep], pa.int64()),
+                "n_tokens": pa.array(per_doc[1][keep], pa.int64()),
+                "n_subwords": pa.array(per_doc[0][keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")

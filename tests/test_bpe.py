@@ -95,3 +95,43 @@ def test_bpe_empty_input(ray_session):
         5,
     )
     assert got.num_rows == 0
+
+
+def test_encode_consistent_with_training(ray_session):
+    """Encoding the training words with the learned merge sequence must
+    reproduce the training procedure's final segmentation (subword counts)."""
+    from mix_blink_ray.stages.bpe import bpe_encode
+
+    merges = ref_bpe(CORPUS, 10, min_count=1)
+    fixed = [(a, b) for _, a, b, _, _ in merges]
+
+    # reference final segmentation: apply merges in rank order
+    def seg(word):
+        syms = list(word) + [EOW]
+        for _, a, b, m, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(m)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    words = list(CORPUS)
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(words), dtype=np.int64)),
+            "text": pa.array(words, pa.string()),
+        }
+    )
+    got = (
+        bpe_encode(rd.from_arrow(docs).repartition(3), fixed)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    want = [len(seg(w)) for w in words]
+    assert got["n_subwords"].tolist() == want
+    assert got["n_tokens"].tolist() == [1] * len(words)
