@@ -2025,6 +2025,55 @@ def docs_bpe_encode_fixed(sf_dir: str):
     return bpe_encode(ds, _BPE_FIXED_MERGES)
 
 
+def events_zorder_cells(sf_dir: str):
+    """Z-ORDER (Morton) layout key over (user-bucket, hour-of-day): bits of
+    the two dimensions interleaved into one sort/partition key — the
+    data-layout primitive that makes multi-dimensional scan pruning work at
+    100 TB (a file sorted by z-key has bounded extent in BOTH dims, so a
+    reader filtering on either column can skip most row groups; sorting by
+    one key alone prunes only that key).  Each z-cell (key >> 6, i.e. 8×8
+    tiles) reports row count and its min/max extent in both dims — the
+    locality property is asserted directly in ``tests/test_zorder.py`` and
+    the bit-interleave arithmetic replays exactly in SQL."""
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = (np.asarray(b["user_id"], dtype=np.int64) % 256).astype(np.int64)
+        h = np.asarray(pc.hour(b["ts"]), dtype=np.int64)
+        z = np.zeros(len(u), dtype=np.int64)
+        for k in range(8):
+            z |= ((u >> k) & 1) << (2 * k + 1)
+            z |= ((h >> k) & 1) << (2 * k)
+        cell = z >> 6
+        t = pa.table(
+            {
+                "zcell": pa.array(cell, pa.int64()),
+                "u": pa.array(u, pa.int64()),
+                "h": pa.array(h, pa.int64()),
+            }
+        )
+        g = t.group_by("zcell").aggregate(
+            [("u", "min"), ("u", "max"), ("h", "min"), ("h", "max"), ([], "count_all")]
+        )
+        return g.rename_columns(["zcell", "u_min_p", "u_max_p", "h_min_p", "h_max_p", "n_p"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("zcell")
+        .aggregate(
+            Sum("n_p", alias_name="n"),
+            Min("u_min_p", alias_name="u_min"),
+            Max("u_max_p", alias_name="u_max"),
+            Min("h_min_p", alias_name="h_min"),
+            Max("h_max_p", alias_name="h_max"),
+        )
+    )
+    return pa.Table.from_pandas(
+        out.to_pandas()[["zcell", "n", "u_min", "u_max", "h_min", "h_max"]],
+        preserve_index=False,
+    )
+
+
 def docs_sample_hash(sf_dir: str):
     """Deterministic ~10% corpus sample (Lehmer hash filter — reproducible
     under Ray task retry, shuffle-free; see ``stages.sampling``)."""
@@ -4348,6 +4397,7 @@ QUERIES = {
     "events_cube": events_cube,
     "docs_bpe_merges": docs_bpe_merges,
     "docs_bpe_encode_fixed": docs_bpe_encode_fixed,
+    "events_zorder_cells": events_zorder_cells,
     "q4_order_priority": q4_order_priority,
     "q14_promo_share": q14_promo_share,
     "docs_regex_scrub": docs_regex_scrub,
@@ -5709,7 +5759,7 @@ ORACLE_SQL = {
         )
         SELECT split, count(*) AS n_docs,
                count(DISTINCT cluster_id) AS n_clusters,
-               sum(doc_id) AS sum_doc_id
+               CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
         FROM a GROUP BY split
     """,
     "nation_order_revenue": """
@@ -5996,12 +6046,36 @@ def _build_bpe_encode_oracle() -> None:
             SELECT doc_id, {expr} AS s FROM t
         )
         SELECT doc_id, count(*) AS n_tokens,
-               sum(len(string_split(s, '|'))) AS n_subwords
+               CAST(sum(len(string_split(s, '|'))) AS BIGINT) AS n_subwords
         FROM seg GROUP BY doc_id
     """
 
 
 _build_bpe_encode_oracle()
+
+
+def _build_zorder_oracle() -> None:
+    """Bit-interleave replay: z = Σ_k ((u>>k)&1)<<(2k+1) | ((h>>k)&1)<<(2k),
+    written as a sum of integer terms (DuckDB has no bit-interleave)."""
+    terms = []
+    for k in range(8):
+        terms.append(f"(((u >> {k}) & 1) * {1 << (2 * k + 1)})")
+        terms.append(f"(((h >> {k}) & 1) * {1 << (2 * k)})")
+    z = " + ".join(terms)
+    ORACLE_SQL["events_zorder_cells"] = f"""
+        WITH d AS (
+            SELECT user_id % 256 AS u, EXTRACT(hour FROM ts) AS h FROM events
+        ), zd AS (
+            SELECT ({z}) // 64 AS zcell, u, h FROM d
+        )
+        SELECT zcell, count(*) AS n,
+               min(u) AS u_min, max(u) AS u_max,
+               min(h) AS h_min, max(h) AS h_max
+        FROM zd GROUP BY zcell
+    """
+
+
+_build_zorder_oracle()
 
 
 def _build_simhash_oracle() -> None:
