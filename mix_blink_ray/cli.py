@@ -255,6 +255,33 @@ def cmd_vocab(args) -> None:
     ray.shutdown()
 
 
+def cmd_bpe_train(args) -> None:
+    """Learn BPE tokenizer merges from a documents parquet (stages/bpe.py):
+    one corpus pass builds the word-frequency table, K rounds of
+    pair-count→argmax→merge over the vocabulary-sized table; the merge
+    table (rank, left, right, merged, pair_count) writes as parquet —
+    the artifact `bpe-encode`-style segmentation applies."""
+    ray = _ray_session(args.num_cpus)
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .stages.bpe import bpe_train
+    from .stages.vocab import token_counts
+
+    ds = rd.read_parquet(args.docs)
+    merges = bpe_train(
+        token_counts(ds, text_col=args.text_col),
+        n_merges=args.n_merges,
+        min_count=args.min_count,
+    )
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    pq.write_table(merges, args.out)
+    print(json.dumps({"merges": merges.num_rows, "out": args.out}))
+    ray.shutdown()
+
+
 def cmd_dedup_incremental(args) -> None:
     """Delta-batch exact dedup against persisted fingerprint state
     (stages/dedup.dedup_incremental): keep only never-seen documents and
@@ -520,6 +547,15 @@ def main(argv: list[str] | None = None) -> None:
     vp.add_argument("--out", required=True)
     vp.add_argument("--num-cpus", type=int, default=None)
     vp.set_defaults(fn=cmd_vocab)
+
+    bt = sub.add_parser("bpe-train", help="learn BPE tokenizer merges from a documents parquet")
+    bt.add_argument("--docs", required=True)
+    bt.add_argument("--out", required=True, help="output parquet FILE for the merge table")
+    bt.add_argument("--text-col", default="text")
+    bt.add_argument("--n-merges", type=int, default=64)
+    bt.add_argument("--min-count", type=int, default=2)
+    bt.add_argument("--num-cpus", type=int, default=None)
+    bt.set_defaults(fn=cmd_bpe_train)
 
     dc = sub.add_parser("decon", help="benchmark n-gram decontamination: per-doc hit stats")
     dc.add_argument("--docs", required=True)

@@ -208,3 +208,18 @@ def test_cli_mix(tmp_path):
     assert res["kept"] == 3
     out = pq.read_table(str(tmp_path / "mix")).to_pandas()
     assert sorted(out.doc_id) == [0, 1, 3]
+
+
+def test_cli_bpe_train(tmp_path):
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "merges.parquet")
+    res = _run(["bpe-train", "--docs", docs, "--out", out,
+                "--n-merges", "6", "--min-count", "2", "--num-cpus", "2"])
+    t = pq.read_table(out)
+    assert res["merges"] == t.num_rows == 6
+    assert set(t.column_names) == {"rank", "left", "right", "merged", "pair_count"}
+    # ranks ordered, counts non-increasing is NOT guaranteed (merges change
+    # pair counts), but every merged symbol must equal left+right
+    assert t["rank"].to_pylist() == list(range(6))
+    for lf, rt, mg in zip(*[t[c].to_pylist() for c in ("left", "right", "merged")]):
+        assert mg == lf + rt
