@@ -306,6 +306,29 @@ def cmd_dedup_incremental(args) -> None:
     ray.shutdown()
 
 
+def cmd_minhash_incremental(args) -> None:
+    """Delta-batch MinHash near-dup against persisted LSH band/signature
+    state (stages/dedup.minhash_incremental): report verified near-dup pairs
+    within the delta AND against all previously ingested documents, then
+    append the delta's bands + signatures to the state."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .stages.dedup import DedupConfig, minhash_incremental
+
+    ds = rd.read_parquet(args.docs)
+    pairs = minhash_incremental(
+        ds,
+        args.state_dir,
+        cfg=DedupConfig(jaccard_threshold=args.threshold),
+        id_col=args.id_col,
+        text_col=args.text_col,
+    )
+    pairs.write_parquet(_fresh_dir(args.out))
+    print(json.dumps({"pairs": pairs.count(), "state_dir": args.state_dir, "out": args.out}))
+    ray.shutdown()
+
+
 def cmd_pack(args) -> None:
     """Next-fit sequence packing (stages/text_analysis.pack_next_fit):
     per-group token-budget bins for training-shard assembly."""
@@ -593,6 +616,19 @@ def main(argv: list[str] | None = None) -> None:
     di.add_argument("--out", default=None, help="optionally write the novel documents (payloads)")
     di.add_argument("--num-cpus", type=int, default=None)
     di.set_defaults(fn=cmd_dedup_incremental)
+
+    mi = sub.add_parser(
+        "minhash-incremental",
+        help="delta-batch MinHash near-dup pairs vs persisted LSH band/signature state",
+    )
+    mi.add_argument("--docs", required=True)
+    mi.add_argument("--state-dir", required=True)
+    mi.add_argument("--out", required=True)
+    mi.add_argument("--id-col", default="doc_id")
+    mi.add_argument("--text-col", default="text")
+    mi.add_argument("--threshold", type=float, default=0.7)
+    mi.add_argument("--num-cpus", type=int, default=None)
+    mi.set_defaults(fn=cmd_minhash_incremental)
 
     pk = sub.add_parser("pack", help="next-fit token-budget sequence packing per group")
     pk.add_argument("--docs", required=True)

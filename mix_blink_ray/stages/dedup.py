@@ -45,6 +45,7 @@ __all__ = [
     "similarity_join_exact",
     "dedup_corpus",
     "dedup_incremental",
+    "minhash_incremental",
 ]
 
 
@@ -955,3 +956,176 @@ def dedup_incremental(
         novel.select_columns(["content_hash", "content_hash2"]).write_parquet(tmp)
         os.replace(tmp, new_delta)
     return novel
+
+
+def minhash_incremental(
+    new_docs: Dataset,
+    state_dir: str,
+    cfg: DedupConfig = DedupConfig(),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Delta-batch MinHash near-dup against persisted LSH state — the
+    near-dup twin of :func:`dedup_incremental` (daily-crawl shape): each
+    arriving batch reports its verified near-dup pairs BOTH within the delta
+    and against every previously-ingested document, then appends its own
+    band rows and signatures as new atomic state deltas.
+
+    Mechanics mirror :func:`minhash_near_dup_pairs` exactly (same shingle →
+    minhash → band keys, same hot-band cap accounting, same signature-join
+    verification and ``jaccard_threshold``), with one change: history band
+    rows (16 B each, read from ``state_dir/bands/``) union with the delta's
+    band rows under an ``is_new`` flag, and in-band pair emission REQUIRES
+    ≥ 1 delta member — so per-band Python work is ∝ delta collisions, and
+    history×history pairs (already reported by earlier calls) are never
+    recomputed.  Verification joins signatures from both stores onto the
+    (small) pair set — partitioned joins, no broadcast of state ever.
+
+    State I/O per call: history band rows are re-READ (a fixed ~16 B ×
+    num_bands per historical doc — orders of magnitude below corpus bytes);
+    writes are O(delta), appended as ``delta_NNNNN`` dirs via ``os.replace``
+    (a killed run leaves only a ``.tmp`` the next run ignores).  At extreme
+    history sizes the documented extension is disk-bucketing the band store
+    by ``band_key`` hash so a delta reads only the buckets it touches.
+
+    Returns verified ``(a_id, b_id, est_jaccard)``, ``a_id < b_id``, every
+    pair containing at least one delta document.  Document ids must be
+    globally unique across batches (same contract as ``dedup_incremental``).
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    import ray.data as rd_
+
+    from .clustering import clamped_partitions
+
+    bands_dir = os.path.join(state_dir, "bands")
+    sigs_dir = os.path.join(state_dir, "sigs")
+
+    def band_rows(batch: pa.Table, is_new: int) -> pa.Table:
+        sig = _word_shingle_sigs(batch[text_col], cfg)
+        keys = lsh_band_keys(sig, cfg.num_bands)
+        n = batch.num_rows
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), cfg.num_bands)
+        return pa.table(
+            {
+                "band_key": pa.array(keys.reshape(-1)),
+                id_col: pc.take(batch[id_col], pa.array(row_idx)),
+                "is_new": pa.array(np.full(n * cfg.num_bands, is_new, dtype=np.int64)),
+            }
+        )
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        sig = _word_shingle_sigs(batch[text_col], cfg)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "sig": pa.array([s.tobytes() for s in sig], pa.binary()),
+            }
+        )
+
+    def _deltas(d: str) -> list[str]:
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            f
+            for name in sorted(p for p in os.listdir(d) if not p.endswith(".tmp"))
+            for f in _glob.glob(os.path.join(d, name, "*.parquet"))
+        )
+
+    delta_bands = new_docs.map_batches(
+        lambda b: band_rows(b, 1), batch_format="pyarrow"
+    ).materialize()
+    delta_sigs = new_docs.map_batches(sig_rows, batch_format="pyarrow").materialize()
+
+    band_files = _deltas(bands_dir)
+    bands = (
+        delta_bands.union(rd_.read_parquet(band_files)) if band_files else delta_bands
+    )
+
+    def in_band_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())})
+        if group.num_rows < 2:
+            return empty
+        raw_ids = np.asarray(group[id_col], dtype=np.int64)
+        raw_new = np.asarray(group["is_new"], dtype=np.int64)
+        order = np.argsort(raw_ids, kind="stable")
+        sids, snew = raw_ids[order], raw_new[order]
+        first = np.r_[True, sids[1:] != sids[:-1]]
+        ids, new = sids[first], snew[first]
+        if len(ids) < 2 or not new.any():
+            return empty
+        if len(ids) > cfg.hot_band_cap:
+            from ..state.counters import incr
+
+            k, c = len(ids), cfg.hot_band_cap
+            incr("minhash_hot_band_truncated_pairs", k * (k - 1) // 2 - c * (c - 1) // 2)
+            ids, new = ids[: cfg.hot_band_cap], new[: cfg.hot_band_cap]
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = (new[iu] > 0) | (new[ju] > 0)  # ≥1 delta member
+        return pa.table({"a_id": pa.array(ids[iu][keep]), "b_id": pa.array(ids[ju][keep])})
+
+    n_band_rows = delta_bands.count() + (
+        rd_.read_parquet(band_files).count() if band_files else 0
+    )
+    pairs = distinct_pairs(
+        grouped_run_pairs(bands, "band_key", in_band_pairs, n_buckets=_auto_buckets(n_band_rows))
+    ).materialize()
+
+    empty_result = pa.table(
+        {
+            "a_id": pa.array([], pa.int64()),
+            "b_id": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+    )
+
+    def _append_state() -> None:
+        for store_dir, ds_out, cols in (
+            (bands_dir, delta_bands, ["band_key", id_col]),
+            (sigs_dir, delta_sigs, [id_col, "sig"]),
+        ):
+            os.makedirs(store_dir, exist_ok=True)
+            n_prev = len([p for p in os.listdir(store_dir) if not p.endswith(".tmp")])
+            new_delta = os.path.join(store_dir, f"delta_{n_prev:05d}")
+            tmp = new_delta + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            ds_out.select_columns(cols).write_parquet(tmp)
+            os.replace(tmp, new_delta)
+
+    if pairs.count() == 0:
+        _append_state()
+        return rd_.from_arrow(empty_result)
+
+    sig_files = _deltas(sigs_dir)
+    sigs = delta_sigs.union(rd_.read_parquet(sig_files)) if sig_files else delta_sigs
+    n_parts = clamped_partitions(max(pairs.count(), 1), 8)
+    a_sigs = sigs.map_batches(
+        lambda b: pa.table({"a_id": b[id_col], "a_sig": b["sig"]}), batch_format="pyarrow"
+    )
+    b_sigs = sigs.map_batches(
+        lambda b: pa.table({"b_id": b[id_col], "b_sig": b["sig"]}), batch_format="pyarrow"
+    )
+    joined = pairs.join(a_sigs, join_type="inner", num_partitions=n_parts, on=("a_id",)).join(
+        b_sigs, join_type="inner", num_partitions=n_parts, on=("b_id",)
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty_result
+        a = np.frombuffer(b"".join(batch["a_sig"].to_pylist()), dtype=np.uint64).reshape(
+            batch.num_rows, cfg.num_perms
+        )
+        b = np.frombuffer(b"".join(batch["b_sig"].to_pylist()), dtype=np.uint64).reshape(
+            batch.num_rows, cfg.num_perms
+        )
+        est = (a == b).mean(axis=1)
+        out = pa.table(
+            {"a_id": batch["a_id"], "b_id": batch["b_id"], "est_jaccard": pa.array(est)}
+        )
+        return out.filter(pc.greater_equal(out["est_jaccard"], cfg.jaccard_threshold))
+
+    result = joined.map_batches(verify, batch_format="pyarrow").materialize()
+    _append_state()
+    return result

@@ -223,3 +223,25 @@ def test_cli_bpe_train(tmp_path):
     assert t["rank"].to_pylist() == list(range(6))
     for lf, rt, mg in zip(*[t[c].to_pylist() for c in ("left", "right", "merged")]):
         assert mg == lf + rt
+
+
+def test_cli_minhash_incremental(tmp_path):
+    text = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            "kilo lima mike november oscar papa quebec romeo sierra tango")
+    b1 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                   "text": pa.array([text, "unrelated words entirely here now"])})
+    b2 = pa.table({"doc_id": pa.array([10], pa.int64()),
+                   "text": pa.array([text])})  # exact copy of doc 1
+    p1, p2 = str(tmp_path / "b1.parquet"), str(tmp_path / "b2.parquet")
+    pq.write_table(b1, p1)
+    pq.write_table(b2, p2)
+    state = str(tmp_path / "state")
+    r1 = _run(["minhash-incremental", "--docs", p1, "--state-dir", state,
+               "--out", str(tmp_path / "o1"), "--num-cpus", "2"])
+    assert r1["pairs"] == 0
+    r2 = _run(["minhash-incremental", "--docs", p2, "--state-dir", state,
+               "--out", str(tmp_path / "o2"), "--num-cpus", "2"])
+    assert r2["pairs"] == 1
+    out = pq.read_table(str(tmp_path / "o2")).to_pandas()
+    assert (out["a_id"].iloc[0], out["b_id"].iloc[0]) == (1, 10)
+    assert out["est_jaccard"].iloc[0] == 1.0
