@@ -2542,6 +2542,50 @@ def events_interval_join_windows(sf_dir: str):
     return pa.Table.from_pandas(out[["window_id", "n_events", "total_value"]], preserve_index=False)
 
 
+def events_sliding_distinct_users(sf_dir: str):
+    """3-hour sliding-window APPROXIMATE distinct users per active hour —
+    the sketch × window composition: a sliding ``COUNT(DISTINCT)`` cannot
+    pre-aggregate (distinct is not summable across window panes), but HLL
+    registers ARE mergeable by element-wise max, so per-hour registers
+    (ONE shuffle bounded by hours × 2^p rows — row-count and cardinality
+    free) max-merge across each hour's 3-hour window on the driver.  p=8
+    (256 registers/hour).  The register arithmetic replays bit-exact in
+    DuckDB HUGEINT (``_build_hll_sliding_oracle``) including the
+    linear-counting branch."""
+    from ..stages.sketches import _estimate, _register_partials
+
+    p = 8
+    hour_us = 3_600_000_000
+    ds = _t(sf_dir, "events", ["ts", "user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hrs = (np.asarray(b["ts"].cast(pa.int64()), dtype=np.int64) // hour_us) * hour_us
+        tbl = pa.table({"hour": pa.array(hrs, pa.int64()), "user_id": b["user_id"]})
+        return _register_partials(tbl, "hour", "user_id", p)
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["hour", "reg"])
+        .aggregate(Max("rho", alias_name="rho"))
+        .to_pandas()
+    )
+    m = 1 << p
+    hours = np.sort(merged["hour"].unique())
+    out_h, out_n = [], []
+    for wh in hours:
+        in_win = merged[(merged["hour"] >= wh - 2 * hour_us) & (merged["hour"] <= wh)]
+        regs = np.zeros(m, dtype=np.int64)
+        np.maximum.at(regs, in_win["reg"].to_numpy(), in_win["rho"].to_numpy())
+        out_h.append(int(wh))
+        out_n.append(int(round(_estimate(regs, p))))
+    return pa.table(
+        {
+            "hour": pa.array(np.array(out_h, dtype="datetime64[us]")),
+            "approx_distinct": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
 def events_value_cume_dist(sf_dir: str):
     """Per-row ``cume_dist`` within each event type WITHOUT the global sort
     the window function implies: the cent-histogram of values per type is
@@ -4409,6 +4453,7 @@ QUERIES = {
     "events_cms_user_counts": events_cms_user_counts,
     "events_salted_type_join": events_salted_type_join,
     "events_interval_join_windows": events_interval_join_windows,
+    "events_sliding_distinct_users": events_sliding_distinct_users,
     "events_value_cume_dist": events_value_cume_dist,
     "users_click_no_purchase": users_click_no_purchase,
 }
@@ -6076,6 +6121,75 @@ def _build_zorder_oracle() -> None:
 
 
 _build_zorder_oracle()
+
+
+def _build_hll_sliding_oracle(p: int = 8) -> None:
+    """The sliding-window HLL replay: same splitmix64 HUGEINT chain as
+    ``_build_hll_oracle``, with the group being the WINDOW hour — each active
+    hour collects the distinct users of hours [wh-2h, wh] via a range join,
+    then registers, max-merge and the estimator replay exactly."""
+    m = 1 << p
+    m64 = "CAST(18446744073709551616 AS HUGEINT)"
+
+    def mulmod(col: str, c: int) -> str:
+        hi, lo = c >> 32, c & 0xFFFFFFFF
+        return (
+            f"(((({col} % 4294967296) * {hi}) % 4294967296) "
+            f"* 4294967296 + {col} * {lo}) % {m64}"
+        )
+
+    pow2 = ", ".join(f"({k}, CAST({1 << k} AS HUGEINT))" for k in range(64))
+    c1 = 0x9E3779B97F4A7C15
+    c2, c3 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    ORACLE_SQL["events_sliding_distinct_users"] = f"""
+        WITH pow2(k, p2) AS (VALUES {pow2}),
+        hours AS (SELECT DISTINCT date_trunc('hour', ts) AS wh FROM events),
+        v AS (
+            SELECT DISTINCT h.wh, CAST(e.user_id AS HUGEINT) AS uid
+            FROM events e JOIN hours h
+              ON date_trunc('hour', e.ts) <= h.wh
+             AND date_trunc('hour', e.ts) >= h.wh - INTERVAL 2 HOUR
+        ),
+        s1 AS (SELECT wh,
+                      (((uid % {m64}) + {m64}) % {m64} + {c1}) % {m64} AS x
+               FROM v),
+        s2 AS (SELECT wh, {mulmod("xor(x, x >> 30)", c2)} AS x FROM s1),
+        s3 AS (SELECT wh, {mulmod("xor(x, x >> 27)", c3)} AS x FROM s2),
+        hashed AS (SELECT wh, xor(x, x >> 31) AS h FROM s3),
+        rows_rho AS (
+            SELECT wh,
+                   h >> {64 - p} AS reg,
+                   CASE WHEN (h * {m}) % {m64} = 0 THEN {64 - p + 1}
+                        ELSE 64 - (SELECT max(k) FROM pow2
+                                   WHERE p2 <= (h * {m}) % {m64})
+                   END AS rho
+            FROM hashed
+        ),
+        merged AS (
+            SELECT wh, reg, max(rho) AS rho
+            FROM rows_rho GROUP BY wh, reg
+        ),
+        est AS (
+            SELECT wh,
+                   count(*) AS nonzero,
+                   {m} - count(*) AS zeros,
+                   sum(power(2.0::DOUBLE, -rho)) AS snz
+            FROM merged GROUP BY wh
+        )
+        SELECT wh AS hour,
+               CAST(round(
+                   CASE WHEN (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / {m}))
+                             * {m} * {m} / (snz + zeros) <= 2.5::DOUBLE * {m}
+                             AND zeros > 0
+                        THEN {m} * ln(CAST({m} AS DOUBLE) / zeros)
+                        ELSE (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / {m}))
+                             * {m} * {m} / (snz + zeros)
+                   END) AS BIGINT) AS approx_distinct
+        FROM est
+    """
+
+
+_build_hll_sliding_oracle()
 
 
 def _build_simhash_oracle() -> None:
