@@ -135,3 +135,54 @@ def test_encode_consistent_with_training(ray_session):
     want = [len(seg(w)) for w in words]
     assert got["n_subwords"].tolist() == want
     assert got["n_tokens"].tolist() == [1] * len(words)
+
+
+# ── kernel fuzz (pure pa.Table functions, no Ray) ──────────────────────────
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mix_blink_ray.stages.bpe import _apply_merge, _init_symbols
+
+
+def _ref_apply(syms, a, b):
+    out, i = [], 0
+    while i < len(syms):
+        if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    words=st.lists(st.text(alphabet="ab", min_size=1, max_size=8), min_size=1, max_size=20),
+    merge_seq=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "aa", "ab", "ba", "bb", "</w>"]),
+            st.sampled_from(["a", "b", "aa", "ab", "ba", "bb", "</w>"]),
+        ),
+        max_size=4,
+    ),
+)
+def test_apply_merge_kernel_fuzz(words, merge_seq):
+    """Vectorized merge application == the sequential reference, for ANY
+    word multiset and ANY merge sequence (including a==b overlap runs,
+    merges of already-merged symbols, and no-op merges)."""
+    tbl = _init_symbols(
+        pa.table(
+            {
+                "token": pa.array(words, pa.string()),
+                "n": pa.array(np.ones(len(words), dtype=np.int64)),
+            }
+        )
+    )
+    ref = [list(w) + ["</w>"] for w in words]
+    for a, b in merge_seq:
+        tbl = _apply_merge(tbl, a, b, a + b)
+        ref = [_ref_apply(s, a, b) for s in ref]
+    sym = tbl["sym"].combine_chunks() if isinstance(tbl["sym"], pa.ChunkedArray) else tbl["sym"]
+    got = sym.to_pylist()
+    assert got == ref
