@@ -1271,16 +1271,13 @@ def docs_window_jaccard(sf_dir: str):
     return _round(pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"jaccard": 6})
 
 
-def docs_window_jaccard_clusters(sf_dir: str):
-    """Transitive closure (connected components, min-id label) over the
-    window-verified pair set — the SQL-oracled twin of the dedup clustering
-    stage (DuckDB recursive-CTE reachability on the oracle side)."""
+def _verified_cluster_labels(ds, verified):
+    """Min-label connected components over a verified pair set, as an
+    int64 (doc_id, cluster_id) Dataset.  Ids are zero-padded to 20 chars so
+    lexicographic min == numeric min (the dedup_corpus pattern); shared by
+    the clusters query, the leakage-safe split, and their tests."""
     from ..stages.clustering import cluster_nodes
-    from ..stages.dedup import ngram_jaccard_verify
 
-    ds = _t(sf_dir, "documents", ["doc_id", "text"])
-    verified = ngram_jaccard_verify(_window_pair_table(ds, 5), ds, threshold=0.5)
-    # zero-pad ids so lexicographic min == numeric min (dedup_corpus pattern)
     edges = verified.map_batches(
         lambda b: pa.table(
             {
@@ -1304,6 +1301,17 @@ def docs_window_jaccard_clusters(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+def docs_window_jaccard_clusters(sf_dir: str):
+    """Transitive closure (connected components, min-id label) over the
+    window-verified pair set — the SQL-oracled twin of the dedup clustering
+    stage (DuckDB recursive-CTE reachability on the oracle side)."""
+    from ..stages.dedup import ngram_jaccard_verify
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    verified = ngram_jaccard_verify(_window_pair_table(ds, 5), ds, threshold=0.5)
+    return _verified_cluster_labels(ds, verified)
 
 
 def docs_dedup_corpus_exact(sf_dir: str):
@@ -1939,6 +1947,11 @@ def events_cube(sf_dir: str):
     ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
 
     def partial(b: pa.Table) -> pa.Table:
+        # the margin sentinel must be out-of-band: a REAL 'ALL' value would
+        # merge base cells with margin cells (SQL CUBE keeps them apart via
+        # NULL) — raise rather than silently conflate
+        if pc.any(pc.equal(b["event_type"], "ALL")).as_py():
+            raise ValueError("event_type value 'ALL' collides with the CUBE margin sentinel")
         cells = pa.table(
             {
                 "event_type": b["event_type"],
@@ -2018,10 +2031,15 @@ def docs_bpe_encode_fixed(sf_dir: str):
     this the ORACLED half of the BPE pair."""
     from ..stages.bpe import bpe_encode
 
-    ds = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        lambda b: b.filter(pc.not_equal(pc.utf8_trim_whitespace(b["text"]), "")),
-        batch_format="pyarrow",
-    )
+    def prep(b: pa.Table) -> pa.Table:
+        # '|' is the oracle's subword separator — strip it on BOTH sides so
+        # the replay stays well-defined on any text (the testdata corpus is
+        # lowercase letters + spaces, so this is a no-op there)
+        txt = pc.replace_substring(b["text"], pattern="|", replacement="")
+        t = pa.table({"doc_id": b["doc_id"], "text": txt})
+        return t.filter(pc.not_equal(pc.utf8_trim_whitespace(t["text"]), ""))
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(prep, batch_format="pyarrow")
     return bpe_encode(ds, _BPE_FIXED_MERGES)
 
 
@@ -2308,29 +2326,15 @@ def docs_split_leakage_safe(sf_dir: str):
     ``tests/test_leakage_split.py``).  Shuffle cost beyond the closure is
     two label-sized exchanges; per-split counts, distinct-cluster counts and
     an id checksum value-check the full assignment."""
-    from ..stages.clustering import cluster_nodes
     from ..stages.dedup import ngram_jaccard_verify
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
     verified = ngram_jaccard_verify(_window_pair_table(ds, 5), ds, threshold=0.5)
-    edges = verified.map_batches(
-        lambda b: pa.table(
-            {
-                "src": pc.utf8_lpad(pc.cast(b["a_id"], pa.string()), 20, "0"),
-                "dst": pc.utf8_lpad(pc.cast(b["b_id"], pa.string()), 20, "0"),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    nodes = ds.map_batches(
-        lambda b: pa.table({"node": pc.utf8_lpad(pc.cast(b["doc_id"], pa.string()), 20, "0")}),
-        batch_format="pyarrow",
-    )
-    labels = cluster_nodes(edges, nodes, mode="auto")
+    labels = _verified_cluster_labels(ds, verified)
 
     def assign(b: pa.Table) -> pa.Table:
-        doc = pc.cast(b["node"], pa.int64()).to_numpy(zero_copy_only=False)
-        lab = pc.cast(b["label"], pa.int64()).to_numpy(zero_copy_only=False)
+        doc = np.asarray(b["doc_id"], dtype=np.int64)
+        lab = np.asarray(b["cluster_id"], dtype=np.int64)
         r = (lab % 2147483647) * 48271 % 2147483647 % 10
         split = np.where(r < 8, "train", np.where(r == 8, "val", "test"))
         return pa.table(
@@ -6055,7 +6059,8 @@ def _build_cms_oracle(depth: int = 4, width: int = 2048, n_probes: int = 20) -> 
 
     ORACLE_SQL["events_cms_user_counts"] = f"""
         WITH seeds(r, s) AS (VALUES {seeds}),
-        k AS (SELECT CAST(user_id AS HUGEINT) AS uid, count(*) AS n
+        k AS (SELECT ((CAST(user_id AS HUGEINT) % {m64}) + {m64}) % {m64} AS uid,
+                     count(*) AS n
               FROM events GROUP BY user_id),
         {chain("k", "uid", "n")},
         cells AS (SELECT r, idx, sum(n) AS c FROM k_h GROUP BY r, idx),
@@ -6083,10 +6088,12 @@ def _build_bpe_encode_oracle() -> None:
     for lf, rt in _BPE_FIXED_MERGES:
         expr = f"replace({expr}, '{lf}|{rt}', '{lf}{rt}')"
     ORACLE_SQL["docs_bpe_encode_fixed"] = f"""
-        WITH t AS (
+        WITH src AS (
+            SELECT doc_id, replace(text, '|', '') AS text FROM documents
+        ), t AS (
             SELECT doc_id,
                    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
-            FROM documents WHERE trim(text) <> ''
+            FROM src WHERE trim(text) <> ''
         ), seg AS (
             SELECT doc_id, {expr} AS s FROM t
         )

@@ -56,6 +56,11 @@ def _init_symbols(b: pa.Table) -> pa.Table:
     """(token, n) → (sym: list<string> of chars + EOW, n)."""
     words = b["token"].to_numpy(zero_copy_only=False)
     n = len(words)
+    if n and any(_SEP in w for w in words):  # pair keys join on _SEP — must be out-of-band
+        raise ValueError(
+            f"token contains the reserved pair separator {_SEP!r}; "
+            "strip control characters before bpe_train/bpe_encode"
+        )
     lens = np.fromiter((len(w) for w in words), dtype=np.int64, count=n) + 1  # +EOW
     offsets = np.concatenate([[0], np.cumsum(lens)])
     flat = np.empty(int(offsets[-1]), dtype=object)
@@ -104,7 +109,6 @@ def _apply_merge(b: pa.Table, left: str, right: str, merged: str) -> pa.Table:
     if left == right and len(hit) > 1:
         # leftmost-greedy on overlapping runs (aaa + merge aa): keep every
         # other hit within each run of consecutive positions
-        keep = np.ones(len(hit), dtype=bool)
         run_break = np.r_[True, np.diff(hit) != 1]
         run_id = np.cumsum(run_break) - 1
         run_start = hit[run_break][run_id]

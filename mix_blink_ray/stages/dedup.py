@@ -969,24 +969,29 @@ def minhash_incremental(
     near-dup twin of :func:`dedup_incremental` (daily-crawl shape): each
     arriving batch reports its verified near-dup pairs BOTH within the delta
     and against every previously-ingested document, then appends its own
-    band rows and signatures as new atomic state deltas.
+    band rows and signatures as ONE new atomic state delta.
 
     Mechanics mirror :func:`minhash_near_dup_pairs` exactly (same shingle →
     minhash → band keys, same hot-band cap accounting, same signature-join
     verification and ``jaccard_threshold``), with one change: history band
-    rows (16 B each, read from ``state_dir/bands/``) union with the delta's
-    band rows under an ``is_new`` flag, and in-band pair emission REQUIRES
-    ≥ 1 delta member — so per-band Python work is ∝ delta collisions, and
-    history×history pairs (already reported by earlier calls) are never
-    recomputed.  Verification joins signatures from both stores onto the
-    (small) pair set — partitioned joins, no broadcast of state ever.
+    rows (16 B each, read from the state) union with the delta's band rows
+    under an ``is_new`` flag (history gets a literal 0 — the column is added
+    at read time so the union schemas match exactly), and in-band pair
+    emission REQUIRES ≥ 1 delta member — per-band Python work is ∝ delta
+    collisions, and history×history pairs (already reported by earlier
+    calls) are never recomputed.  Signatures are computed ONCE per delta
+    (band keys derive from the stored signature bytes).  Verification joins
+    signatures from both stores onto the (small) pair set — partitioned
+    joins, no broadcast of state ever.
 
-    State I/O per call: history band rows are re-READ (a fixed ~16 B ×
-    num_bands per historical doc — orders of magnitude below corpus bytes);
-    writes are O(delta), appended as ``delta_NNNNN`` dirs via ``os.replace``
-    (a killed run leaves only a ``.tmp`` the next run ignores).  At extreme
-    history sizes the documented extension is disk-bucketing the band store
-    by ``band_key`` hash so a delta reads only the buckets it touches.
+    State layout: ``state_dir/delta_NNNNN/{bands,sigs}/*.parquet`` — both
+    stores of a delta land in one directory and a SINGLE ``os.replace``
+    publishes them together, so a killed run leaves only a ``.tmp`` the next
+    run ignores (no bands-without-sigs torn state).  History band rows are
+    re-READ per call (a fixed ~16 B × num_bands per historical doc — orders
+    of magnitude below corpus bytes); at extreme history sizes the
+    documented extension is disk-bucketing the band store by ``band_key``
+    hash so a delta reads only the buckets it touches.
 
     Returns verified ``(a_id, b_id, est_jaccard)``, ``a_id < b_id``, every
     pair containing at least one delta document.  Document ids must be
@@ -1000,22 +1005,6 @@ def minhash_incremental(
 
     from .clustering import clamped_partitions
 
-    bands_dir = os.path.join(state_dir, "bands")
-    sigs_dir = os.path.join(state_dir, "sigs")
-
-    def band_rows(batch: pa.Table, is_new: int) -> pa.Table:
-        sig = _word_shingle_sigs(batch[text_col], cfg)
-        keys = lsh_band_keys(sig, cfg.num_bands)
-        n = batch.num_rows
-        row_idx = np.repeat(np.arange(n, dtype=np.int64), cfg.num_bands)
-        return pa.table(
-            {
-                "band_key": pa.array(keys.reshape(-1)),
-                id_col: pc.take(batch[id_col], pa.array(row_idx)),
-                "is_new": pa.array(np.full(n * cfg.num_bands, is_new, dtype=np.int64)),
-            }
-        )
-
     def sig_rows(batch: pa.Table) -> pa.Table:
         sig = _word_shingle_sigs(batch[text_col], cfg)
         return pa.table(
@@ -1025,24 +1014,64 @@ def minhash_incremental(
             }
         )
 
-    def _deltas(d: str) -> list[str]:
-        if not os.path.isdir(d):
+    def band_rows(batch: pa.Table, is_new: int) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "band_key": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "is_new": pa.array([], pa.int64()),
+                }
+            )
+        if "sig" in batch.column_names:  # derive keys from stored signatures
+            sig = np.frombuffer(b"".join(batch["sig"].to_pylist()), dtype=np.uint64).reshape(
+                n, cfg.num_perms
+            )
+        else:
+            sig = _word_shingle_sigs(batch[text_col], cfg)
+        keys = lsh_band_keys(sig, cfg.num_bands)
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), cfg.num_bands)
+        return pa.table(
+            {
+                "band_key": pa.array(keys.reshape(-1)),
+                id_col: pc.take(batch[id_col], pa.array(row_idx)),
+                "is_new": pa.array(np.full(n * cfg.num_bands, is_new, dtype=np.int64)),
+            }
+        )
+
+    def _state_files(sub: str) -> list[str]:
+        if not os.path.isdir(state_dir):
             return []
         return sorted(
             f
-            for name in sorted(p for p in os.listdir(d) if not p.endswith(".tmp"))
-            for f in _glob.glob(os.path.join(d, name, "*.parquet"))
+            for name in sorted(
+                d for d in os.listdir(state_dir)
+                if d.startswith("delta_") and not d.endswith(".tmp")
+            )
+            for f in _glob.glob(os.path.join(state_dir, name, sub, "*.parquet"))
         )
 
-    delta_bands = new_docs.map_batches(
+    # signatures computed ONCE; delta band keys derive from the sig bytes
+    delta_sigs = new_docs.map_batches(sig_rows, batch_format="pyarrow").materialize()
+    delta_bands = delta_sigs.map_batches(
         lambda b: band_rows(b, 1), batch_format="pyarrow"
     ).materialize()
-    delta_sigs = new_docs.map_batches(sig_rows, batch_format="pyarrow").materialize()
 
-    band_files = _deltas(bands_dir)
-    bands = (
-        delta_bands.union(rd_.read_parquet(band_files)) if band_files else delta_bands
-    )
+    band_files = _state_files("bands")
+    n_hist_rows = 0
+    if band_files:
+        hist = rd_.read_parquet(band_files)
+        n_hist_rows = hist.count()
+        hist = hist.map_batches(
+            lambda b: b.append_column(
+                "is_new", pa.array(np.zeros(b.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+        bands = delta_bands.union(hist)
+    else:
+        bands = delta_bands
 
     def in_band_pairs(group: pa.Table) -> pa.Table:
         empty = pa.table({"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())})
@@ -1054,7 +1083,7 @@ def minhash_incremental(
         sids, snew = raw_ids[order], raw_new[order]
         first = np.r_[True, sids[1:] != sids[:-1]]
         ids, new = sids[first], snew[first]
-        if len(ids) < 2 or not new.any():
+        if len(ids) < 2 or not (new > 0).any():
             return empty
         if len(ids) > cfg.hot_band_cap:
             from ..state.counters import incr
@@ -1066,11 +1095,13 @@ def minhash_incremental(
         keep = (new[iu] > 0) | (new[ju] > 0)  # ≥1 delta member
         return pa.table({"a_id": pa.array(ids[iu][keep]), "b_id": pa.array(ids[ju][keep])})
 
-    n_band_rows = delta_bands.count() + (
-        rd_.read_parquet(band_files).count() if band_files else 0
-    )
     pairs = distinct_pairs(
-        grouped_run_pairs(bands, "band_key", in_band_pairs, n_buckets=_auto_buckets(n_band_rows))
+        grouped_run_pairs(
+            bands,
+            "band_key",
+            in_band_pairs,
+            n_buckets=_auto_buckets(delta_bands.count() + n_hist_rows),
+        )
     ).materialize()
 
     empty_result = pa.table(
@@ -1082,23 +1113,27 @@ def minhash_incremental(
     )
 
     def _append_state() -> None:
-        for store_dir, ds_out, cols in (
-            (bands_dir, delta_bands, ["band_key", id_col]),
-            (sigs_dir, delta_sigs, [id_col, "sig"]),
-        ):
-            os.makedirs(store_dir, exist_ok=True)
-            n_prev = len([p for p in os.listdir(store_dir) if not p.endswith(".tmp")])
-            new_delta = os.path.join(store_dir, f"delta_{n_prev:05d}")
-            tmp = new_delta + ".tmp"
-            shutil.rmtree(tmp, ignore_errors=True)
-            ds_out.select_columns(cols).write_parquet(tmp)
-            os.replace(tmp, new_delta)
+        os.makedirs(state_dir, exist_ok=True)
+        n_prev = len(
+            [
+                d for d in os.listdir(state_dir)
+                if d.startswith("delta_") and not d.endswith(".tmp")
+            ]
+        )
+        new_delta = os.path.join(state_dir, f"delta_{n_prev:05d}")
+        tmp = new_delta + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        delta_bands.select_columns(["band_key", id_col]).write_parquet(
+            os.path.join(tmp, "bands")
+        )
+        delta_sigs.select_columns([id_col, "sig"]).write_parquet(os.path.join(tmp, "sigs"))
+        os.replace(tmp, new_delta)  # one rename publishes BOTH stores
 
     if pairs.count() == 0:
         _append_state()
         return rd_.from_arrow(empty_result)
 
-    sig_files = _deltas(sigs_dir)
+    sig_files = _state_files("sigs")
     sigs = delta_sigs.union(rd_.read_parquet(sig_files)) if sig_files else delta_sigs
     n_parts = clamped_partitions(max(pairs.count(), 1), 8)
     a_sigs = sigs.map_batches(

@@ -3,7 +3,6 @@ near-dup pair may straddle train/val/test — checked directly (not via the
 aggregate the oracle compares)."""
 
 import numpy as np
-import pyarrow.compute as pc
 
 from mix_blink_ray.pipelines import queries as q
 
@@ -16,7 +15,6 @@ def _lehmer_split(lab: np.ndarray) -> np.ndarray:
 
 
 def test_no_verified_pair_crosses_splits(ray_session):
-    from mix_blink_ray.stages.clustering import cluster_nodes
     from mix_blink_ray.stages.dedup import ngram_jaccard_verify
 
     ds = q._t(SF_DIR, "documents", ["doc_id", "text"])
@@ -24,24 +22,9 @@ def test_no_verified_pair_crosses_splits(ray_session):
     pairs = verified.to_pandas()
     assert len(pairs) > 0, "testdata must yield verified near-dup pairs"
 
-    import pyarrow as pa
-
-    edges = verified.map_batches(
-        lambda b: pa.table(
-            {
-                "src": pc.utf8_lpad(pc.cast(b["a_id"], pa.string()), 20, "0"),
-                "dst": pc.utf8_lpad(pc.cast(b["b_id"], pa.string()), 20, "0"),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    nodes = ds.map_batches(
-        lambda b: pa.table({"node": pc.utf8_lpad(pc.cast(b["doc_id"], pa.string()), 20, "0")}),
-        batch_format="pyarrow",
-    )
-    lab = cluster_nodes(edges, nodes, mode="auto").to_pandas()
-    doc = lab["node"].astype(np.int64).to_numpy()
-    cluster = lab["label"].astype(np.int64).to_numpy()
+    lab = q._verified_cluster_labels(ds, verified).to_pandas()
+    doc = lab["doc_id"].to_numpy()
+    cluster = lab["cluster_id"].to_numpy()
     split_of = dict(zip(doc, _lehmer_split(cluster)))
 
     for a, b in pairs[["a_id", "b_id"]].itertuples(index=False):
