@@ -989,9 +989,11 @@ def minhash_incremental(
     publishes them together, so a killed run leaves only a ``.tmp`` the next
     run ignores (no bands-without-sigs torn state).  History band rows are
     re-READ per call (a fixed ~16 B × num_bands per historical doc — orders
-    of magnitude below corpus bytes); at extreme history sizes the
-    documented extension is disk-bucketing the band store by ``band_key``
-    hash so a delta reads only the buckets it touches.
+    of magnitude below corpus bytes).  Note a disk-bucketed band store would
+    NOT cut this read: band keys are hashes, so any non-trivial delta
+    touches every bucket; the real extension at extreme history sizes is a
+    shared key→ids band index (actor-sharded or external KV), turning the
+    per-delta cost from O(history bands) read into O(delta bands) lookups.
 
     Returns verified ``(a_id, b_id, est_jaccard)``, ``a_id < b_id``, every
     pair containing at least one delta document.  Document ids must be
