@@ -2092,6 +2092,23 @@ def events_zorder_cells(sf_dir: str):
     )
 
 
+def docs_simjoin_exact(sf_dir: str):
+    """EXACT set-similarity join (``stages.simjoin.ppjoin_pairs``, prefix +
+    length filter, Xiao et al. 2008): every pair with token-set Jaccard ≥
+    0.4 — zero misses, the deterministic complement of the probabilistic
+    MinHash path.  Restricted to doc_id < 600 so the brute-force all-pairs
+    SQL oracle stays tractable (the engine's own cost is prefix-bounded and
+    needs no such restriction — the zero-miss parity tests run unrestricted
+    random corpora)."""
+    from ..stages.simjoin import ppjoin_pairs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: b.filter(pc.less(b["doc_id"], pa.scalar(600, pa.int64()))),
+        batch_format="pyarrow",
+    )
+    return ppjoin_pairs(ds, 0.4)
+
+
 def docs_sample_hash(sf_dir: str):
     """Deterministic ~10% corpus sample (Lehmer hash filter — reproducible
     under Ray task retry, shuffle-free; see ``stages.sampling``)."""
@@ -4446,6 +4463,7 @@ QUERIES = {
     "docs_bpe_merges": docs_bpe_merges,
     "docs_bpe_encode_fixed": docs_bpe_encode_fixed,
     "events_zorder_cells": events_zorder_cells,
+    "docs_simjoin_exact": docs_simjoin_exact,
     "q4_order_priority": q4_order_priority,
     "q14_promo_share": q14_promo_share,
     "docs_regex_scrub": docs_regex_scrub,
@@ -5773,6 +5791,23 @@ ORACLE_SQL = {
                  AS weighted_value
         FROM events e JOIN dim d ON e.event_type = d.t_type
         GROUP BY user_id
+    """,
+    "docs_simjoin_exact": """
+        WITH g AS (
+            SELECT doc_id,
+                   list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+            FROM documents
+            WHERE doc_id < 600 AND trim(text) <> ''
+        ), j AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                     / greatest(len(a.toks) + len(b.toks)
+                                - len(list_intersect(a.toks, b.toks)), 1) AS jac
+            FROM g a JOIN g b ON b.doc_id > a.doc_id
+        )
+        SELECT a_id, b_id,
+               CAST(round(jac * 1000000) AS BIGINT) / 1000000.0 AS jaccard
+        FROM j WHERE jac >= 0.4
     """,
     "docs_split_leakage_safe": """
         WITH RECURSIVE g AS (

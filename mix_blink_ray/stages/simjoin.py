@@ -1,0 +1,218 @@
+"""Exact set-similarity join via prefix filtering (the PPJoin family —
+Xiao et al. 2008, WWW; prefix + length filters, exact verify).
+
+The probabilistic near-dup path (MinHash/LSH, ``stages/dedup.py``) trades
+recall for bounded work; some pipelines need the EXACT answer — every pair
+with token-set Jaccard ≥ t, no misses.  All-pairs comparison is O(n²); the
+prefix-filter theorem cuts it without losing a single pair: order every
+document's distinct tokens by GLOBAL rarity (df ascending, token ascending —
+one fixed total order), and if J(A,B) ≥ t then, with
+``p(L) = L − ⌈t·L⌉ + 1``, the first ``p(|A|)`` tokens of A and the first
+``p(|B|)`` tokens of B must share at least one token.  So it suffices to
+emit only each doc's p rarest tokens and look for collisions — rare tokens
+by construction, so candidate groups stay small.
+
+Ray shape: one corpus pass builds the df table (map-side distinct (token,
+doc) contraction + groupby); the (token → rarity rank) order broadcasts once
+(counted guard — RAISES above the cap rather than silently degrading);
+prefix rows shuffle through ONE bucketed exchange (``grouped_run_pairs``);
+candidates pass the length filter (J ≥ t ⇒ t·max(L) ≤ min(L)) before the
+exact verify, which fetches texts onto the (small) pair set via partitioned
+joins and computes exact STRING token-set Jaccard (no hashing — the
+exactness claim tolerates no collisions).  Completeness (zero misses vs the
+brute-force all-pairs join) is asserted by the parity tests.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+__all__ = ["ppjoin_pairs"]
+
+
+def _distinct_row_tokens(b: pa.Table, id_col: str, text_col: str):
+    """(row_pos, doc_id_per_row, token) with per-doc distinct tokens."""
+    from .vocab import tokenize_batch
+
+    toks = tokenize_batch(b[text_col], lower=True)
+    rows = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+    flat = toks.flatten().to_numpy(zero_copy_only=False).astype(str)
+    nonempty = flat != ""
+    rows, flat = rows[nonempty], flat[nonempty]
+    order = np.lexsort((flat, rows))
+    rows, flat = rows[order], flat[order]
+    keep = np.r_[True, (rows[1:] != rows[:-1]) | (flat[1:] != flat[:-1])]
+    return rows[keep], flat[keep]
+
+
+def ppjoin_pairs(
+    docs: Dataset,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_broadcast_vocab: int = 20_000_000,
+    hot_token_cap: int = 4096,
+) -> Dataset:
+    """All pairs with exact token-set Jaccard ≥ ``threshold`` —
+    ``(a_id, b_id, jaccard)``, ``a_id < b_id``, jaccard rounded to 1e-6.
+
+    Raises when the vocabulary exceeds ``max_broadcast_vocab`` (the rank
+    order must broadcast) or when a prefix token collides across more than
+    ``hot_token_cap`` documents (truncating would silently break the
+    zero-miss guarantee — lower the threshold's prefix cost by raising the
+    cap, or pre-drop stopword-like tokens, explicitly)."""
+    from .clustering import clamped_partitions
+    from .dedup import _auto_buckets, distinct_pairs, grouped_run_pairs
+    from .vocab import doc_frequencies
+
+    t = float(threshold)
+    if not 0.0 < t <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {t}")
+
+    df = doc_frequencies(docs, id_col=id_col, text_col=text_col).to_pandas()
+    if len(df) > max_broadcast_vocab:
+        raise ValueError(
+            f"vocabulary {len(df)} exceeds max_broadcast_vocab={max_broadcast_vocab}"
+        )
+    df = df.sort_values(["df", "token"], kind="stable").reset_index(drop=True)
+    # rarity rank = position in (df asc, token asc); broadcast the vocab in
+    # LEXICOGRAPHIC order with each token's rank alongside, so batch lookup
+    # is one searchsorted
+    tokens_by_rarity = df["token"].to_numpy().astype(str)
+    lex = np.argsort(tokens_by_rarity, kind="stable")
+    vocab_sorted = tokens_by_rarity[lex]
+    rank_of_sorted = lex.astype(np.int64)
+    vocab_ref = ray.put((vocab_sorted, rank_of_sorted))
+
+    def prefix_rows(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "token": pa.array([], pa.string()),
+                id_col: pa.array([], pa.int64()),
+                "set_len": pa.array([], pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        vs, vr = ray.get(vocab_ref)
+        rows, toks = _distinct_row_tokens(b, id_col, text_col)
+        if len(rows) == 0:
+            return empty
+        pos_in_vocab = np.searchsorted(vs, toks)
+        ranks = vr[pos_in_vocab]
+        order = np.lexsort((ranks, rows))
+        rows, toks, ranks = rows[order], toks[order], ranks[order]
+        starts = np.flatnonzero(np.r_[True, rows[1:] != rows[:-1]])
+        lens = np.diff(np.r_[starts, len(rows)])
+        l_of = np.repeat(lens, lens)
+        pos = np.arange(len(rows)) - np.repeat(starts, lens)
+        p = l_of - np.ceil(t * l_of).astype(np.int64) + 1
+        keep = pos < p
+        ids = np.asarray(b[id_col], dtype=np.int64)[rows[keep]]
+        return pa.table(
+            {
+                "token": pa.array(toks[keep], pa.string()),
+                id_col: pa.array(ids, pa.int64()),
+                "set_len": pa.array(l_of[keep], pa.int64()),
+            }
+        )
+
+    def in_token_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())})
+        if group.num_rows < 2:
+            return empty
+        ids = np.asarray(group[id_col], dtype=np.int64)
+        lens = np.asarray(group["set_len"], dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, lens = ids[order], lens[order]
+        first = np.r_[True, ids[1:] != ids[:-1]]
+        ids, lens = ids[first], lens[first]
+        if len(ids) < 2:
+            return empty
+        if len(ids) > hot_token_cap:
+            raise ValueError(
+                f"prefix token shared by {len(ids)} docs exceeds hot_token_cap="
+                f"{hot_token_cap}; truncation would break the zero-miss guarantee"
+            )
+        iu, ju = np.triu_indices(len(ids), k=1)
+        la, lb = lens[iu], lens[ju]
+        # length filter: J >= t  =>  t * max(L) <= min(L)
+        keep = np.minimum(la, lb).astype(np.float64) >= t * np.maximum(la, lb) - 1e-9
+        return pa.table({"a_id": pa.array(ids[iu][keep]), "b_id": pa.array(ids[ju][keep])})
+
+    n_prefix_rows = docs.map_batches(prefix_rows, batch_format="pyarrow").materialize()
+    pairs = distinct_pairs(
+        grouped_run_pairs(
+            n_prefix_rows,
+            "token",
+            in_token_pairs,
+            n_buckets=_auto_buckets(n_prefix_rows.count()),
+        )
+    ).materialize()
+
+    empty_result = pa.table(
+        {
+            "a_id": pa.array([], pa.int64()),
+            "b_id": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if pairs.count() == 0:
+        import ray.data as rd_
+
+        return rd_.from_arrow(empty_result)
+
+    n_parts = clamped_partitions(max(pairs.count(), 1), 8)
+    a_texts = docs.map_batches(
+        lambda b: pa.table({"a_id": b[id_col], "a_text": b[text_col]}), batch_format="pyarrow"
+    )
+    b_texts = docs.map_batches(
+        lambda b: pa.table({"b_id": b[id_col], "b_text": b[text_col]}), batch_format="pyarrow"
+    )
+    joined = pairs.join(a_texts, join_type="inner", num_partitions=n_parts, on=("a_id",)).join(
+        b_texts, join_type="inner", num_partitions=n_parts, on=("b_id",)
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return empty_result
+
+        def row_sets(col):
+            t2 = pa.table({"i": pa.array(np.arange(n, dtype=np.int64)), "x": col})
+            return _distinct_row_tokens(
+                t2.rename_columns(["doc_id", "text"]), "doc_id", "text"
+            )
+
+        ra, ta = row_sets(batch["a_text"])
+        rb, tb = row_sets(batch["b_text"])
+        na = np.bincount(ra, minlength=n)
+        nb = np.bincount(rb, minlength=n)
+        rows = np.concatenate([ra, rb])
+        toks = np.concatenate([ta, tb])
+        order = np.lexsort((toks, rows))
+        rows, toks = rows[order], toks[order]
+        dup = (rows[1:] == rows[:-1]) & (toks[1:] == toks[:-1])
+        inter = np.bincount(rows[1:][dup], minlength=n)
+        union = np.maximum(na + nb - inter, 1)
+        jac = inter.astype(np.float64) / union
+        out = pa.table(
+            {
+                "a_id": batch["a_id"],
+                "b_id": batch["b_id"],
+                # half-away-from-zero (DuckDB round()), NOT np.round's
+                # banker's rounding — the queries._round_col convention
+                "jaccard": pa.array(np.floor(jac * 1_000_000 + 0.5) / 1_000_000.0),
+            }
+        )
+        # no epsilon: both sides (and the SQL oracle) compute the identical
+        # int/int float64 division, so >= t is bit-deterministic
+        return out.filter(pa.array(jac >= t))
+
+    return joined.map_batches(verify, batch_format="pyarrow")
