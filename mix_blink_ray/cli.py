@@ -329,6 +329,23 @@ def cmd_minhash_incremental(args) -> None:
     ray.shutdown()
 
 
+def cmd_simjoin(args) -> None:
+    """Exact set-similarity join (stages/simjoin.ppjoin_pairs): all document
+    pairs with token-set Jaccard >= threshold, zero misses."""
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .stages.simjoin import ppjoin_pairs
+
+    ds = rd.read_parquet(args.docs)
+    pairs = ppjoin_pairs(
+        ds, args.threshold, id_col=args.id_col, text_col=args.text_col
+    )
+    pairs.write_parquet(_fresh_dir(args.out))
+    print(json.dumps({"pairs": pairs.count(), "threshold": args.threshold, "out": args.out}))
+    ray.shutdown()
+
+
 def cmd_pack(args) -> None:
     """Next-fit sequence packing (stages/text_analysis.pack_next_fit):
     per-group token-budget bins for training-shard assembly."""
@@ -629,6 +646,15 @@ def main(argv: list[str] | None = None) -> None:
     mi.add_argument("--threshold", type=float, default=0.7)
     mi.add_argument("--num-cpus", type=int, default=None)
     mi.set_defaults(fn=cmd_minhash_incremental)
+
+    sj = sub.add_parser("simjoin", help="exact token-Jaccard similarity join (prefix filter)")
+    sj.add_argument("--docs", required=True)
+    sj.add_argument("--out", required=True)
+    sj.add_argument("--threshold", type=float, default=0.7)
+    sj.add_argument("--id-col", default="doc_id")
+    sj.add_argument("--text-col", default="text")
+    sj.add_argument("--num-cpus", type=int, default=None)
+    sj.set_defaults(fn=cmd_simjoin)
 
     pk = sub.add_parser("pack", help="next-fit token-budget sequence packing per group")
     pk.add_argument("--docs", required=True)

@@ -245,3 +245,17 @@ def test_cli_minhash_incremental(tmp_path):
     out = pq.read_table(str(tmp_path / "o2")).to_pandas()
     assert (out["a_id"].iloc[0], out["b_id"].iloc[0]) == (1, 10)
     assert out["est_jaccard"].iloc[0] == 1.0
+
+
+def test_cli_simjoin(tmp_path):
+    t1 = "alpha bravo charlie delta echo foxtrot"
+    docs = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                     "text": pa.array([t1, t1 + " golf", "totally different words here"])})
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, p)
+    res = _run(["simjoin", "--docs", p, "--out", str(tmp_path / "pairs"),
+                "--threshold", "0.5", "--num-cpus", "2"])
+    assert res["pairs"] == 1
+    out = pq.read_table(str(tmp_path / "pairs")).to_pandas()
+    assert (out["a_id"].iloc[0], out["b_id"].iloc[0]) == (1, 2)
+    assert abs(out["jaccard"].iloc[0] - 6 / 7) < 1e-6
