@@ -2109,6 +2109,24 @@ def docs_simjoin_exact(sf_dir: str):
     return ppjoin_pairs(ds, 0.4)
 
 
+def customers_name_edit1(sf_dir: str):
+    """EXACT edit-distance-≤1 name join via deletion neighborhoods (FastSS,
+    ``stages.simjoin.edit1_join``): zero misses, unlike the windowed
+    sorted-neighborhood pass (``customers_name_neighbors``) which only sees
+    sort-adjacent pairs.  Variant HASHES (an O(1)-per-deletion rolling-hash
+    trick — strings are never materialized) route through one bucketed
+    exchange; candidates verify with the vectorized Levenshtein DP.
+    Restricted to c_custkey ≤ 600 so the brute-force all-pairs oracle stays
+    tractable; the engine itself is emission-bounded by rows × (len+1)."""
+    from ..stages.simjoin import edit1_join
+
+    ds = _t(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        lambda b: b.filter(pc.less_equal(b["c_custkey"], pa.scalar(600, pa.int64()))),
+        batch_format="pyarrow",
+    )
+    return edit1_join(ds, "c_name", "c_custkey")
+
+
 def docs_sample_hash(sf_dir: str):
     """Deterministic ~10% corpus sample (Lehmer hash filter — reproducible
     under Ray task retry, shuffle-free; see ``stages.sampling``)."""
@@ -4464,6 +4482,7 @@ QUERIES = {
     "docs_bpe_encode_fixed": docs_bpe_encode_fixed,
     "events_zorder_cells": events_zorder_cells,
     "docs_simjoin_exact": docs_simjoin_exact,
+    "customers_name_edit1": customers_name_edit1,
     "q4_order_priority": q4_order_priority,
     "q14_promo_share": q14_promo_share,
     "docs_regex_scrub": docs_regex_scrub,
@@ -5791,6 +5810,15 @@ ORACLE_SQL = {
                  AS weighted_value
         FROM events e JOIN dim d ON e.event_type = d.t_type
         GROUP BY user_id
+    """,
+    "customers_name_edit1": """
+        WITH c AS (
+            SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 600
+        )
+        SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+               CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        FROM c a JOIN c b ON b.c_custkey > a.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
     """,
     "docs_simjoin_exact": """
         WITH g AS (
