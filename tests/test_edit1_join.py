@@ -96,3 +96,47 @@ def test_edit1_hot_variant_guard_raises(ray_session):
         edit1_join(
             rd.from_arrow(_tbl(names)), "name", "id", hot_variant_cap=8
         ).to_pandas()
+
+
+# ── kernel fuzz (pure numpy, no Ray) ────────────────────────────────────────
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mix_blink_ray.functions.strings import pad_codes
+from mix_blink_ray.stages.simjoin import _deletion_hashes
+
+
+def _direct_hash(s: bytes, P: int, PINV: int, LEN_MIX: int) -> int:
+    """Reference: polynomial hash + length mix + splitmix64, from scratch."""
+    from mix_blink_ray.stages.sketches import splitmix64
+    import numpy as np
+
+    H = 0
+    for j, c in enumerate(s):
+        H = (H + c * pow(P, j, 1 << 64)) % (1 << 64)
+    mixed = (H + len(s) * LEN_MIX) % (1 << 64)
+    return int(splitmix64(np.array([mixed], dtype=np.uint64))[0])
+
+
+@settings(max_examples=150, deadline=None)
+@given(words=st.lists(st.text(alphabet="abcxyz", min_size=0, max_size=12), min_size=1, max_size=8))
+def test_deletion_hash_equals_direct_hash_of_deleted_string(words):
+    """The O(1) modular-inverse deletion hash must equal hashing the actually
+    deleted string from scratch — for every row and every deletion position."""
+    import numpy as np
+    import pyarrow as pa
+
+    from mix_blink_ray.stages import simjoin as sj
+
+    arr = pa.array(words, pa.string())
+    mat, lens = pad_codes(arr, max_len=16)
+    self_h, del_h, valid = _deletion_hashes(mat, lens)
+    P, PINV, LEN_MIX = int(sj._POLY_P), int(sj._POLY_PINV), int(sj._LEN_MIX)
+    for i, w in enumerate(words):
+        b = w.encode()
+        assert int(self_h[i]) == _direct_hash(b, P, PINV, LEN_MIX)
+        for d in range(len(b)):
+            assert bool(valid[i, d])
+            want = _direct_hash(b[:d] + b[d + 1:], P, PINV, LEN_MIX)
+            assert int(del_h[i, d]) == want
+        assert not valid[i, len(b):].any()
