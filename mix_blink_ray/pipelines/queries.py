@@ -2127,6 +2127,77 @@ def customers_name_edit1(sf_dir: str):
     return edit1_join(ds, "c_name", "c_custkey")
 
 
+def docs_er_cluster_purity(sf_dir: str):
+    """Cluster-quality evaluation table for the verified near-dup ER
+    clustering: per cluster — size, Σ n_cs² (the B³/purity numerator over
+    source classes), majority-class size, and distinct classes.  B³
+    precision is Σ purity_num/n_c / N and purity is Σ max_ncs / N — both
+    derivable from these EXACT INTEGER sufficient statistics, which is the
+    point: per-element float averages are distributed-sum-order-dependent
+    and would break hash parity, while integer cells replay exactly.
+    Distributed shape: closure labels join the source column (partitioned),
+    (cluster, source) cells contract map-side, two cell-sized groupbys —
+    nothing driver-side scales with rows."""
+    from ..stages.dedup import ngram_jaccard_verify
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    verified = ngram_jaccard_verify(_window_pair_table(ds, 5), ds, threshold=0.5)
+    labels = _verified_cluster_labels(ds, verified)
+    src = _t(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        lambda b: pa.table({"sdoc": b["doc_id"], "source": b["source"]}),
+        batch_format="pyarrow",
+    )
+    import ray
+
+    from ..stages.clustering import clamped_partitions
+
+    n_parts = clamped_partitions(ds.count(), max(8, int(ray.cluster_resources().get("CPU", 8))))
+    joined = labels.join(src, join_type="inner", num_partitions=n_parts, on=("doc_id",), right_on=("sdoc",))
+
+    def cell_partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"cluster_id": b["cluster_id"], "source": b["source"]})
+            .group_by(["cluster_id", "source"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["cluster_id", "source", "n_partial"])
+
+    cells = (
+        joined.map_batches(cell_partial, batch_format="pyarrow")
+        .groupby(["cluster_id", "source"])
+        .aggregate(Sum("n_partial", alias_name="n_cs"))
+    )
+
+    def per_cluster_partial(b: pa.Table) -> pa.Table:
+        n_cs = np.asarray(b["n_cs"], dtype=np.int64)
+        t = pa.table(
+            {
+                "cluster_id": b["cluster_id"],
+                "n_cs": b["n_cs"],
+                "sq": pa.array(n_cs * n_cs, pa.int64()),
+            }
+        )
+        g = t.group_by("cluster_id").aggregate(
+            [("n_cs", "sum"), ("sq", "sum"), ("n_cs", "max"), ([], "count_all")]
+        )
+        return g.rename_columns(["cluster_id", "nc_p", "sq_p", "mx_p", "ns_p"])
+
+    out = (
+        cells.map_batches(per_cluster_partial, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .aggregate(
+            Sum("nc_p", alias_name="n_c"),
+            Sum("sq_p", alias_name="purity_num"),
+            Max("mx_p", alias_name="max_ncs"),
+            Sum("ns_p", alias_name="n_sources"),
+        )
+    )
+    return pa.Table.from_pandas(
+        out.to_pandas()[["cluster_id", "n_c", "purity_num", "max_ncs", "n_sources"]],
+        preserve_index=False,
+    )
+
+
 def docs_sample_hash(sf_dir: str):
     """Deterministic ~10% corpus sample (Lehmer hash filter — reproducible
     under Ray task retry, shuffle-free; see ``stages.sampling``)."""
@@ -4483,6 +4554,7 @@ QUERIES = {
     "events_zorder_cells": events_zorder_cells,
     "docs_simjoin_exact": docs_simjoin_exact,
     "customers_name_edit1": customers_name_edit1,
+    "docs_er_cluster_purity": docs_er_cluster_purity,
     "q4_order_priority": q4_order_priority,
     "q14_promo_share": q14_promo_share,
     "docs_regex_scrub": docs_regex_scrub,
@@ -5810,6 +5882,42 @@ ORACLE_SQL = {
                  AS weighted_value
         FROM events e JOIN dim d ON e.event_type = d.t_type
         GROUP BY user_id
+    """,
+    "docs_er_cluster_purity": """
+        WITH RECURSIVE g AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) >= 3
+                        THEN list_distinct(list_transform(
+                                 generate_series(1, length(text) - 2),
+                                 i -> substring(text, i, 3)))
+                        WHEN length(text) > 0 THEN [text]
+                        ELSE CAST([] AS VARCHAR[]) END AS grams
+            FROM documents
+        ), p AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM g a JOIN g b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) >= 0.5
+        ), e AS (
+            SELECT a_id AS src, b_id AS dst FROM p
+            UNION ALL SELECT b_id, a_id FROM p
+        ), reach(node, m) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, r.m FROM reach r JOIN e ON e.src = r.node
+        ), labels AS (
+            SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node
+        ), cells AS (
+            SELECT l.cluster_id, d.source, count(*) AS n_cs
+            FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+            GROUP BY l.cluster_id, d.source
+        )
+        SELECT cluster_id,
+               CAST(sum(n_cs) AS BIGINT) AS n_c,
+               CAST(sum(n_cs * n_cs) AS BIGINT) AS purity_num,
+               CAST(max(n_cs) AS BIGINT) AS max_ncs,
+               count(*) AS n_sources
+        FROM cells GROUP BY cluster_id
     """,
     "customers_name_edit1": """
         WITH c AS (
