@@ -2198,6 +2198,78 @@ def docs_er_cluster_purity(sf_dir: str):
     )
 
 
+def docs_search_bm25(sf_dir: str):
+    """BM25 top-10 retrieval (k1=6/5, b=3/4) in EXACT integer arithmetic:
+    with avgdl = T/N folded through, the saturation term becomes
+    44·tf·T / (20·tf·T + 6·T + 18·dl·N) — a pure integer rational, quantized
+    ×1000 with floor division exactly like the tf-idf sibling
+    (``docs_search_top10``), so the score replays bit-exact in SQL (a float
+    ln-idf would not; idf is the same ×1000 integer surrogate).  Shape: one
+    tiny stats pass (N, T, per-term df — broadcast), then a SHUFFLE-FREE
+    scoring pass (a document is whole within its row, so tf/dl never cross
+    batches) into the partial-top-k merge."""
+    from ..stages.topk import topk_rows
+    from ..stages.vocab import tokenize_batch
+
+    terms = ("merge", "scan", "window")
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        toks = tokenize_batch(b["text"], lower=True)
+        rows = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        n_docs = b.num_rows
+        t_tokens = len(flat)
+        dfs = []
+        for term in terms:
+            hit_rows = np.unique(rows[flat == term])
+            dfs.append(len(hit_rows))
+        return pa.table(
+            {
+                "n_p": pa.array([n_docs], pa.int64()),
+                "t_p": pa.array([t_tokens], pa.int64()),
+                **{f"df{i}_p": pa.array([d], pa.int64()) for i, d in enumerate(dfs)},
+            }
+        )
+
+    agg = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .sum(["n_p", "t_p"] + [f"df{i}_p" for i in range(len(terms))])
+    )
+    N, T = int(agg["sum(n_p)"]), int(agg["sum(t_p)"])
+    DF = [int(agg[f"sum(df{i}_p)"]) for i in range(len(terms))]
+
+    def score(b: pa.Table) -> pa.Table:
+        toks = tokenize_batch(b["text"], lower=True)
+        rows = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        n = b.num_rows
+        dl = np.bincount(rows, minlength=n).astype(np.int64)
+        total = np.zeros(n, dtype=np.int64)
+        for i, term in enumerate(terms):
+            if DF[i] == 0:
+                continue
+            tf = np.bincount(rows[flat == term], minlength=n).astype(np.int64)
+            idf_q = N * 1000 // DF[i]
+            sat_q = np.zeros(n, dtype=np.int64)
+            hit = tf > 0
+            sat_q[hit] = (44 * tf[hit] * T * 1000) // (
+                20 * tf[hit] * T + 6 * T + 18 * dl[hit] * N
+            )
+            total += idf_q * sat_q
+        keep = total > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(b["doc_id"], dtype=np.int64)[keep]),
+                "score": pa.array(total[keep], pa.int64()),
+            }
+        )
+
+    return topk_rows(
+        ds.map_batches(score, batch_format="pyarrow"), ["score", "doc_id"], [True, False], 10
+    )
+
+
 def docs_sample_hash(sf_dir: str):
     """Deterministic ~10% corpus sample (Lehmer hash filter — reproducible
     under Ray task retry, shuffle-free; see ``stages.sampling``)."""
@@ -4555,6 +4627,7 @@ QUERIES = {
     "docs_simjoin_exact": docs_simjoin_exact,
     "customers_name_edit1": customers_name_edit1,
     "docs_er_cluster_purity": docs_er_cluster_purity,
+    "docs_search_bm25": docs_search_bm25,
     "q4_order_priority": q4_order_priority,
     "q14_promo_share": q14_promo_share,
     "docs_regex_scrub": docs_regex_scrub,
@@ -5882,6 +5955,30 @@ ORACLE_SQL = {
                  AS weighted_value
         FROM events e JOIN dim d ON e.event_type = d.t_type
         GROUP BY user_id
+    """,
+    "docs_search_bm25": """
+        WITH q(term) AS (VALUES ('merge'), ('scan'), ('window')),
+        tok AS (SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+                FROM documents),
+        nn AS (SELECT count(*) AS n_docs FROM documents),
+        tt AS (SELECT count(*) AS t_tokens FROM tok),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        df AS (SELECT w AS term, count(DISTINCT doc_id) AS df FROM tok
+               WHERE w IN (SELECT term FROM q) GROUP BY w),
+        tf AS (SELECT doc_id, w AS term, count(*) AS tf FROM tok
+               WHERE w IN (SELECT term FROM q) GROUP BY doc_id, w),
+        sc AS (SELECT tf.doc_id,
+                      sum(((SELECT n_docs FROM nn) * 1000 // df.df)
+                          * ((44 * tf.tf * (SELECT t_tokens FROM tt) * 1000)
+                             // (20 * tf.tf * (SELECT t_tokens FROM tt)
+                                 + 6 * (SELECT t_tokens FROM tt)
+                                 + 18 * dl.dl * (SELECT n_docs FROM nn)))) AS score
+               FROM tf JOIN df ON tf.term = df.term
+                       JOIN dl ON tf.doc_id = dl.doc_id
+               GROUP BY tf.doc_id)
+        SELECT doc_id, CAST(score AS BIGINT) AS score
+        FROM sc WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10
     """,
     "docs_er_cluster_purity": """
         WITH RECURSIVE g AS (
