@@ -342,7 +342,9 @@ def cmd_simjoin(args) -> None:
         ds, args.threshold, id_col=args.id_col, text_col=args.text_col
     )
     pairs.write_parquet(_fresh_dir(args.out))
-    print(json.dumps({"pairs": pairs.count(), "threshold": args.threshold, "out": args.out}))
+    # count from the written files — pairs.count() would re-run joins+verify
+    n = rd.read_parquet(args.out).count()
+    print(json.dumps({"pairs": n, "threshold": args.threshold, "out": args.out}))
     ray.shutdown()
 
 

@@ -2250,6 +2250,11 @@ def docs_search_bm25(sf_dir: str):
             if DF[i] == 0:
                 continue
             tf = np.bincount(rows[flat == term], minlength=n).astype(np.int64)
+            if int(tf.max(initial=0)) and 44 * int(tf.max()) * T * 1000 >= 2**63:
+                # DuckDB raises on BIGINT overflow; silent int64 wrap here
+                # would instead produce garbage scores — match the oracle's
+                # loud failure (house convention: RAISE, never wrap)
+                raise ValueError("BM25 integer scale overflow: tf*T too large")
             idf_q = N * 1000 // DF[i]
             sat_q = np.zeros(n, dtype=np.int64)
             hit = tf > 0

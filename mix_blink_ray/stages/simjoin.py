@@ -83,6 +83,14 @@ def ppjoin_pairs(
     # LEXICOGRAPHIC order with each token's rank alongside, so batch lookup
     # is one searchsorted
     tokens_by_rarity = df["token"].to_numpy().astype(str)
+    if tokens_by_rarity.nbytes > 8 << 30:
+        # fixed-width unicode costs rows x LONGEST-token chars x 4 B: one
+        # pathological blob token amplifies the whole broadcast — raise
+        # rather than OOM the driver (pre-drop over-long tokens explicitly)
+        raise ValueError(
+            f"vocab broadcast would be {tokens_by_rarity.nbytes >> 30} GiB "
+            "(rows x longest-token width); drop over-long tokens first"
+        )
     lex = np.argsort(tokens_by_rarity, kind="stable")
     vocab_sorted = tokens_by_rarity[lex]
     rank_of_sorted = lex.astype(np.int64)
@@ -268,6 +276,12 @@ def edit1_join(
     of rows whose ``key_col`` strings are within ONE insert/delete/substitute
     — zero misses, verified by the exact vectorized Levenshtein DP.
 
+    Distance is BYTE-level over UTF-8 (the repo-wide key convention —
+    identical to character distance for ASCII keys; a non-ASCII corpus where
+    one character is several bytes needs a codepoint transcode first, or
+    char-level d=1 pairs like 'café'/'cafe' are missed and DuckDB's
+    char-level ``levenshtein`` oracle diverges).  Null keys raise.
+
     Mechanics: d(s,t) ≤ 1 ⇒ the sets {s} ∪ deletions(s) and
     {t} ∪ deletions(t) intersect (equal strings share s; a substitution at
     position i shares the common deletion at i; an insertion shares the
@@ -289,7 +303,14 @@ def edit1_join(
         )
         if b.num_rows == 0:
             return empty
-        lens_raw = pc.binary_length(pc.cast(b[key_col], pa.binary()))
+        col = b[key_col]
+        if col.null_count > 0:
+            raise ValueError(
+                f"{key_col} contains nulls; SQL levenshtein(NULL, x) is NULL "
+                "(pair excluded) while a silent empty-string reading would "
+                "fabricate pairs — filter or fill nulls explicitly first"
+            )
+        lens_raw = pc.binary_length(pc.cast(col, pa.binary()))
         if pc.max(lens_raw).as_py() > max_len:
             raise ValueError(
                 f"{key_col} exceeds max_len={max_len}; raise it explicitly "
