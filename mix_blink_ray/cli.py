@@ -329,6 +329,87 @@ def cmd_minhash_incremental(args) -> None:
     ray.shutdown()
 
 
+def cmd_curate(args) -> None:
+    """One-command corpus curation — the composed end-to-end training-data
+    pipeline, each stage the repo's documented operator:
+
+      1. quality gate (C4/Gopher-family heuristic score ≥ --min-quality);
+      2. exact + verified near-dup dedup with transitive closure
+         (stages/dedup.dedup_corpus — drop ledger with reasons);
+      3. benchmark n-gram decontamination (stages/contamination) — flagged
+         docs drop;
+      4. deterministic 8/1/1 train/val/test split by Lehmer hash of doc id —
+         leakage-safe BY CONSTRUCTION here, because step 2 already collapsed
+         every verified near-dup pair (the standalone leakage-safe split via
+         cluster hashing exists for pipelines that keep near-dups).
+
+    Writes the curated corpus (with a ``split`` column), the drop ledger,
+    and a per-stage metrics manifest JSON."""
+    ray = _ray_session(args.num_cpus)
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .stages.contamination import decontaminate
+    from .stages.dedup import DedupConfig, dedup_corpus
+    from .stages.text_analysis import quality_scores
+
+    id_col, text_col = args.id_col, args.text_col
+    docs = rd.read_parquet(args.docs)
+    metrics = {"input_docs": docs.count()}
+
+    def gate(b: pa.Table) -> pa.Table:
+        q = quality_scores(b, text_col=text_col, id_col=id_col)
+        return b.filter(pc.greater_equal(q["quality_score"], pa.scalar(args.min_quality)))
+
+    survivors = docs.map_batches(gate, batch_format="pyarrow").materialize()
+    metrics["after_quality"] = survivors.count()
+
+    kept, dropped, ddm = dedup_corpus(
+        survivors, DedupConfig(jaccard_threshold=args.threshold)
+    )
+    kept = kept.materialize()
+    metrics.update({f"dedup_{k}": int(v) for k, v in ddm.items()})
+    metrics["after_dedup"] = kept.count()
+
+    if args.bench_mod > 0:
+        flags = decontaminate(
+            kept, id_col=id_col, text_col=text_col, n=args.ngram, bench_mod=args.bench_mod
+        )
+        clean = flags.map_batches(
+            lambda b: pa.table({"cid": b[id_col]}).filter(
+                pc.invert(pc.cast(b["flagged"], pa.bool_()))
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        from .stages.clustering import clamped_partitions
+
+        kp = clamped_partitions(max(clean.count(), 1), 16)
+        kept = kept.join(
+            clean, join_type="left_semi", num_partitions=kp, on=(id_col,), right_on=("cid",)
+        ).materialize()
+        metrics["after_decontamination"] = kept.count()
+
+    def assign_split(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        r = (ids % 2147483647) * 48271 % 2147483647 % 10
+        split = np.where(r < 8, "train", np.where(r == 8, "val", "test"))
+        return b.append_column("split", pa.array(split.astype(object), pa.string()))
+
+    curated = kept.map_batches(assign_split, batch_format="pyarrow")
+    curated.write_parquet(_fresh_dir(args.out))
+    dropped.write_parquet(_fresh_dir(args.out_dropped))
+    metrics["curated_docs"] = rd.read_parquet(args.out).count()
+    os.makedirs(os.path.dirname(args.manifest) or ".", exist_ok=True)
+    with open(args.manifest, "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(json.dumps({**metrics, "out": args.out, "manifest": args.manifest}))
+    ray.shutdown()
+
+
 def cmd_simjoin(args) -> None:
     """Exact set-similarity join (stages/simjoin.ppjoin_pairs): all document
     pairs with token-set Jaccard >= threshold, zero misses."""
@@ -648,6 +729,20 @@ def main(argv: list[str] | None = None) -> None:
     mi.add_argument("--threshold", type=float, default=0.7)
     mi.add_argument("--num-cpus", type=int, default=None)
     mi.set_defaults(fn=cmd_minhash_incremental)
+
+    cu = sub.add_parser("curate", help="end-to-end corpus curation: quality -> dedup -> decon -> split")
+    cu.add_argument("--docs", required=True)
+    cu.add_argument("--out", required=True, help="curated corpus parquet dir (with split column)")
+    cu.add_argument("--out-dropped", required=True, help="drop-ledger parquet dir")
+    cu.add_argument("--manifest", required=True, help="per-stage metrics JSON file")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--min-quality", type=float, default=0.5)
+    cu.add_argument("--threshold", type=float, default=0.7, help="near-dup verify Jaccard")
+    cu.add_argument("--ngram", type=int, default=5)
+    cu.add_argument("--bench-mod", type=int, default=13, help="0 disables decontamination")
+    cu.add_argument("--num-cpus", type=int, default=None)
+    cu.set_defaults(fn=cmd_curate)
 
     sj = sub.add_parser("simjoin", help="exact token-Jaccard similarity join (prefix filter)")
     sj.add_argument("--docs", required=True)

@@ -259,3 +259,27 @@ def test_cli_simjoin(tmp_path):
     out = pq.read_table(str(tmp_path / "pairs")).to_pandas()
     assert (out["a_id"].iloc[0], out["b_id"].iloc[0]) == (1, 2)
     assert abs(out["jaccard"].iloc[0] - 6 / 7) < 1e-6
+
+
+def test_cli_curate(tmp_path):
+    """End-to-end curation over testdata docs: stage counts must be
+    monotone non-increasing, the ledger + curated split must partition the
+    dedup survivors, and the manifest must record every stage."""
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    out, outd = str(tmp_path / "curated"), str(tmp_path / "dropped")
+    man = str(tmp_path / "manifest.json")
+    # 4 CPUs: the dedup banding stage at 2 CPUs exceeds the harness timeout
+    res = _run(["curate", "--docs", docs, "--out", out, "--out-dropped", outd,
+                "--manifest", man, "--min-quality", "0.4", "--threshold", "0.5",
+                "--bench-mod", "13", "--num-cpus", "4"])
+    m = json.loads(open(man).read())
+    assert m["input_docs"] == 500
+    assert (m["input_docs"] >= m["after_quality"] >= m["after_dedup"]
+            >= m["after_decontamination"] == m["curated_docs"] > 0)
+    cur = pq.read_table(out).to_pandas()
+    assert set(cur.columns) >= {"doc_id", "text", "split"}
+    assert set(cur["split"]) <= {"train", "val", "test"}
+    assert len(cur) == m["curated_docs"]
+    dropped = pq.read_table(outd).to_pandas()
+    assert m["after_quality"] - m["after_dedup"] == len(dropped)
+    assert res["curated_docs"] == m["curated_docs"]
