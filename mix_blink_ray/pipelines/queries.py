@@ -2275,6 +2275,76 @@ def docs_search_bm25(sf_dir: str):
     )
 
 
+def sources_lexical_diversity(sf_dir: str):
+    """Per-source lexical concentration — Simpson index
+    ``Σ n_w(n_w−1) / (n(n−1))`` over the source's token distribution (the
+    repetitiveness signal corpus quality filters use; entropy needs a
+    transcendental log and can't hash-match SQL, Simpson is an exact integer
+    rational quantized ×1e6 with floor division).  Shape: per-batch
+    (source, token) count contraction → ONE cell-sized groupby → per-source
+    integer moments (Σ n_w², Σ n_w, distinct) via a second tiny groupby —
+    shuffle ∝ distinct (source, token) cells, never tokens."""
+    ds = _t(sf_dir, "documents", ["source", "text"])
+
+    def cell_partial(b: pa.Table) -> pa.Table:
+        from ..stages.vocab import tokenize_batch
+
+        toks = tokenize_batch(b["text"], lower=True)
+        rows = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        src = b["source"].to_numpy(zero_copy_only=False)[rows]
+        key = np.char.add(np.char.add(src.astype(str), "\x1f"), flat.astype(str))
+        uniq, counts = np.unique(key, return_counts=True)
+        sp = np.char.partition(uniq, "\x1f")
+        return pa.table(
+            {
+                "source": pa.array(sp[:, 0], pa.string()),
+                "token": pa.array(sp[:, 2], pa.string()),
+                "n_partial": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    cells = (
+        ds.map_batches(cell_partial, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Sum("n_partial", alias_name="n_w"))
+    )
+
+    def moment_partial(b: pa.Table) -> pa.Table:
+        n_w = np.asarray(b["n_w"], dtype=np.int64)
+        t = pa.table(
+            {
+                "source": b["source"],
+                "n": b["n_w"],
+                "pairs": pa.array(n_w * (n_w - 1), pa.int64()),
+            }
+        )
+        g = t.group_by("source").aggregate(
+            [("n", "sum"), ("pairs", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["source", "n_p", "pairs_p", "d_p"])
+
+    out = (
+        cells.map_batches(moment_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_p", alias_name="n_tokens"),
+            Sum("pairs_p", alias_name="pairs"),
+            Sum("d_p", alias_name="distinct_tokens"),
+        )
+        .to_pandas()
+    )
+    n = out["n_tokens"].to_numpy().astype(np.int64)
+    pairs = out.pop("pairs").to_numpy().astype(np.int64)
+    if len(pairs) and int(pairs.max()) >= 2**63 // 1_000_000:
+        # DuckDB widens to HUGEINT; int64 here would wrap silently — RAISE
+        raise ValueError("simpson_q integer scale overflow: source too large")
+    out["simpson_q"] = pairs * 1_000_000 // np.maximum(n * (n - 1), 1)
+    return pa.Table.from_pandas(
+        out[["source", "n_tokens", "distinct_tokens", "simpson_q"]], preserve_index=False
+    )
+
+
 def docs_sample_hash(sf_dir: str):
     """Deterministic ~10% corpus sample (Lehmer hash filter — reproducible
     under Ray task retry, shuffle-free; see ``stages.sampling``)."""
@@ -4633,6 +4703,7 @@ QUERIES = {
     "customers_name_edit1": customers_name_edit1,
     "docs_er_cluster_purity": docs_er_cluster_purity,
     "docs_search_bm25": docs_search_bm25,
+    "sources_lexical_diversity": sources_lexical_diversity,
     "q4_order_priority": q4_order_priority,
     "q14_promo_share": q14_promo_share,
     "docs_regex_scrub": docs_regex_scrub,
@@ -5960,6 +6031,21 @@ ORACLE_SQL = {
                  AS weighted_value
         FROM events e JOIN dim d ON e.event_type = d.t_type
         GROUP BY user_id
+    """,
+    "sources_lexical_diversity": """
+        WITH tok AS (SELECT source,
+                            unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+                     FROM documents),
+        st AS (SELECT source, w, count(*) AS n_w FROM tok GROUP BY source, w),
+        m AS (SELECT source,
+                     CAST(sum(n_w) AS BIGINT) AS n_tokens,
+                     count(*) AS distinct_tokens,
+                     sum(n_w * (n_w - 1)) AS pairs
+              FROM st GROUP BY source)
+        SELECT source, n_tokens, distinct_tokens,
+               CAST(pairs * 1000000 // greatest(n_tokens * (n_tokens - 1), 1)
+                    AS BIGINT) AS simpson_q
+        FROM m
     """,
     "docs_search_bm25": """
         WITH q(term) AS (VALUES ('merge'), ('scan'), ('window')),
