@@ -2345,6 +2345,41 @@ def sources_lexical_diversity(sf_dir: str):
     )
 
 
+def events_top3_values_dense(sf_dir: str):
+    """DENSE_RANK ≤ 3 per type — the ties-aware top-k the row-wise top-3
+    query (``events_top3_per_type``) deliberately isn't: the top three
+    DISTINCT cent values, each with its full row count.  Distinct-value
+    ranking pre-aggregates perfectly (unlike row ranks): per-batch
+    (type, cell) contraction → one groupby whose volume is distinct cells
+    (row-count free, the quantiles-suite precedent) → a bounded per-type
+    head-3."""
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": b["event_type"], "cell": _cents(b["value"])})
+        g = t.group_by(["event_type", "cell"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "cell", "n_partial"])
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "cell"])
+        .aggregate(Sum("n_partial", alias_name="n"))
+        .to_pandas()  # ≤ types × distinct cents rows — row-count free
+    )
+    out = []
+    for t, sub in cells.groupby("event_type", sort=True):
+        top = sub.sort_values("cell", ascending=False).head(3).reset_index(drop=True)
+        top["rk"] = np.arange(1, len(top) + 1, dtype=np.int64)
+        out.append(top)
+    import pandas as pd
+
+    res = pd.concat(out, ignore_index=True)
+    res["value"] = res.pop("cell").astype(np.float64) / 100.0
+    return pa.Table.from_pandas(
+        res[["event_type", "value", "n", "rk"]], preserve_index=False
+    )
+
+
 def docs_sample_hash(sf_dir: str):
     """Deterministic ~10% corpus sample (Lehmer hash filter — reproducible
     under Ray task retry, shuffle-free; see ``stages.sampling``)."""
@@ -4704,6 +4739,7 @@ QUERIES = {
     "docs_er_cluster_purity": docs_er_cluster_purity,
     "docs_search_bm25": docs_search_bm25,
     "sources_lexical_diversity": sources_lexical_diversity,
+    "events_top3_values_dense": events_top3_values_dense,
     "q4_order_priority": q4_order_priority,
     "q14_promo_share": q14_promo_share,
     "docs_regex_scrub": docs_regex_scrub,
@@ -6031,6 +6067,19 @@ ORACLE_SQL = {
                  AS weighted_value
         FROM events e JOIN dim d ON e.event_type = d.t_type
         GROUP BY user_id
+    """,
+    "events_top3_values_dense": """
+        WITH cells AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cell,
+                   count(*) AS n
+            FROM events GROUP BY event_type, cell
+        ), r AS (
+            SELECT *, dense_rank() OVER (PARTITION BY event_type
+                                         ORDER BY cell DESC) AS rk
+            FROM cells
+        )
+        SELECT event_type, cell / 100.0 AS value, n, CAST(rk AS BIGINT) AS rk
+        FROM r WHERE rk <= 3
     """,
     "sources_lexical_diversity": """
         WITH tok AS (SELECT source,
