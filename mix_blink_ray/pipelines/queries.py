@@ -2250,11 +2250,19 @@ def docs_search_bm25(sf_dir: str):
             if DF[i] == 0:
                 continue
             tf = np.bincount(rows[flat == term], minlength=n).astype(np.int64)
-            if int(tf.max(initial=0)) and 44 * int(tf.max()) * T * 1000 >= 2**63:
-                # DuckDB raises on BIGINT overflow; silent int64 wrap here
-                # would instead produce garbage scores — match the oracle's
-                # loud failure (house convention: RAISE, never wrap)
-                raise ValueError("BM25 integer scale overflow: tf*T too large")
+            tf_max = int(tf.max(initial=0))
+            dl_max = int(dl.max(initial=0))
+            # DuckDB raises on BIGINT overflow; silent int64 wrap here would
+            # instead produce garbage scores — match the oracle's loud failure
+            # (house convention: RAISE, never wrap). Both the numerator AND
+            # the denominator terms are checked in Python ints (the
+            # denominator 18*dl*N can wrap even when the numerator is safe,
+            # e.g. tf=1 with dl*N ~ 5e17).
+            if tf_max and (
+                44 * tf_max * T * 1000 >= 2**63
+                or 20 * tf_max * T + 6 * T + 18 * dl_max * N >= 2**63
+            ):
+                raise ValueError("BM25 integer scale overflow: tf/dl*T/N too large")
             idf_q = N * 1000 // DF[i]
             sat_q = np.zeros(n, dtype=np.int64)
             hit = tf > 0
@@ -2339,6 +2347,11 @@ def sources_lexical_diversity(sf_dir: str):
     if len(pairs) and int(pairs.max()) >= 2**63 // 1_000_000:
         # DuckDB widens to HUGEINT; int64 here would wrap silently — RAISE
         raise ValueError("simpson_q integer scale overflow: source too large")
+    if len(n) and int(n.max()) * (int(n.max()) - 1) >= 2**63:
+        # The denominator n*(n-1) wraps in np.int64 once a source exceeds
+        # ~3.04e9 tokens even when `pairs` is small (diverse sources) —
+        # DuckDB would raise on the BIGINT product; so do we.
+        raise ValueError("simpson_q denominator overflow: n*(n-1) exceeds int64")
     out["simpson_q"] = pairs * 1_000_000 // np.maximum(n * (n - 1), 1)
     return pa.Table.from_pandas(
         out[["source", "n_tokens", "distinct_tokens", "simpson_q"]], preserve_index=False

@@ -250,8 +250,12 @@ def _deletion_hashes(mat: np.ndarray, lens: np.ndarray):
 
     powers = np.empty(L + 1, dtype=np.uint64)
     powers[0] = np.uint64(1)
-    for j in range(L):
-        powers[j + 1] = powers[j] * _POLY_P
+    # the scalar multiply wraps mod 2^64 BY DESIGN (polynomial hashing in
+    # the uint64 ring); silence numpy's scalar-overflow RuntimeWarning so
+    # filterwarnings=error configurations don't crash the join
+    with np.errstate(over="ignore"):
+        for j in range(L):
+            powers[j + 1] = powers[j] * _POLY_P
     terms = mat.astype(np.uint64) * powers[:L][None, :]
     prefix = np.zeros((n, L + 1), dtype=np.uint64)
     np.cumsum(terms, axis=1, dtype=np.uint64, out=prefix[:, 1:])
