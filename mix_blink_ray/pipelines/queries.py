@@ -778,12 +778,13 @@ def events_top3_per_type(sf_dir: str):
 
 def events_sessionized(sf_dir: str):
     """Gap-based sessionization (split a user's event stream at >30 min
-    gaps) — the genuinely ORDER-DEPENDENT per-key window:
-    ``groupby(user_id).map_groups`` sorts each user's events by time and
-    assigns session ids by cumulative gap count.  Partitioning assumption
-    (documented): one user's events fit one worker — keys are users, so
-    skew is bounded by the most active user, not by data size."""
-    import pandas as pd
+    gaps) — the genuinely ORDER-DEPENDENT per-key window, run through the
+    bucketed-run exchange (``stages.windows.grouped_ordered_runs``): users
+    hash to bounded buckets, ONE shuffle, in-bucket sort by (user, ts), and
+    session boundaries / per-session aggregates come from vectorized run
+    arithmetic over the WHOLE bucket — Python fires once per bucket, never
+    per user (the round-4 per-key-callback hotspot)."""
+    from ..stages.windows import grouped_ordered_runs
 
     GAP_US = 30 * 60 * 1_000_000
 
@@ -793,31 +794,43 @@ def events_sessionized(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts_us", kind="stable")
-        gap = g["ts_us"].diff()
-        sid = (gap.isna() | (gap > GAP_US)).cumsum()
-        agg = g.groupby(sid)["ts_us"].agg(["count", "min", "max"])
-        return pd.DataFrame(
+    def kernel(g: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        n = g.num_rows
+        ts = np.asarray(g["ts_us"], dtype=np.int64) if n else np.empty(0, np.int64)
+        new_sess = np.zeros(n, dtype=bool)
+        new_sess[starts] = True
+        if n > 1:
+            interior = np.ones(n, dtype=bool)
+            interior[starts] = False  # rows whose predecessor is the SAME user
+            new_sess[1:] |= (ts[1:] - ts[:-1] > GAP_US) & interior[1:]
+        ss = np.flatnonzero(new_sess)
+        se = np.r_[ss[1:], n] if len(ss) else np.empty(0, np.int64)
+        # per-user 1-based session index: sessions counted from the user's
+        # run start (cumsum of boundary flags, rebased per run)
+        cs = np.cumsum(new_sess)
+        run_of = np.searchsorted(starts, ss, side="right") - 1 if len(ss) else ss
+        idx = (cs[ss] - cs[starts[run_of]] + 1) if len(ss) else np.empty(0, np.int64)
+        return pa.table(
             {
-                "user_id": g["user_id"].iloc[0],
-                "session_idx": agg.index.to_numpy(dtype="int64"),
-                "n_events": agg["count"].to_numpy(dtype="int64"),
-                "start_us": agg["min"].to_numpy(dtype="int64"),
-                "end_us": agg["max"].to_numpy(dtype="int64"),
+                "user_id": g["user_id"].take(pa.array(ss, pa.int64())),
+                "session_idx": pa.array(idx.astype(np.int64)),
+                "n_events": pa.array((se - ss).astype(np.int64)),
+                "start_us": pa.array(ts[ss] if len(ss) else np.empty(0, np.int64)),
+                "end_us": pa.array(ts[se - 1] if len(ss) else np.empty(0, np.int64)),
             }
         )
 
-    return prep.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return grouped_ordered_runs(prep, "user_id", ("ts_us",), kernel)
 
 
 def events_lag_prev(sf_dir: str):
     """Per-key LAG / as-of-previous join: each event gets the id of and the
     time gap to the SAME USER's previous event (total order: ts, event_id).
-    ``groupby(user_id).map_groups`` with a vectorized in-group shift — the
-    ordered-window sibling of sessionization; skew bounded by the most
-    active user (documented partitioning assumption).  First events get -1
-    sentinels (null-free output for the value-hash compare)."""
+    Bucketed-run exchange (``stages.windows.grouped_ordered_runs``): one
+    shuffle, in-bucket sort by (user, ts, event_id), then ONE global shift
+    with -1 sentinels re-stamped at run starts — no per-user Python."""
+    from ..stages.windows import grouped_ordered_runs
+
     ds = _t(sf_dir, "events", ["user_id", "event_id", "ts"])
     prep = ds.map_batches(
         lambda b: pa.table(
@@ -830,15 +843,18 @@ def events_lag_prev(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    def lag_group(g: pa.Table) -> pa.Table:
-        order = pc.sort_indices(
-            g, sort_keys=[("ts_us", "ascending"), ("event_id", "ascending")]
-        )
-        g = g.take(order)
-        ids = np.asarray(g["event_id"], dtype=np.int64)
-        ts = np.asarray(g["ts_us"], dtype=np.int64)
-        prev_id = np.concatenate([[-1], ids[:-1]])
-        gap = np.concatenate([[-1], ts[1:] - ts[:-1]])
+    def kernel(g: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        n = g.num_rows
+        ids = np.asarray(g["event_id"], dtype=np.int64) if n else np.empty(0, np.int64)
+        ts = np.asarray(g["ts_us"], dtype=np.int64) if n else np.empty(0, np.int64)
+        prev_id = np.empty(n, np.int64)
+        gap = np.empty(n, np.int64)
+        if n:
+            prev_id[0], gap[0] = -1, -1
+            prev_id[1:] = ids[:-1]
+            gap[1:] = ts[1:] - ts[:-1]
+            prev_id[starts] = -1  # run starts have no same-user predecessor
+            gap[starts] = -1
         return pa.table(
             {
                 "user_id": g["user_id"],
@@ -848,7 +864,7 @@ def events_lag_prev(sf_dir: str):
             }
         )
 
-    return prep.groupby("user_id").map_groups(lag_group, batch_format="pyarrow")
+    return grouped_ordered_runs(prep, "user_id", ("ts_us", "event_id"), kernel)
 
 
 def events_value_histogram(sf_dir: str):
@@ -1792,10 +1808,14 @@ def events_distinct_users(sf_dir: str):
 
 def events_sliding_1h(sf_dir: str):
     """Sliding RANGE-frame window (1 hour preceding, peers included): per
-    user, count and exact cent-sum of events in ``[ts-1h, ts]``.  In-group
-    two-pointer via ``np.searchsorted`` over the time-sorted stream + one
-    cumsum — O(n log n) per group, no per-row Python; skew bounded by the
-    most active user (same partitioning assumption as sessionization)."""
+    user, count and exact cent-sum of events in ``[ts-1h, ts]``.  Bucketed-
+    run exchange + the segmented-searchsorted trick
+    (``stages.windows.segment_offset_ts``): timestamps are lifted onto one
+    globally sorted axis by adding ``run_id × BIG`` (BIG > span + 1h, so a
+    frame can never cross a user boundary), then ONE ``searchsorted`` pair +
+    one cumsum answers every user's frames at once — no per-user Python."""
+    from ..stages.windows import grouped_ordered_runs, segment_offset_ts
+
     ds = _t(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
     prep = ds.map_batches(
         lambda b: pa.table(
@@ -1811,34 +1831,38 @@ def events_sliding_1h(sf_dir: str):
 
     HOUR_US = 3_600_000_000
 
-    def win(g: pa.Table) -> pa.Table:
-        g = g.take(pc.sort_indices(g, sort_keys=[("ts_us", "ascending"), ("event_id", "ascending")]))
-        ts = np.asarray(g["ts_us"], dtype=np.int64)
-        cents = np.asarray(g["cents"], dtype=np.int64)
-        lo = np.searchsorted(ts, ts - HOUR_US, side="left")   # inclusive frame start
-        hi = np.searchsorted(ts, ts, side="right")            # RANGE frame includes peers
+    def kernel(g: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        n = g.num_rows
+        ts = np.asarray(g["ts_us"], dtype=np.int64) if n else np.empty(0, np.int64)
+        cents = np.asarray(g["cents"], dtype=np.int64) if n else np.empty(0, np.int64)
+        ts_adj, _ = segment_offset_ts(ts, starts, ends, HOUR_US)
+        lo = np.searchsorted(ts_adj, ts_adj - HOUR_US, side="left")
+        hi = np.searchsorted(ts_adj, ts_adj, side="right")  # RANGE includes peers
         cs = np.concatenate([[0], np.cumsum(cents)])
         return pa.table(
             {
                 "user_id": g["user_id"],
                 "event_id": g["event_id"],
-                "n_1h": pa.array(hi - lo),
+                "n_1h": pa.array((hi - lo).astype(np.int64)),
                 "sum_1h": pa.array((cs[hi] - cs[lo]).astype(np.float64) / 100.0),
             }
         )
 
-    return prep.groupby("user_id").map_groups(win, batch_format="pyarrow")
+    return grouped_ordered_runs(prep, "user_id", ("ts_us", "event_id"), kernel)
 
 
 def events_purchase_asof_view(sf_dir: str):
     """AS-OF JOIN between two event streams: each purchase matched to the
     SAME USER's most recent view at-or-before it (-1 sentinels when none).
     Both streams are filtered map-side (only purchase/view rows enter the
-    exchange), then one ``groupby(user)`` + an in-group ``searchsorted``
-    does the temporal match — the composition-(a) as-of join (sort within
-    key partitions), no all-pairs anywhere.  View-time ties dedup to the
-    smallest event_id so the match is deterministic (the oracle's QUALIFY
-    does the same)."""
+    exchange); the temporal match runs through the bucketed-run exchange +
+    segmented-searchsorted (``stages.windows``) — ONE searchsorted over the
+    run-offset axis matches every user's purchases at once, with a run-id
+    check so a hit is always the same user's view.  View-time ties dedup to
+    the smallest event_id so the match is deterministic (the oracle's
+    QUALIFY does the same)."""
+    from ..stages.windows import grouped_ordered_runs, segment_offset_ts
+
     ds = _t(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
     prep = ds.map_batches(
         lambda b: (
@@ -1854,40 +1878,39 @@ def events_purchase_asof_view(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    def asof(g: pa.Table) -> pa.Table:
-        is_view = np.asarray(g["is_view"], dtype=bool)
-        ts = np.asarray(g["ts_us"], dtype=np.int64)
-        ids = np.asarray(g["event_id"], dtype=np.int64)
-        v_order = np.lexsort((ids[is_view], ts[is_view]))
-        vts, vids = ts[is_view][v_order], ids[is_view][v_order]
-        # dedup view-time ties to the FIRST (smallest event_id) per ts
-        if len(vts):
-            first = np.concatenate([[True], vts[1:] != vts[:-1]])
-            vts, vids = vts[first], vids[first]
-        pts, pids = ts[~is_view], ids[~is_view]
-        if len(pts) == 0:
-            return pa.table(
-                {
-                    "purchase_id": pa.array([], pa.int64()),
-                    "user_id": pa.array([], g["user_id"].type),
-                    "view_id": pa.array([], pa.int64()),
-                    "gap_us": pa.array([], pa.int64()),
-                }
-            )
-        idx = np.searchsorted(vts, pts, side="right") - 1
-        hit = idx >= 0
-        view_id = np.where(hit, vids[np.clip(idx, 0, None)], -1)
-        gap = np.where(hit, pts - vts[np.clip(idx, 0, None)], -1)
+    def kernel(g: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        n = g.num_rows
+        is_view = np.asarray(g["is_view"], dtype=bool) if n else np.empty(0, bool)
+        ts = np.asarray(g["ts_us"], dtype=np.int64) if n else np.empty(0, np.int64)
+        ids = np.asarray(g["event_id"], dtype=np.int64) if n else np.empty(0, np.int64)
+        ts_adj, rid = segment_offset_ts(ts, starts, ends, 0)
+        # view side: bucket sort is (user, ts, event_id), so the FIRST view
+        # per (run, ts) is the smallest event_id — the deterministic tie rule
+        vadj, vts, vids, vrun = ts_adj[is_view], ts[is_view], ids[is_view], rid[is_view]
+        if len(vadj):
+            first = np.concatenate([[True], vadj[1:] != vadj[:-1]])
+            vadj, vts, vids, vrun = vadj[first], vts[first], vids[first], vrun[first]
+        pmask = ~is_view
+        padj, pts, pids, prun = ts_adj[pmask], ts[pmask], ids[pmask], rid[pmask]
+        idx = np.searchsorted(vadj, padj, side="right") - 1
+        safe = np.clip(idx, 0, None)
+        # a hit must be the SAME user's view (offset axis keeps runs apart,
+        # but an earlier run's last view is still a smaller value — check rid)
+        hit = (idx >= 0) & (vrun[safe] == prun) if len(vadj) else np.zeros(len(padj), bool)
+        view_id = np.where(hit, vids[safe] if len(vadj) else -1, -1)
+        gap = np.where(hit, pts - (vts[safe] if len(vadj) else 0), -1)
         return pa.table(
             {
                 "purchase_id": pa.array(pids),
-                "user_id": g.filter(pa.array(~is_view))["user_id"],
-                "view_id": pa.array(view_id),
-                "gap_us": pa.array(gap),
+                "user_id": g.filter(pa.array(pmask))["user_id"]
+                if n
+                else pa.array([], g["user_id"].type),
+                "view_id": pa.array(view_id.astype(np.int64)),
+                "gap_us": pa.array(gap.astype(np.int64)),
             }
         )
 
-    return prep.groupby("user_id").map_groups(asof, batch_format="pyarrow")
+    return grouped_ordered_runs(prep, "user_id", ("ts_us", "event_id"), kernel)
 
 
 def events_rollup(sf_dir: str):
@@ -3125,28 +3148,47 @@ def customers_name_neighbors(sf_dir: str):
 
 def events_funnel(sf_dir: str):
     """Ordered-sequence funnel: per user, view → later click → later purchase
-    (strict ts order), counted per reached stage.  The sequential dependency
-    lives inside one ``groupby(user).map_groups`` (skew bounded by the most
-    active user); only (stage) rows reach the final tiny aggregate."""
-    ds = _t(sf_dir, "events", ["user_id", "event_type", "ts"])
+    (strict ts order), counted per reached stage.  Bucketed-run exchange
+    with SEGMENTED reductions: the three stage conditions are each one
+    ``np.minimum.reduceat`` / ``logical_or.reduceat`` over the whole bucket
+    (sentinel = int64 max for 'no such event'), so per-user work is pure
+    numpy — Python fires once per bucket; only (stage) rows reach the final
+    tiny aggregate."""
+    from ..stages.windows import grouped_ordered_runs, run_index
 
-    def per_user(g: pa.Table) -> pa.Table:
-        ts = np.asarray(g["ts"], dtype="datetime64[us]").astype(np.int64)
+    I64MAX = np.iinfo(np.int64).max
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "ts"])
+    prep = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+                "event_type": b["event_type"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def kernel(g: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"stage": pa.array([], pa.int64())})
+        ts = np.asarray(g["ts_us"], dtype=np.int64)
         et = g["event_type"].to_numpy(zero_copy_only=False)
-        stage = 0
-        tv = ts[et == "view"]
-        if len(tv):
-            stage = 1
-            tc = ts[(et == "click") & (ts > tv.min())]
-            if len(tc):
-                stage = 2
-                if ((et == "purchase") & (ts > tc.min())).any():
-                    stage = 3
-        return pa.table({"stage": pa.array([stage], pa.int64())})
+        rid = run_index(starts, ends)
+        xv = np.where(et == "view", ts, I64MAX)
+        tv_min = np.minimum.reduceat(xv, starts)
+        xc = np.where((et == "click") & (ts > tv_min[rid]), ts, I64MAX)
+        tc_min = np.minimum.reduceat(xc, starts)
+        has_p = np.logical_or.reduceat((et == "purchase") & (ts > tc_min[rid]), starts)
+        stage = (
+            (tv_min < I64MAX).astype(np.int64)
+            + (tc_min < I64MAX)
+            + has_p
+        )
+        return pa.table({"stage": pa.array(stage.astype(np.int64))})
 
     out = (
-        ds.groupby("user_id")
-        .map_groups(per_user, batch_format="pyarrow")
+        grouped_ordered_runs(prep, "user_id", (), kernel)
         .groupby("stage")
         .aggregate(Count(alias_name="n_users"))
     )
@@ -3167,53 +3209,98 @@ def sources_distinctive_tokens(sf_dir: str):
 
 def events_user_paths(sf_dir: str):
     """Per-user ordered journey string: the first 8 event types in (ts,
-    event_id) order joined with '>' — ordered string aggregation inside one
-    ``groupby(user).map_groups`` (only one small row per user comes out)."""
-    ds = _t(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    event_id) order joined with '>' — bucketed-run exchange; the per-user
+    head-8 gather is one vectorized repeat/arange index build and the join
+    itself is Arrow's ``binary_join`` over a LargeListArray assembled from
+    the run offsets (no per-user Python, no per-user string loop)."""
+    from ..stages.windows import grouped_ordered_runs
 
-    def per_user(g: pa.Table) -> pa.Table:
-        ts = np.asarray(g["ts"], dtype="datetime64[us]").astype(np.int64)
-        eid = np.asarray(g["event_id"], dtype=np.int64)
-        et = g["event_type"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))[:8]
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    prep = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+                "event_id": b["event_id"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def kernel(g: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], g["user_id"].type),
+                    "path": pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        lens = np.minimum(ends - starts, 8)
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        pos = np.arange(offsets[-1], dtype=np.int64) - np.repeat(offsets[:-1], lens)
+        idx = np.repeat(starts, lens) + pos
+        head_types = g["event_type"].take(pa.array(idx, pa.int64()))
+        values = pc.cast(head_types, pa.large_string())
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        lists = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), values)
+        paths = pc.binary_join(lists, pa.scalar(">", pa.large_string()))
         return pa.table(
             {
-                "user_id": g["user_id"].slice(0, 1),
-                "path": pa.array([">".join(et[order])], pa.string()),
-                "n_events": pa.array([g.num_rows], pa.int64()),
+                "user_id": g["user_id"].take(pa.array(starts, pa.int64())),
+                "path": pc.cast(paths, pa.string()),
+                "n_events": pa.array((ends - starts).astype(np.int64)),
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    return grouped_ordered_runs(prep, "user_id", ("ts_us", "event_id"), kernel)
 
 
 def events_value_locf(sf_dir: str):
     """Last-observation-carried-forward imputation: 'error' events' values are
     treated as missing and filled from the user's most recent prior non-error
-    value ((ts, event_id) order; -1 cents before any observation).  The
-    sequential dependency is per-user, so it lives in one
-    ``groupby(user).map_groups`` with a vectorized ``maximum.accumulate`` —
-    no cross-user coordination, no global sort."""
-    ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "value", "ts"])
+    value ((ts, event_id) order; -1 cents before any observation).  Bucketed-
+    run exchange: ONE global ``maximum.accumulate`` over observation indices
+    does every user at once — indices are globally increasing, so a carry
+    from an earlier run is always < this run's start and the per-row
+    ``carried >= run_start`` mask resets it to the -1 sentinel without any
+    per-user Python."""
+    from ..stages.windows import grouped_ordered_runs
 
-    def per_user(g: pa.Table) -> pa.Table:
-        ts = np.asarray(g["ts"], dtype="datetime64[us]").astype(np.int64)
-        eid = np.asarray(g["event_id"], dtype=np.int64)
-        order = np.lexsort((eid, ts))
-        cents = np.asarray(_cents(g["value"]), dtype=np.int64)[order]
-        missing = (g["event_type"].to_numpy(zero_copy_only=False) == "error")[order]
-        obs = np.where(~missing, np.arange(len(order)), -1)
-        carried = np.maximum.accumulate(obs)
-        filled = np.where(carried >= 0, cents[np.maximum(carried, 0)], -1)
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "value", "ts"])
+    prep = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+                "cents": _cents(b["value"]),
+                "missing": pc.equal(b["event_type"], pa.scalar("error")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def kernel(g: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        n = g.num_rows
+        cents = np.asarray(g["cents"], dtype=np.int64) if n else np.empty(0, np.int64)
+        missing = np.asarray(g["missing"], dtype=bool) if n else np.empty(0, bool)
+        obs = np.where(~missing, np.arange(n, dtype=np.int64), -1)
+        carried = np.maximum.accumulate(obs) if n else obs
+        base = np.repeat(starts, ends - starts)  # each row's run start
+        valid = carried >= base
+        filled = np.where(valid, cents[np.maximum(carried, 0)], -1)
         return pa.table(
             {
-                "event_id": pa.array(eid[order]),
-                "user_id": g["user_id"].take(pa.array(order)),
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
                 "filled_cents": pa.array(filled.astype(np.int64)),
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    return grouped_ordered_runs(prep, "user_id", ("ts_us", "event_id"), kernel)
 
 
 def emb_code_gram(sf_dir: str):

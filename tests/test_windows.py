@@ -1,0 +1,131 @@
+"""Behavior tests for the bucketed ordered-run exchange
+(``stages.windows.grouped_ordered_runs``): layout invariance (bucket count
+and input block layout never change results), parity against a per-key
+reference, and the segmented-searchsorted helper's guarantees."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from mix_blink_ray.stages.windows import (
+    grouped_ordered_runs,
+    run_index,
+    segment_offset_ts,
+)
+
+
+def _make_events(n_rows=2000, n_users=150, seed=7):
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, n_users, n_rows), pa.int64()),
+            "event_id": pa.array(np.arange(n_rows), pa.int64()),
+            "ts_us": pa.array(rng.integers(0, 10_000_000, n_rows), pa.int64()),
+        }
+    )
+
+
+def _make_lag_kernel():
+    # returned as a NESTED function so cloudpickle ships it by value (a
+    # module-level function would pickle by reference to the test module,
+    # which Ray workers can't import)
+    def lag_kernel(g: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        n = g.num_rows
+        ids = np.asarray(g["event_id"], dtype=np.int64) if n else np.empty(0, np.int64)
+        prev = np.empty(n, np.int64)
+        if n:
+            prev[0] = -1
+            prev[1:] = ids[:-1]
+            prev[starts] = -1
+        return pa.table({"event_id": g["event_id"], "prev_event_id": pa.array(prev)})
+
+    return lag_kernel
+
+
+def _lag_reference(tbl: pa.Table) -> pd.DataFrame:
+    df = tbl.to_pandas().sort_values(["user_id", "ts_us", "event_id"])
+    df["prev_event_id"] = (
+        df.groupby("user_id")["event_id"].shift(1).fillna(-1).astype(np.int64)
+    )
+    return df[["event_id", "prev_event_id"]].sort_values("event_id").reset_index(drop=True)
+
+
+def _run(tbl: pa.Table, n_buckets, n_blocks) -> pd.DataFrame:
+    ds = rd.from_arrow(tbl).repartition(n_blocks)
+    out = grouped_ordered_runs(
+        ds, "user_id", ("ts_us", "event_id"), _make_lag_kernel(), n_buckets=n_buckets
+    )
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+def test_matches_per_key_reference():
+    tbl = _make_events()
+    ref = _lag_reference(tbl)
+    got = _run(tbl, n_buckets=16, n_blocks=4)
+    pd.testing.assert_frame_equal(got, ref)
+
+
+@pytest.mark.parametrize("n_buckets", [1, 7, 64, 1024])
+def test_bucket_count_invariance(n_buckets):
+    tbl = _make_events(seed=11)
+    base = _run(tbl, n_buckets=3, n_blocks=3)
+    got = _run(tbl, n_buckets=n_buckets, n_blocks=3)
+    pd.testing.assert_frame_equal(got, base)
+
+
+@pytest.mark.parametrize("n_blocks", [1, 2, 9])
+def test_block_layout_invariance(n_blocks):
+    tbl = _make_events(seed=13)
+    base = _run(tbl, n_buckets=8, n_blocks=5)
+    got = _run(tbl, n_buckets=8, n_blocks=n_blocks)
+    pd.testing.assert_frame_equal(got, base)
+
+
+def test_string_keys_and_single_user():
+    """String key columns hash-bucket too; a single-key dataset is one run."""
+    tbl = pa.table(
+        {
+            "user_id": pa.array(["only"] * 6, pa.string()),
+            "event_id": pa.array([5, 3, 1, 4, 2, 0], pa.int64()),
+            "ts_us": pa.array([10, 8, 2, 9, 4, 0], pa.int64()),
+        }
+    )
+    out = (
+        grouped_ordered_runs(
+            rd.from_arrow(tbl), "user_id", ("ts_us", "event_id"), _make_lag_kernel(), n_buckets=4
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # ts order is 0,2,4,8,9,10 → event order 0,1,2,3,4,5 → prev = id-1
+    assert out["prev_event_id"].tolist() == [-1, 0, 1, 2, 3, 4]
+
+
+def test_run_index_and_segment_offsets():
+    starts = np.array([0, 3, 4], dtype=np.int64)
+    ends = np.array([3, 4, 7], dtype=np.int64)
+    assert run_index(starts, ends).tolist() == [0, 0, 0, 1, 2, 2, 2]
+    ts = np.array([5, 7, 9, 1, 2, 2, 8], dtype=np.int64)  # sorted per run
+    adj, rid = segment_offset_ts(ts, starts, ends, pad=3)
+    assert rid.tolist() == [0, 0, 0, 1, 2, 2, 2]
+    # globally sorted, and a window of width ≤ pad never crosses runs
+    assert np.all(np.diff(adj) >= 0) or np.all(adj[:-1] <= adj[1:])
+    assert np.all(np.sort(adj) == adj)
+    lo = np.searchsorted(adj, adj - 3, side="left")
+    base = np.repeat(starts, ends - starts)
+    assert np.all(lo >= base)
+
+
+def test_segment_offset_overflow_raises():
+    starts = np.arange(4, dtype=np.int64)
+    ends = starts + 1
+    ts = np.array([0, 2**61, 0, 0], dtype=np.int64)
+    # span ~2^61 × 4 runs exceeds int64 → loud failure, never silent wrap
+    ts_sorted = np.array([0, 0, 0, 2**61], dtype=np.int64)
+    with pytest.raises(ValueError, match="int64"):
+        segment_offset_ts(ts_sorted, starts, ends, pad=0)
