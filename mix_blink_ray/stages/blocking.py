@@ -344,7 +344,19 @@ def meta_blocking_pairs(
         ai, bi = np.triu_indices(k, k=1)
         return pa.table({"doc_a": pa.array(ids[ai]), "doc_b": pa.array(ids[bi])})
 
-    pairs = blocked.groupby("gram").map_groups(emit_pairs, batch_format="pyarrow")
+    # Bucketed-run exchange (stages/dedup.py grouped_run_pairs): keys hash to
+    # a BOUNDED set of buckets so per-key Python fires only for surviving
+    # blocks, not once per gram via groupby(gram).map_groups.  Surviving
+    # membership rows are ≤ n_keys × max_block by the purge step, which
+    # sizes the buckets without another count pass.
+    from .dedup import _auto_buckets, grouped_run_pairs
+
+    pairs = grouped_run_pairs(
+        blocked,
+        "gram",
+        emit_pairs,
+        n_buckets=_auto_buckets(n_keys * max_block),
+    )
     weighted = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="shared_blocks"))
     return weighted.map_batches(
         lambda b: b.filter(pc.greater_equal(b["shared_blocks"], min_shared)),
