@@ -14,8 +14,13 @@ by construction, so candidate groups stay small.
 
 Ray shape: one corpus pass builds the df table (map-side distinct (token,
 doc) contraction + groupby); the (token → rarity rank) order broadcasts once
-(counted guard — RAISES above the cap rather than silently degrading);
-prefix rows shuffle through ONE bucketed exchange (``grouped_run_pairs``);
+below ``max_broadcast_vocab``, and above it ranks are assigned WITHOUT any
+driver table — the df Dataset range-sorts by (df, token), a two-phase
+prefix scan (``stages/scan.py``) zips each token with its global position,
+and ranks reach the membership rows by a partitioned join (the 100-TB
+path: shuffle ∝ membership rows, nothing vocabulary-sized ever leaves the
+cluster); prefix rows shuffle through ONE bucketed exchange
+(``grouped_run_pairs``);
 candidates pass the length filter (J ≥ t ⇒ t·max(L) ≤ min(L)) before the
 exact verify, which fetches texts onto the (small) pair set via partitioned
 joins and computes exact STRING token-set Jaccard (no hashing — the
@@ -49,61 +54,36 @@ def _distinct_row_tokens(b: pa.Table, id_col: str, text_col: str):
     return rows[keep], flat[keep]
 
 
-def ppjoin_pairs(
-    docs: Dataset,
-    threshold: float,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_broadcast_vocab: int = 20_000_000,
-    hot_token_cap: int = 4096,
-) -> Dataset:
-    """All pairs with exact token-set Jaccard ≥ ``threshold`` —
-    ``(a_id, b_id, jaccard)``, ``a_id < b_id``, jaccard rounded to 1e-6.
+def _prefix_schema(id_col: str) -> pa.Table:
+    return pa.table(
+        {
+            "token": pa.array([], pa.string()),
+            id_col: pa.array([], pa.int64()),
+            "set_len": pa.array([], pa.int64()),
+        }
+    )
 
-    Raises when the vocabulary exceeds ``max_broadcast_vocab`` (the rank
-    order must broadcast) or when a prefix token collides across more than
-    ``hot_token_cap`` documents (truncating would silently break the
-    zero-miss guarantee — lower the threshold's prefix cost by raising the
-    cap, or pre-drop stopword-like tokens, explicitly)."""
-    from .clustering import clamped_partitions
-    from .dedup import _auto_buckets, distinct_pairs, grouped_run_pairs
-    from .vocab import doc_frequencies
 
-    t = float(threshold)
-    if not 0.0 < t <= 1.0:
-        raise ValueError(f"threshold must be in (0, 1], got {t}")
+def _prefix_rows_broadcast(docs: Dataset, df_ds: Dataset, t: float, id_col: str, text_col: str):
+    """Prefix rows via a broadcast (token → rarity rank) lookup.
 
-    df = doc_frequencies(docs, id_col=id_col, text_col=text_col).to_pandas()
-    if len(df) > max_broadcast_vocab:
-        raise ValueError(
-            f"vocabulary {len(df)} exceeds max_broadcast_vocab={max_broadcast_vocab}"
-        )
-    df = df.sort_values(["df", "token"], kind="stable").reset_index(drop=True)
-    # rarity rank = position in (df asc, token asc); broadcast the vocab in
-    # LEXICOGRAPHIC order with each token's rank alongside, so batch lookup
-    # is one searchsorted
+    Rarity rank = position in (df asc, token asc); the vocab broadcasts in
+    LEXICOGRAPHIC order with each token's rank alongside, so batch lookup is
+    one searchsorted.  Returns ``None`` when the fixed-width unicode array
+    would exceed 8 GiB (rows × LONGEST-token chars × 4 B — one pathological
+    blob token amplifies the whole broadcast); the caller falls back to the
+    distributed rank-join path, which never widens tokens."""
+    df = df_ds.to_pandas().sort_values(["df", "token"], kind="stable").reset_index(drop=True)
     tokens_by_rarity = df["token"].to_numpy().astype(str)
     if tokens_by_rarity.nbytes > 8 << 30:
-        # fixed-width unicode costs rows x LONGEST-token chars x 4 B: one
-        # pathological blob token amplifies the whole broadcast — raise
-        # rather than OOM the driver (pre-drop over-long tokens explicitly)
-        raise ValueError(
-            f"vocab broadcast would be {tokens_by_rarity.nbytes >> 30} GiB "
-            "(rows x longest-token width); drop over-long tokens first"
-        )
+        return None
     lex = np.argsort(tokens_by_rarity, kind="stable")
     vocab_sorted = tokens_by_rarity[lex]
     rank_of_sorted = lex.astype(np.int64)
     vocab_ref = ray.put((vocab_sorted, rank_of_sorted))
+    empty = _prefix_schema(id_col)
 
     def prefix_rows(b: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "token": pa.array([], pa.string()),
-                id_col: pa.array([], pa.int64()),
-                "set_len": pa.array([], pa.int64()),
-            }
-        )
         if b.num_rows == 0:
             return empty
         vs, vr = ray.get(vocab_ref)
@@ -129,6 +109,124 @@ def ppjoin_pairs(
             }
         )
 
+    return docs.map_batches(prefix_rows, batch_format="pyarrow").materialize()
+
+
+def _prefix_rows_distributed(docs: Dataset, df_ds: Dataset, t: float, id_col: str, text_col: str):
+    """Prefix rows with NO driver vocabulary table — the 100-TB path.
+
+    Rank assignment is fully distributed: the df Dataset range-sorts by
+    (df, token) and the two-phase prefix scan (``stages/scan.py``) zips each
+    token with its global position (the SAME total order the broadcast path
+    uses, so both paths emit identical prefix rows).  Ranks reach the
+    distinct (doc, token) membership rows by ONE partitioned inner join
+    (shuffle ∝ membership rows), and per-doc prefix selection runs through a
+    bucketed exchange — hash(doc) buckets co-locate a doc's rows, one
+    in-bucket lexsort by (doc, rank), vectorized run boundaries, keep
+    ``pos < p(L)`` — no per-doc Python (the ``grouped_run_pairs`` shape,
+    fully vectorized because selection needs no per-run callback)."""
+    from .clustering import clamped_partitions
+    from .dedup import _auto_buckets
+    from .scan import prefix_scan
+    from ..functions.hashing import _SEED_MIX
+
+    ranked = prefix_scan(df_ds, ["df", "token"], "df", out_col="_cum", row_col="_rownum")
+    ranks = ranked.map_batches(
+        lambda b: pa.table(
+            {"token": b["token"], "rank": pc.subtract(b["_rownum"], pa.scalar(1, pa.int64()))}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def membership_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"token": pa.array([], pa.string()), id_col: pa.array([], pa.int64())})
+        rows, toks = _distinct_row_tokens(b, id_col, text_col)
+        ids = np.asarray(b[id_col], dtype=np.int64)[rows]
+        return pa.table({"token": pa.array(toks, pa.string()), id_col: pa.array(ids, pa.int64())})
+
+    memberships = docs.map_batches(membership_rows, batch_format="pyarrow").materialize()
+    n_mem = memberships.count()
+    n_parts = clamped_partitions(
+        max(n_mem, 1), max(8, int(ray.cluster_resources().get("CPU", 8)))
+    )
+    with_rank = memberships.join(ranks, join_type="inner", num_partitions=n_parts, on=("token",))
+
+    n_buckets = _auto_buckets(n_mem)
+    empty = _prefix_schema(id_col)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = np.asarray(b[id_col], dtype=np.int64).view(np.uint64) * _SEED_MIX
+        return b.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def bucket_prefix(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        if g.num_rows == 0:
+            return empty
+        ids = np.asarray(g[id_col], dtype=np.int64)
+        rnk = np.asarray(g["rank"], dtype=np.int64)
+        toks = g["token"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((rnk, ids))
+        ids, toks = ids[order], toks[order]
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        lens = np.diff(np.r_[starts, len(ids)])
+        l_of = np.repeat(lens, lens)
+        pos = np.arange(len(ids)) - np.repeat(starts, lens)
+        p = l_of - np.ceil(t * l_of).astype(np.int64) + 1
+        keep = pos < p
+        return pa.table(
+            {
+                "token": pa.array(toks[keep], pa.string()),
+                id_col: pa.array(ids[keep], pa.int64()),
+                "set_len": pa.array(l_of[keep], pa.int64()),
+            }
+        )
+
+    return (
+        with_rank.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_prefix, batch_format="pyarrow")
+        .materialize()
+    )
+
+
+def ppjoin_pairs(
+    docs: Dataset,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_broadcast_vocab: int = 20_000_000,
+    hot_token_cap: int = 4096,
+) -> Dataset:
+    """All pairs with exact token-set Jaccard ≥ ``threshold`` —
+    ``(a_id, b_id, jaccard)``, ``a_id < b_id``, jaccard rounded to 1e-6.
+
+    Vocabularies up to ``max_broadcast_vocab`` broadcast the rarity order
+    (one ``ray.put``, searchsorted lookup per batch); above it ranks are
+    assigned distributedly (prefix scan + partitioned join — no driver
+    table, see :func:`_prefix_rows_distributed`), so the operator no longer
+    refuses large corpora.  Raises when a prefix token collides across more
+    than ``hot_token_cap`` documents (truncating would silently break the
+    zero-miss guarantee — lower the threshold's prefix cost by raising the
+    cap, or pre-drop stopword-like tokens, explicitly)."""
+    from .clustering import clamped_partitions
+    from .dedup import _auto_buckets, distinct_pairs, grouped_run_pairs
+    from .vocab import doc_frequencies
+
+    t = float(threshold)
+    if not 0.0 < t <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {t}")
+
+    df_ds = doc_frequencies(docs, id_col=id_col, text_col=text_col).materialize()
+    n_prefix_rows = None
+    if df_ds.count() <= max_broadcast_vocab:
+        # None when the fixed-width broadcast would blow past 8 GiB
+        n_prefix_rows = _prefix_rows_broadcast(docs, df_ds, t, id_col, text_col)
+    if n_prefix_rows is None:
+        n_prefix_rows = _prefix_rows_distributed(docs, df_ds, t, id_col, text_col)
+
     def in_token_pairs(group: pa.Table) -> pa.Table:
         empty = pa.table({"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())})
         if group.num_rows < 2:
@@ -152,7 +250,6 @@ def ppjoin_pairs(
         keep = np.minimum(la, lb).astype(np.float64) >= t * np.maximum(la, lb) - 1e-9
         return pa.table({"a_id": pa.array(ids[iu][keep]), "b_id": pa.array(ids[ju][keep])})
 
-    n_prefix_rows = docs.map_batches(prefix_rows, batch_format="pyarrow").materialize()
     pairs = distinct_pairs(
         grouped_run_pairs(
             n_prefix_rows,

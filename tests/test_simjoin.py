@@ -63,6 +63,25 @@ def test_ppjoin_zero_miss_vs_bruteforce(ray_session, t, parallelism):
     pd.testing.assert_frame_equal(got, want)
 
 
+@pytest.mark.parametrize("t", [0.5, 0.8])
+def test_ppjoin_distributed_rank_path_parity(ray_session, t):
+    """max_broadcast_vocab=0 forces the distributed rank-assignment path
+    (prefix scan + partitioned rank join — no driver vocab table); it must
+    emit the IDENTICAL pair set and jaccards as the broadcast path and the
+    brute-force oracle — both paths share one (df asc, token asc) total
+    order, so prefix rows are equal, not merely equivalent."""
+    tbl = _corpus()
+    got = (
+        ppjoin_pairs(rd.from_arrow(tbl).repartition(5), t, max_broadcast_vocab=0)
+        .to_pandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    want = _brute(tbl, t)
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_ppjoin_hot_token_cap_raises(ray_session):
     # every doc shares one token -> that token floods its prefix group
     n = 30
