@@ -987,13 +987,16 @@ def minhash_incremental(
     State layout: ``state_dir/delta_NNNNN/{bands,sigs}/*.parquet`` — both
     stores of a delta land in one directory and a SINGLE ``os.replace``
     publishes them together, so a killed run leaves only a ``.tmp`` the next
-    run ignores (no bands-without-sigs torn state).  History band rows are
-    re-READ per call (a fixed ~16 B × num_bands per historical doc — orders
-    of magnitude below corpus bytes).  Note a disk-bucketed band store would
-    NOT cut this read: band keys are hashes, so any non-trivial delta
-    touches every bucket; the real extension at extreme history sizes is a
-    shared key→ids band index (actor-sharded or external KV), turning the
-    per-delta cost from O(history bands) read into O(delta bands) lookups.
+    run ignores (no bands-without-sigs torn state).  History collisions come
+    from the shared actor-sharded band index (``stages/band_index.py``):
+    O(delta-bands) searchsorted lookups per call, history band files read at
+    most ONCE per process lifetime (never for deltas ingested in-session) —
+    the round-4 "re-read history per delta" limit, closed.  The index
+    returns exactly the history rows whose band_key collides with a delta
+    key, which is exactly the set that can emit a pair (every pair needs
+    ≥ 1 delta member), so results are identical to the full-history union.
+    ``GRAFT_MINHASH_BAND_INDEX=0`` forces the legacy full-read path (the
+    parity tests run both).
 
     Returns verified ``(a_id, b_id, est_jaccard)``, ``a_id < b_id``, every
     pair containing at least one delta document.  Document ids must be
@@ -1060,20 +1063,42 @@ def minhash_incremental(
         lambda b: band_rows(b, 1), batch_format="pyarrow"
     ).materialize()
 
-    band_files = _state_files("bands")
-    n_hist_rows = 0
-    if band_files:
-        hist = rd_.read_parquet(band_files)
-        n_hist_rows = hist.count()
-        hist = hist.map_batches(
-            lambda b: b.append_column(
-                "is_new", pa.array(np.zeros(b.num_rows, dtype=np.int64))
-            ),
-            batch_format="pyarrow",
+    use_index = os.environ.get("GRAFT_MINHASH_BAND_INDEX", "1") != "0"
+    delta_dirs = (
+        sorted(
+            d for d in os.listdir(state_dir)
+            if d.startswith("delta_") and not d.endswith(".tmp")
         )
-        bands = delta_bands.union(hist)
+        if os.path.isdir(state_dir)
+        else []
+    )
+    shards = None
+    n_hist_rows = 0
+    if use_index:
+        from .band_index import band_index_actors, band_index_lookup, band_index_sync
+
+        shards = band_index_actors(state_dir)
+        band_index_sync(shards, state_dir, delta_dirs, id_col)
+        if delta_dirs:
+            hist = band_index_lookup(shards, delta_bands, id_col).materialize()
+            n_hist_rows = hist.count()
+            bands = delta_bands.union(hist) if n_hist_rows else delta_bands
+        else:
+            bands = delta_bands
     else:
-        bands = delta_bands
+        band_files = _state_files("bands")
+        if band_files:
+            hist = rd_.read_parquet(band_files)
+            n_hist_rows = hist.count()
+            hist = hist.map_batches(
+                lambda b: b.append_column(
+                    "is_new", pa.array(np.zeros(b.num_rows, dtype=np.int64))
+                ),
+                batch_format="pyarrow",
+            )
+            bands = delta_bands.union(hist)
+        else:
+            bands = delta_bands
 
     def in_band_pairs(group: pa.Table) -> pa.Table:
         empty = pa.table({"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())})
@@ -1130,6 +1155,14 @@ def minhash_incremental(
         )
         delta_sigs.select_columns([id_col, "sig"]).write_parquet(os.path.join(tmp, "sigs"))
         os.replace(tmp, new_delta)  # one rename publishes BOTH stores
+        if shards is not None:
+            # ingest the just-published delta straight into the index (no
+            # read-back); a crash before mark_loaded only means the next
+            # sync re-loads it from files — duplicate rows are harmless
+            # (pair emission dedups ids per band)
+            from .band_index import band_index_ingest
+
+            band_index_ingest(shards, delta_bands, f"delta_{n_prev:05d}", id_col)
 
     if pairs.count() == 0:
         _append_state()
