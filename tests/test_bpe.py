@@ -186,3 +186,50 @@ def test_apply_merge_kernel_fuzz(words, merge_seq):
     sym = tbl["sym"].combine_chunks() if isinstance(tbl["sym"], pa.ChunkedArray) else tbl["sym"]
     got = sym.to_pylist()
     assert got == ref
+
+
+def _big_corpus(n_words=2500, seed=17):
+    """Synthetic vocab large enough to sustain 1,000+ merges."""
+    rng = np.random.default_rng(seed)
+    alpha = list("abcdefghijklmnop")
+    wc = {}
+    for _ in range(n_words):
+        L = int(rng.integers(3, 12))
+        w = "".join(alpha[i] for i in rng.integers(0, len(alpha), L))
+        wc[w] = wc.get(w, 0) + int(rng.integers(1, 50))
+    return wc
+
+
+def test_bpe_local_fast_path_1000_merges_matches_reference(ray_session):
+    """The round-4 verdict item: K sequential driver rounds are impractical
+    at realistic merge counts.  The single-task incremental loop must emit
+    the IDENTICAL merge sequence as the sequential reference at 1,000+
+    merges — and do it in seconds, not the distributed path's K round-trips."""
+    import time
+
+    wc = _big_corpus()
+    t0 = time.monotonic()
+    got = bpe_train(rd.from_arrow(_wc_table(wc)).repartition(4), 1200, min_count=2).to_pandas()
+    wall = time.monotonic() - t0
+    want = ref_bpe(wc, 1200, min_count=2)
+    assert len(want) >= 1000, f"corpus must sustain 1000+ merges, got {len(want)}"
+    assert len(got) == len(want)
+    for row, (rank, a, b, m, c) in zip(got.itertuples(index=False), want):
+        assert (row.rank, row.left, row.right, row.merged, row.pair_count) == (
+            rank, a, b, m, c,
+        )
+    # generous bound: the local loop does K heap pops, not K shuffle rounds
+    assert wall < 120, f"local fast path took {wall:.1f}s for {len(got)} merges"
+
+
+def test_bpe_local_and_distributed_paths_identical(ray_session):
+    """local_budget_bytes=0 forces the distributed rounds; both paths must
+    emit the same merge table (same argmax, same tie-break, same early stop)."""
+    wc = _big_corpus(300, seed=23)
+    local = bpe_train(rd.from_arrow(_wc_table(wc)), 40, min_count=2).to_pandas()
+    dist = bpe_train(
+        rd.from_arrow(_wc_table(wc)).repartition(5), 40, min_count=2, local_budget_bytes=0
+    ).to_pandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(local, dist)
