@@ -334,10 +334,17 @@ def cmd_curate(args) -> None:
     pipeline, each stage the repo's documented operator:
 
       1. quality gate (C4/Gopher-family heuristic score ≥ --min-quality);
+      1b. optional CCNet-style perplexity gate
+          (--lm-perplexity-percentile): keep docs at or below the given
+          avg-bigram-NLL percentile under the corpus-trained LM
+          (stages/lm.bigram_lm_scores; exact quantized-cell threshold);
       2. exact + verified near-dup dedup with transitive closure
          (stages/dedup.dedup_corpus — drop ledger with reasons);
       3. benchmark n-gram decontamination (stages/contamination) — flagged
          docs drop;
+      3b. optional DSIR importance weights (--dsir-target): a ``log_w``
+          column attached alongside the split (stages/lm.dsir_log_importance
+          against the target-domain corpus; never changes membership);
       4. deterministic 8/1/1 train/val/test split by Lehmer hash of doc id —
          leakage-safe BY CONSTRUCTION here, because step 2 already collapsed
          every verified near-dup pair (the standalone leakage-safe split via
@@ -367,6 +374,50 @@ def cmd_curate(args) -> None:
 
     survivors = docs.map_batches(gate, batch_format="pyarrow").materialize()
     metrics["after_quality"] = survivors.count()
+
+    if args.lm_perplexity_percentile > 0:
+        # CCNet-style fluency gate (stages/lm.bigram_lm_scores), AFTER the
+        # heuristic gate: train the bigram LM on the heuristic survivors,
+        # keep docs at or below the requested avg-NLL percentile.  The
+        # threshold is an exact distributed quantile over cent-quantized
+        # NLL cells (stages/quantiles) — shuffle ∝ distinct cells, and the
+        # gate compares in the same quantized space so the kept set is
+        # exactly "rank ≤ ceil(q·n)" plus cell ties.  Docs with < 2 tokens
+        # have no bigram evidence and drop (cannot certify fluency).
+        from .stages.clustering import clamped_partitions
+        from .stages.lm import bigram_lm_scores
+        from .stages.quantiles import grouped_exact_quantiles
+
+        scores = bigram_lm_scores(
+            survivors, text_col=text_col, id_col=id_col
+        ).materialize()
+        q = args.lm_perplexity_percentile / 100.0
+        qt = grouped_exact_quantiles(
+            scores.map_batches(
+                lambda b: b.append_column(
+                    "g", pa.array(np.zeros(b.num_rows, dtype=np.int64))
+                ),
+                batch_format="pyarrow",
+            ),
+            "g",
+            "avg_nll",
+            [q],
+        )
+        thresh_cell = int(np.rint(qt.column(1)[0].as_py() * 100.0))
+        passing = scores.map_batches(
+            lambda b, tc=thresh_cell: pa.table({"lid": b[id_col]}).filter(
+                pa.array(
+                    np.rint(np.asarray(b["avg_nll"], dtype=np.float64) * 100.0) <= tc
+                )
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        lp = clamped_partitions(max(passing.count(), 1), 16)
+        survivors = survivors.join(
+            passing, join_type="left_semi", num_partitions=lp, on=(id_col,), right_on=("lid",)
+        ).materialize()
+        metrics["lm_nll_threshold"] = thresh_cell / 100.0
+        metrics["after_lm_perplexity"] = survivors.count()
 
     kept, dropped, ddm = dedup_corpus(
         survivors, DedupConfig(jaccard_threshold=args.threshold)
@@ -400,6 +451,34 @@ def cmd_curate(args) -> None:
         return b.append_column("split", pa.array(split.astype(object), pa.string()))
 
     curated = kept.map_batches(assign_split, batch_format="pyarrow")
+
+    if args.dsir_target:
+        # DSIR importance weights (stages/lm.dsir_log_importance) against
+        # the target-domain corpus, written ALONGSIDE the split column:
+        # left-outer attach so the weight never changes corpus membership
+        # (docs with < 2 tokens carry a null log_w — honest, not imputed).
+        from .stages.clustering import clamped_partitions
+        from .stages.lm import dsir_log_importance
+
+        curated = curated.materialize()
+        weights = dsir_log_importance(
+            curated,
+            rd.read_parquet(args.dsir_target),
+            text_col=text_col,
+            id_col=id_col,
+        ).map_batches(
+            lambda b: pa.table({"wid": b[id_col], "log_w": b["log_w"]}),
+            batch_format="pyarrow",
+        ).materialize()
+        curated = curated.join(
+            weights,
+            join_type="left_outer",
+            num_partitions=clamped_partitions(max(weights.count(), 1), 16),
+            on=(id_col,),
+            right_on=("wid",),
+        )
+        metrics["dsir_weighted_docs"] = weights.count()
+
     curated.write_parquet(_fresh_dir(args.out))
     dropped.write_parquet(_fresh_dir(args.out_dropped))
     metrics["curated_docs"] = rd.read_parquet(args.out).count()
@@ -741,6 +820,19 @@ def main(argv: list[str] | None = None) -> None:
     cu.add_argument("--threshold", type=float, default=0.7, help="near-dup verify Jaccard")
     cu.add_argument("--ngram", type=int, default=5)
     cu.add_argument("--bench-mod", type=int, default=13, help="0 disables decontamination")
+    cu.add_argument(
+        "--lm-perplexity-percentile",
+        type=float,
+        default=0.0,
+        help="keep only docs at or below this avg-bigram-NLL percentile "
+        "(CCNet-style fluency gate, runs after the heuristic gate; 0 disables)",
+    )
+    cu.add_argument(
+        "--dsir-target",
+        default=None,
+        help="parquet dir/file of target-domain docs: attach a DSIR log_w "
+        "importance-weight column to the curated output",
+    )
     cu.add_argument("--num-cpus", type=int, default=None)
     cu.set_defaults(fn=cmd_curate)
 
