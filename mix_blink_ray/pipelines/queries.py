@@ -4718,6 +4718,26 @@ def q6_forecast_revenue(sf_dir: str):
     )
 
 
+def events_value_quantile_sketch(sf_dir: str):
+    """p50/p90/p99 of ``events.value`` from the log-histogram quantile
+    SKETCH (``stages/sketches.dd_registers``) — the unbounded-cardinality
+    float primitive the exact cent-quantized quantile suite
+    (``stages/quantiles.py``) cannot cover: register count is bounded by
+    octave span × 2^7 regardless of how many distinct float64s stream
+    through, and register merge is count addition (order-free → partition
+    invariant bit-for-bit).  Output is the INTEGER bucket triple
+    ``(q_pct, sign, e, m)`` per percentile — integer sufficient statistics,
+    the hash-stable convention — whose lower bound ``sign·2^e·(1+m/128)``
+    is within relative 2^-7 of the exact quantile (property-tested).  The
+    DuckDB oracle replays the registers bit-exact: a recursive-doubling
+    powers-of-two table assigns octaves and every op on both sides is
+    EXACT in IEEE double (frexp / power-of-two division / dyadic floor —
+    no transcendental ``ln`` whose last ulp could flip a bucket)."""
+    from ..stages.sketches import dd_quantiles
+
+    return dd_quantiles(_t(sf_dir, "events", ["value"]), "value", [50, 90, 99], sub_bits=7)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -4852,6 +4872,7 @@ QUERIES = {
     "events_salted_type_join": events_salted_type_join,
     "events_interval_join_windows": events_interval_join_windows,
     "events_sliding_distinct_users": events_sliding_distinct_users,
+    "events_value_quantile_sketch": events_value_quantile_sketch,
     "events_value_cume_dist": events_value_cume_dist,
     "users_click_no_purchase": users_click_no_purchase,
 }
@@ -6705,6 +6726,63 @@ def _build_hll_sliding_oracle(p: int = 8) -> None:
 
 
 _build_hll_sliding_oracle()
+
+
+def _build_dd_quantile_oracle(sub_bits: int = 7) -> None:
+    """Replay the log-histogram quantile sketch bit-exact in DuckDB.
+
+    The octave of each value comes from a RECURSIVE-DOUBLING powers-of-two
+    table (p(e) = p(e−1)·2 starting at the smallest subnormal 5e-324 — every
+    doubling is exact, unlike ``pow()`` whose rounding at extreme exponents
+    is unspecified): x joins the unique row with ``p ≤ |x| < 2p``.  The
+    sub-bucket is ``floor((|x|/p − 1)·2^b)`` — |x|/p is a power-of-two
+    division (exact), the subtraction and the dyadic multiply are exact, so
+    the integer cell matches numpy's frexp-based kernel
+    (``sketches._dd_cells``) bit-for-bit.  Rank = integer ceil division
+    ``(q·n + 99) // 100`` on BOTH sides (no float rank drift); output is the
+    integer (q_pct, sign, e, m) bucket triple per percentile."""
+    sb = 1 << sub_bits
+    ORACLE_SQL["events_value_quantile_sketch"] = f"""
+        WITH RECURSIVE pow2(e, p) AS (
+            SELECT -1074, 5e-324
+            UNION ALL
+            SELECT e + 1, p * 2 FROM pow2 WHERE e < 1023
+        ),
+        v AS (SELECT value AS x FROM events),
+        cells AS (
+            SELECT (CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1 ELSE 0 END)
+                   * (CASE WHEN x = 0 THEN 0
+                      ELSE (p2.e + 1100) * {sb}
+                           + CAST(floor((abs(x) / p2.p - 1.0) * {sb}.0) AS BIGINT)
+                      END) AS cell,
+                   count(*) AS n
+            FROM v LEFT JOIN pow2 p2
+              ON x <> 0 AND p2.p <= abs(x) AND abs(x) < p2.p * 2
+            GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells),
+        ranked AS (SELECT cell, CAST(sum(n) OVER (ORDER BY cell) AS BIGINT) AS cum
+                   FROM cells),
+        q(q_pct) AS (VALUES (50), (90), (99)),
+        pick AS (
+            SELECT q.q_pct, min(r.cell) AS cell
+            FROM q CROSS JOIN tot JOIN ranked r
+              ON r.cum >= greatest((q.q_pct * tot.nt + 99) // 100, 1)
+            GROUP BY q.q_pct
+        )
+        SELECT CAST(q_pct AS BIGINT) AS q_pct,
+               CAST(CASE WHEN cell > 0 THEN 1 WHEN cell < 0 THEN -1 ELSE 0 END
+                    AS BIGINT) AS sign,
+               CAST(CASE WHEN cell = 0 THEN 0 ELSE abs(cell) // {sb} - 1100 END
+                    AS BIGINT) AS e,
+               CAST(CASE WHEN cell = 0 THEN 0 ELSE abs(cell) % {sb} END
+                    AS BIGINT) AS m
+        FROM pick
+        ORDER BY q_pct
+    """
+
+
+_build_dd_quantile_oracle()
 
 
 def _build_simhash_oracle() -> None:

@@ -26,7 +26,16 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Max, Sum
 
-__all__ = ["cms_counts", "hll_distinct", "heavy_hitters", "splitmix64", "CMS_SEEDS"]
+__all__ = [
+    "cms_counts",
+    "hll_distinct",
+    "heavy_hitters",
+    "splitmix64",
+    "CMS_SEEDS",
+    "dd_registers",
+    "dd_quantiles",
+    "dd_estimate",
+]
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
@@ -329,3 +338,121 @@ def cms_counts(
     return pa.table(
         {key_col: pa.array(probes, pa.int64()), "est_count": pa.array(est, pa.int64())}
     )
+
+
+def _dd_cells(x: np.ndarray, sub_bits: int) -> np.ndarray:
+    """Pack each float into its integer log-histogram cell — the quantile
+    sketch's register key.  Cell = ``sign · ((e + 1100) · 2^b + m)`` where
+    ``|x| = 2^e · (1 + m/2^b + ε)``, ``0 ≤ ε < 2^-b`` — i.e. base-2
+    DDSketch-style buckets with 2^b linear sub-buckets per octave, so the
+    bucket's lower bound is within relative ``2^-b`` of every member.
+
+    EVERY operation is exact in IEEE double — ``frexp`` is bit extraction;
+    ``man·2 ∈ [1,2)``, ``−1``, ``·2^b`` and ``floor`` introduce no rounding
+    — which is what lets DuckDB replay the registers bit-for-bit with a
+    recursive-doubling powers-of-two table and the same exact ops (no
+    transcendental ``ln`` whose last ulp could flip a bucket boundary).
+    Cells are monotone in the value (negatives mirror through the sign
+    factor; 0 → cell 0; ``e + 1100 > 0`` down to the smallest subnormal),
+    so value order == integer cell order.  Raises on non-finite input — a
+    quantile over NaN/inf is meaningless and must not be silently bucketed.
+    """
+    if not np.isfinite(x).all():
+        raise ValueError("dd sketch input contains NaN/inf; filter or raise upstream")
+    sign = np.sign(x).astype(np.int64)
+    man, ex = np.frexp(np.abs(x))
+    e = ex.astype(np.int64) - 1
+    m = np.floor((man * 2.0 - 1.0) * float(1 << sub_bits)).astype(np.int64)
+    cell = sign * (((e + 1100) << np.int64(sub_bits)) + m)
+    cell[sign == 0] = 0
+    return cell
+
+
+def _dd_decode(cells: np.ndarray, sub_bits: int):
+    """cell → (sign, e, m); the zero cell decodes to (0, 0, 0)."""
+    sign = np.sign(cells).astype(np.int64)
+    mag = np.abs(cells)
+    m = mag & np.int64((1 << sub_bits) - 1)
+    e = (mag >> np.int64(sub_bits)) - 1100
+    z = sign == 0
+    e[z] = 0
+    m[z] = 0
+    return sign, e, m
+
+
+def dd_registers(ds: Dataset, value_col: str, sub_bits: int = 7) -> Dataset:
+    """Mergeable quantile-sketch registers ``(cell, n)`` for a float column
+    of UNBOUNDED value cardinality — the missing primitive the exact
+    cent-quantized suite (``stages/quantiles.py``) could not cover: its
+    shuffle is ∝ distinct cents, unbounded for arbitrary float64; here the
+    register count is bounded by the data's octave span × 2^b (≤ ~537k for
+    the FULL double range at b=7, typically a few thousand) regardless of
+    row count or distinct values.  Merge is count addition — associative,
+    commutative — so registers are bit-identical across batch sizes and
+    partition layouts (asserted by the invariance test), the HLL/CMS
+    register-determinism convention."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"cell": pa.array([], pa.int64()), "n_partial": pa.array([], pa.int64())}
+            )
+        cells = _dd_cells(np.asarray(b[value_col], dtype=np.float64), sub_bits)
+        uniq, cnt = np.unique(cells, return_counts=True)
+        return pa.table(
+            {"cell": pa.array(uniq), "n_partial": pa.array(cnt.astype(np.int64))}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n_partial", alias_name="n"))
+    )
+
+
+def dd_quantiles(ds: Dataset, value_col: str, q_pcts: list, sub_bits: int = 7) -> pa.Table:
+    """Quantiles from the dd sketch as INTEGER sufficient statistics: one
+    row ``(q_pct, sign, e, m)`` per requested integer percentile — the
+    bucket holding the rank-``⌈q·n⌉`` value (1-based, ``quantile_disc``
+    rank semantics, integer ceil division so no float rank drift).  The
+    bucket's lower bound ``sign·2^e·(1 + m/2^b)`` is within relative
+    ``2^-sub_bits`` of the exact quantile (rank-error property test); the
+    integer triple is the hash-stable output (the repo's integer-sufficient-
+    statistics convention — a float estimate could not hash-match SQL)."""
+    regs = dd_registers(ds, value_col, sub_bits).materialize()
+    tabs = [t for t in ray.get(regs.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pa.table(
+            {
+                "q_pct": pa.array([], pa.int64()),
+                "sign": pa.array([], pa.int64()),
+                "e": pa.array([], pa.int64()),
+                "m": pa.array([], pa.int64()),
+            }
+        )
+    tbl = pa.concat_tables(tabs)
+    cells = np.asarray(tbl["cell"], dtype=np.int64)
+    ns = np.asarray(tbl["n"], dtype=np.int64)
+    order = np.argsort(cells)
+    cells, ns = cells[order], ns[order]
+    cum = np.cumsum(ns)
+    nt = int(cum[-1])
+    out_q, out_cell = [], []
+    for q in q_pcts:
+        rank = max((int(q) * nt + 99) // 100, 1)  # integer ceil(q·n/100)
+        out_q.append(int(q))
+        out_cell.append(cells[int(np.searchsorted(cum, rank))])
+    sign, e, m = _dd_decode(np.asarray(out_cell, dtype=np.int64), sub_bits)
+    return pa.table(
+        {
+            "q_pct": pa.array(out_q, pa.int64()),
+            "sign": pa.array(sign),
+            "e": pa.array(e),
+            "m": pa.array(m),
+        }
+    )
+
+
+def dd_estimate(sign: np.ndarray, e: np.ndarray, m: np.ndarray, sub_bits: int) -> np.ndarray:
+    """Bucket lower bound ``sign·2^e·(1 + m/2^b)`` — exact dyadic float."""
+    return sign * np.ldexp(1.0 + m / float(1 << sub_bits), e)

@@ -136,3 +136,80 @@ def test_heavy_hitters_empty_input():
     out = heavy_hitters(ds, "v", 0.01)
     assert out.num_rows == 0
     assert out.schema.names == ["v", "cnt"]
+
+
+# ---------------------------------------------------------------- dd sketch
+
+def _dd_ds(x, parallelism=4):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({"v": pa.array(x, pa.float64())})).repartition(parallelism)
+
+
+def test_dd_quantile_rank_error_bound(ray_session):
+    """The bucket lower bound must be within relative 2^-sub_bits of the
+    EXACT quantile_disc value at the same rank — the sketch's guarantee,
+    over a heavy-tailed mix of magnitudes, signs and exact zeros."""
+    from mix_blink_ray.stages.sketches import dd_estimate, dd_quantiles
+
+    rng = np.random.default_rng(7)
+    x = np.concatenate(
+        [rng.lognormal(0, 4, 4000), -rng.lognormal(-2, 3, 2000), np.zeros(50)]
+    )
+    got = dd_quantiles(_dd_ds(x), "v", [1, 10, 50, 90, 99], sub_bits=7).to_pandas()
+    xs = np.sort(x)
+    n = len(x)
+    for row in got.itertuples(index=False):
+        rank = max((row.q_pct * n + 99) // 100, 1)
+        true = xs[rank - 1]
+        est = float(dd_estimate(np.array([row.sign]), np.array([row.e]), np.array([row.m]), 7)[0])
+        if true == 0.0:
+            assert est == 0.0
+        else:
+            assert abs(est - true) / abs(true) <= 2**-7 + 1e-15, (row.q_pct, est, true)
+
+
+def test_dd_registers_partition_invariant(ray_session):
+    """Register merge is count addition — the (cell, n) table must be
+    bit-identical across partition layouts (the HLL/CMS convention)."""
+    import pandas as pd
+
+    from mix_blink_ray.stages.sketches import dd_registers
+
+    rng = np.random.default_rng(11)
+    x = rng.lognormal(1, 5, 3000)
+    a = dd_registers(_dd_ds(x, 1), "v").to_pandas().sort_values("cell").reset_index(drop=True)
+    b = dd_registers(_dd_ds(x, 13), "v").to_pandas().sort_values("cell").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert a["n"].sum() == len(x)
+    # bounded state: register count is capped by octave span x 2^sub_bits,
+    # independent of row count / distinct-value count
+    _, ex = np.frexp(x)
+    cap = (int(ex.max()) - int(ex.min()) + 1) * 128
+    assert len(a) <= cap
+
+
+def test_dd_nonfinite_raises(ray_session):
+    import pytest
+
+    from mix_blink_ray.stages.sketches import dd_quantiles
+
+    with pytest.raises(Exception, match="NaN/inf"):
+        dd_quantiles(_dd_ds([1.0, float("nan"), 2.0], 1), "v", [50]).to_pandas()
+
+
+def test_dd_subnormal_and_extreme_cells():
+    """The cell kernel is exact across the FULL double range — subnormals,
+    the largest finite double, and sign mirroring."""
+    from mix_blink_ray.stages.sketches import _dd_cells, _dd_decode, dd_estimate
+
+    x = np.array([5e-324, 2.2250738585072014e-308, 1.7976931348623157e308,
+                  -5e-324, -1.7976931348623157e308, 0.0, 1.0, -1.0])
+    c = _dd_cells(x, 7)
+    s, e, m = _dd_decode(c, 7)
+    est = dd_estimate(s, e, m, 7)
+    nz = x != 0
+    rel = np.abs(est[nz] - x[nz]) / np.abs(x[nz])
+    assert (rel <= 2**-7).all()
+    assert c[np.argsort(x, kind="stable")].tolist() == sorted(c.tolist())
+    assert c[5] == 0 and est[5] == 0.0
