@@ -97,21 +97,53 @@ def run_bench() -> dict:
     import shutil
 
     headline_reps = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "2")))
-    headline_raw = []
-    for rep in range(headline_reps):
-        out_dir = f"/tmp/mbr_bench_out_{rep}"
-        shutil.rmtree(out_dir, ignore_errors=True)
-        t0 = time.time()
-        res = entry._linkage_result(sf_dir)[0]
-        res.mentions.write_parquet(out_dir)
-        headline_raw.append(round(time.time() - t0, 3))
-        # Drop the result's materialized datasets NOW: their object refs pin
-        # plasma memory, and carrying them into the next rep / the query
-        # suite forces avoidable object-store spilling.
-        del res
-        import gc
 
-        gc.collect()
+    def _headline_attempt() -> tuple[list, float | None]:
+        """One full rep loop, with its OWN steal measurement."""
+        before = _load_context()
+        raw = []
+        for rep in range(headline_reps):
+            out_dir = f"/tmp/mbr_bench_out_{rep}"
+            shutil.rmtree(out_dir, ignore_errors=True)
+            t0 = time.time()
+            res = entry._linkage_result(sf_dir)[0]
+            res.mentions.write_parquet(out_dir)
+            raw.append(round(time.time() - t0, 3))
+            # Drop the result's materialized datasets NOW: their object refs
+            # pin plasma memory, and carrying them into the next rep / the
+            # query suite forces avoidable object-store spilling.
+            del res
+            import gc
+
+            gc.collect()
+        after = _load_context()
+        steal = None
+        if "cpu_ticks_total" in before and "cpu_ticks_total" in after:
+            dt = after["cpu_ticks_total"] - before["cpu_ticks_total"]
+            if dt > 0:
+                steal = round(
+                    100.0 * (after["cpu_ticks_steal"] - before["cpu_ticks_steal"]) / dt,
+                    2,
+                )
+        return raw, steal
+
+    # Quiet-window guard (round-4 VERDICT item 8): BENCH_r{N} is the number
+    # rounds get compared by, and this VM's co-tenant steal swings wall time
+    # up to 3×.  If an attempt saw steal% above GRAFT_BENCH_MIN_QUIET
+    # (default 2.0; ≤ 0 disables), wait and re-run the headline reps, capped
+    # at GRAFT_BENCH_MAX_ATTEMPTS — every attempt's reps AND steal are
+    # logged in the artifact, so a noisy final number still self-explains.
+    quiet_thresh = float(os.environ.get("GRAFT_BENCH_MIN_QUIET", "2.0"))
+    max_attempts = max(1, int(os.environ.get("GRAFT_BENCH_MAX_ATTEMPTS", "3")))
+    attempts = []
+    while True:
+        raw, steal = _headline_attempt()
+        attempts.append({"reps": raw, "steal_pct": steal})
+        quiet = steal is None or quiet_thresh <= 0 or steal <= quiet_thresh
+        if quiet or len(attempts) >= max_attempts:
+            break
+        time.sleep(float(os.environ.get("GRAFT_BENCH_RETRY_SLEEP", "20")))
+    headline_raw = [r for a in attempts for r in a["reps"]]
     headline_sec = min(headline_raw)
 
     # ── representative operator queries ─────────────────────────────────────
@@ -185,6 +217,8 @@ def run_bench() -> dict:
         "value_median": round(statistics.median(headline_raw), 3),
         "unit": "sec",
         "headline_raw_reps": headline_raw,
+        "headline_attempts": attempts,
+        "quiet_threshold_steal_pct": quiet_thresh,
         "queries": q_times,
         "sf": sf_dir,
         "num_cpus": num_cpus,
