@@ -176,6 +176,13 @@ def run_bench() -> dict:
         "events_interval_join_windows",
         "events_cms_user_counts",
         "docs_bpe_merges",
+        # round-5 additions: the vectorized per-user window family's
+        # representative (bucketed-run exchange), the unbounded-float
+        # quantile sketch, exact PPJoin, and CBS meta-blocking
+        "events_sessionized",
+        "events_value_quantile_sketch",
+        "docs_simjoin_exact",
+        "docs_meta_blocking",
     ]
     q_times: dict[str, float] = {}
     if bench_queries:

@@ -3660,7 +3660,7 @@ def events_retention_cohorts(sf_dir: str):
         .drop_columns(["_c"])
         .materialize()
     )
-    from ..stages.clustering import clamped_partitions
+    from ..stages.clustering import cpu_scaled_partitions
 
     cohorts = pairs.groupby("user_id").aggregate(Min("day", alias_name="cohort_day"))
     # clamp like the sibling joins: Ray 2.49's hash join fails on an empty
@@ -3668,7 +3668,7 @@ def events_retention_cohorts(sf_dir: str):
     joined = pairs.join(
         cohorts,
         join_type="inner",
-        num_partitions=clamped_partitions(pairs.count(), 8),
+        num_partitions=cpu_scaled_partitions(pairs.count()),
         on=("user_id",),
     )
     return (
@@ -4611,7 +4611,7 @@ def docs_simgraph_pagerank(sf_dir: str):
     floor arithmetic, so distributed summation order cannot change a bit.
     Per iteration: one partitioned join (edges ⋈ ranks) + one groupby-sum —
     the canonical Pregel-as-Dataset shape."""
-    from ..stages.clustering import clamped_partitions
+    from ..stages.clustering import cpu_scaled_partitions
 
     ds, edges = _simgraph_edges(sf_dir)
 
@@ -4631,7 +4631,7 @@ def docs_simgraph_pagerank(sf_dir: str):
         lambda b: b.append_column("r", pa.array(np.full(b.num_rows, 1_000_000, dtype=np.int64))),
         batch_format="pyarrow",
     ).materialize()
-    n_parts = clamped_partitions(max(n_sym, 1), 8)
+    n_parts = cpu_scaled_partitions(n_sym)
 
     for _ in range(3):
         contrib = deg.join(

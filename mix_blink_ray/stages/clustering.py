@@ -40,6 +40,16 @@ def clamped_partitions(count: int, requested: int, min_rows_per_part: int = 8) -
     return max(1, min(requested, count // min_rows_per_part + 1))
 
 
+def cpu_scaled_partitions(count: int) -> int:
+    """``clamped_partitions`` with the requested count scaled to the node:
+    a fixed 8 caps verify/attach joins at 8 tasks and leaves a 32-CPU box
+    three-quarters idle (measured 15 s/task on the sf0.1 PPJoin verify)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return clamped_partitions(max(count, 1), max(8, cpus))
+
+
 def _is_empty_partition_join_error(e: BaseException) -> bool:
     """True iff the exception (or its Ray-wrapped cause chain) is the Ray 2.49
     empty-hash-partition join failure: an empty block loses its schema and the

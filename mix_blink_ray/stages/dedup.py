@@ -280,14 +280,14 @@ def minhash_near_dup_pairs(
         )
     )
     sigs = docs.map_batches(sig_rows, batch_format="pyarrow")
-    from .clustering import clamped_partitions
+    from .clustering import cpu_scaled_partitions
 
     pairs = pairs.materialize()
     if pairs.count() == 0:  # empty join side loses its schema (Ray 2.49)
         import ray.data as rd_
 
         return rd_.from_arrow(empty_result)
-    n_parts = clamped_partitions(max(pairs.count(), 1), 8)
+    n_parts = cpu_scaled_partitions(pairs.count())
     a_sigs = sigs.map_batches(
         lambda b: pa.table({"a_id": b[id_col], "a_sig": b["sig"]}), batch_format="pyarrow"
     )
@@ -428,7 +428,7 @@ def ngram_jaccard_verify(
     intersection is a vectorized sort-merge over hashed grams: dedupe (row,
     gram) per side, concatenate, count (row, gram) keys present on both sides
     — no per-pair Python loop."""
-    from .clustering import clamped_partitions
+    from .clustering import cpu_scaled_partitions
 
     pairs = pairs.materialize()
     if pairs.count() == 0:
@@ -443,7 +443,7 @@ def ngram_jaccard_verify(
             cols = {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())}
         cols["jaccard"] = pa.array([], pa.float64())
         return rd_.from_arrow(pa.table(cols))
-    n_parts = clamped_partitions(max(pairs.count(), 1), 8)
+    n_parts = cpu_scaled_partitions(pairs.count())
     a_texts = docs.map_batches(
         lambda b: pa.table({"a_id": b[id_col], "a_text": b[text_col]}), batch_format="pyarrow"
     )
@@ -529,9 +529,9 @@ def dedup_corpus(
         .aggregate(Min(id_col, alias_name="rep_id"))
         .materialize()
     )
-    from .clustering import clamped_partitions
+    from .clustering import cpu_scaled_partitions
 
-    n_parts = clamped_partitions(max(reps.count(), 1), 8)
+    n_parts = cpu_scaled_partitions(reps.count())
     with_rep = hashed.join(reps, join_type="inner", num_partitions=n_parts, on=("content_hash", "content_hash2"))
     exact_drops = with_rep.map_batches(
         lambda b: pa.table(
@@ -1008,7 +1008,7 @@ def minhash_incremental(
 
     import ray.data as rd_
 
-    from .clustering import clamped_partitions
+    from .clustering import cpu_scaled_partitions
 
     def sig_rows(batch: pa.Table) -> pa.Table:
         sig = _word_shingle_sigs(batch[text_col], cfg)
@@ -1170,7 +1170,7 @@ def minhash_incremental(
 
     sig_files = _state_files("sigs")
     sigs = delta_sigs.union(rd_.read_parquet(sig_files)) if sig_files else delta_sigs
-    n_parts = clamped_partitions(max(pairs.count(), 1), 8)
+    n_parts = cpu_scaled_partitions(pairs.count())
     a_sigs = sigs.map_batches(
         lambda b: pa.table({"a_id": b[id_col], "a_sig": b["sig"]}), batch_format="pyarrow"
     )

@@ -271,7 +271,12 @@ def ppjoin_pairs(
 
         return rd_.from_arrow(empty_result)
 
-    n_parts = clamped_partitions(max(pairs.count(), 1), 8)
+    # verify parallelism scales with the box: the exact-Jaccard verify is
+    # the CPU-heavy stage (string tokenization per pair side), and 8 fixed
+    # partitions left a 32-CPU node ¾ idle (measured 15 s/task at sf0.1)
+    n_parts = clamped_partitions(
+        max(pairs.count(), 1), max(8, int(ray.cluster_resources().get("CPU", 8)))
+    )
     a_texts = docs.map_batches(
         lambda b: pa.table({"a_id": b[id_col], "a_text": b[text_col]}), batch_format="pyarrow"
     )
@@ -395,7 +400,7 @@ def edit1_join(
     cost; keys longer than ``max_len`` raise rather than silently truncate
     (a truncated key could fabricate or miss matches)."""
     from ..functions.strings import levenshtein_pairs, pad_codes
-    from .clustering import clamped_partitions
+    from .clustering import cpu_scaled_partitions
     from .dedup import _auto_buckets, distinct_pairs, grouped_run_pairs
 
     def variant_rows(b: pa.Table) -> pa.Table:
@@ -459,7 +464,7 @@ def edit1_join(
 
         return rd_.from_arrow(empty_result)
 
-    n_parts = clamped_partitions(max(pairs.count(), 1), 8)
+    n_parts = cpu_scaled_partitions(pairs.count())
     a_keys = ds.map_batches(
         lambda b: pa.table({"a_id": b[id_col], "a_key": b[key_col]}), batch_format="pyarrow"
     )
