@@ -4738,6 +4738,24 @@ def events_value_quantile_sketch(sf_dir: str):
     return dd_quantiles(_t(sf_dir, "events", ["value"]), "value", [50, 90, 99], sub_bits=7)
 
 
+def events_type_value_quantile_sketch(sf_dir: str):
+    """Per-event-type p50/p90/p99 from the GROUPED quantile sketch
+    (``sketches.dd_group_registers`` — the common production shape: one
+    bounded register table per group, shuffle ∝ groups × octave span × 2^b).
+    Same exact-arithmetic SQL replay and integer-triple output contract as
+    ``events_value_quantile_sketch``; per-group ranks partition the window
+    cumsum in the oracle."""
+    from ..stages.sketches import dd_group_quantiles
+
+    return dd_group_quantiles(
+        _t(sf_dir, "events", ["event_type", "value"]),
+        "event_type",
+        "value",
+        [50, 90, 99],
+        sub_bits=7,
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -4873,6 +4891,7 @@ QUERIES = {
     "events_interval_join_windows": events_interval_join_windows,
     "events_sliding_distinct_users": events_sliding_distinct_users,
     "events_value_quantile_sketch": events_value_quantile_sketch,
+    "events_type_value_quantile_sketch": events_type_value_quantile_sketch,
     "events_value_cume_dist": events_value_cume_dist,
     "users_click_no_purchase": users_click_no_purchase,
 }
@@ -6782,7 +6801,56 @@ def _build_dd_quantile_oracle(sub_bits: int = 7) -> None:
     """
 
 
+def _build_dd_group_quantile_oracle(sub_bits: int = 7) -> None:
+    """Grouped twin of ``_build_dd_quantile_oracle``: same exact-arithmetic
+    cell assignment, with registers, totals, window cumsum, and ranks all
+    PARTITIONed BY the group column."""
+    sb = 1 << sub_bits
+    ORACLE_SQL["events_type_value_quantile_sketch"] = f"""
+        WITH RECURSIVE pow2(e, p) AS (
+            SELECT -1074, 5e-324
+            UNION ALL
+            SELECT e + 1, p * 2 FROM pow2 WHERE e < 1023
+        ),
+        v AS (SELECT event_type AS g, value AS x FROM events),
+        cells AS (
+            SELECT g,
+                   (CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1 ELSE 0 END)
+                   * (CASE WHEN x = 0 THEN 0
+                      ELSE (p2.e + 1100) * {sb}
+                           + CAST(floor((abs(x) / p2.p - 1.0) * {sb}.0) AS BIGINT)
+                      END) AS cell,
+                   count(*) AS n
+            FROM v LEFT JOIN pow2 p2
+              ON x <> 0 AND p2.p <= abs(x) AND abs(x) < p2.p * 2
+            GROUP BY 1, 2
+        ),
+        tot AS (SELECT g, CAST(sum(n) AS BIGINT) AS nt FROM cells GROUP BY g),
+        ranked AS (SELECT g, cell,
+                          CAST(sum(n) OVER (PARTITION BY g ORDER BY cell) AS BIGINT) AS cum
+                   FROM cells),
+        q(q_pct) AS (VALUES (50), (90), (99)),
+        pick AS (
+            SELECT t.g, q.q_pct, min(r.cell) AS cell
+            FROM q CROSS JOIN tot t JOIN ranked r
+              ON r.g = t.g AND r.cum >= greatest((q.q_pct * t.nt + 99) // 100, 1)
+            GROUP BY 1, 2
+        )
+        SELECT g AS event_type,
+               CAST(q_pct AS BIGINT) AS q_pct,
+               CAST(CASE WHEN cell > 0 THEN 1 WHEN cell < 0 THEN -1 ELSE 0 END
+                    AS BIGINT) AS sign,
+               CAST(CASE WHEN cell = 0 THEN 0 ELSE abs(cell) // {sb} - 1100 END
+                    AS BIGINT) AS e,
+               CAST(CASE WHEN cell = 0 THEN 0 ELSE abs(cell) % {sb} END
+                    AS BIGINT) AS m
+        FROM pick
+        ORDER BY event_type, q_pct
+    """
+
+
 _build_dd_quantile_oracle()
+_build_dd_group_quantile_oracle()
 
 
 def _build_simhash_oracle() -> None:

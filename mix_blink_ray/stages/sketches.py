@@ -35,6 +35,8 @@ __all__ = [
     "dd_registers",
     "dd_quantiles",
     "dd_estimate",
+    "dd_group_registers",
+    "dd_group_quantiles",
 ]
 
 
@@ -456,3 +458,82 @@ def dd_quantiles(ds: Dataset, value_col: str, q_pcts: list, sub_bits: int = 7) -
 def dd_estimate(sign: np.ndarray, e: np.ndarray, m: np.ndarray, sub_bits: int) -> np.ndarray:
     """Bucket lower bound ``sign·2^e·(1 + m/2^b)`` — exact dyadic float."""
     return sign * np.ldexp(1.0 + m / float(1 << sub_bits), e)
+
+
+def dd_group_registers(
+    ds: Dataset, group_col: str, value_col: str, sub_bits: int = 7
+) -> Dataset:
+    """Per-group quantile-sketch registers ``(group, cell, n)`` — the
+    grouped sibling of :func:`dd_registers`; shuffle bounded by
+    groups × octave span × 2^b, never rows or distinct values."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                group_col: pa.array([], b[group_col].type),
+                "cell": pa.array([], pa.int64()),
+                "n_partial": pa.array([], pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        cells = _dd_cells(np.asarray(b[value_col], dtype=np.float64), sub_bits)
+        groups = b[group_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cells, groups))
+        g, c = groups[order], cells[order]
+        keep = np.r_[True, (g[1:] != g[:-1]) | (c[1:] != c[:-1])]
+        starts = np.flatnonzero(keep)
+        cnt = np.diff(np.r_[starts, len(c)])
+        return pa.table(
+            {
+                group_col: pa.array(g[starts]),
+                "cell": pa.array(c[starts]),
+                "n_partial": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "cell"])
+        .aggregate(Sum("n_partial", alias_name="n"))
+    )
+
+
+def dd_group_quantiles(
+    ds: Dataset, group_col: str, value_col: str, q_pcts: list, sub_bits: int = 7
+) -> pa.Table:
+    """Per-group sketch quantiles as integer sufficient statistics:
+    ``(group, q_pct, sign, e, m)`` rows, same rank semantics and exactness
+    contract as :func:`dd_quantiles` (integer ceil-division ranks, bucket
+    lower bound within relative 2^-b)."""
+    regs = dd_group_registers(ds, group_col, value_col, sub_bits).materialize()
+    tabs = [t for t in ray.get(regs.to_arrow_refs()) if t.num_rows]
+    out_g, out_q, out_cell = [], [], []
+    if tabs:
+        tbl = pa.concat_tables(tabs)
+        groups = tbl[group_col].to_numpy(zero_copy_only=False)
+        cells = np.asarray(tbl["cell"], dtype=np.int64)
+        ns = np.asarray(tbl["n"], dtype=np.int64)
+        order = np.lexsort((cells, groups))
+        groups, cells, ns = groups[order], cells[order], ns[order]
+        starts = np.flatnonzero(np.r_[True, groups[1:] != groups[:-1]])
+        ends = np.r_[starts[1:], len(groups)]
+        for s, epos in zip(starts, ends):
+            gc, gn = cells[s:epos], ns[s:epos]
+            cum = np.cumsum(gn)
+            nt = int(cum[-1])
+            for q in q_pcts:
+                rank = max((int(q) * nt + 99) // 100, 1)
+                out_g.append(groups[s])
+                out_q.append(int(q))
+                out_cell.append(gc[int(np.searchsorted(cum, rank))])
+    sign, e, m = _dd_decode(np.asarray(out_cell, dtype=np.int64), sub_bits)
+    return pa.table(
+        {
+            group_col: pa.array(out_g),
+            "q_pct": pa.array(out_q, pa.int64()),
+            "sign": pa.array(sign),
+            "e": pa.array(e),
+            "m": pa.array(m),
+        }
+    )
