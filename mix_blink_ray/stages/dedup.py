@@ -135,14 +135,21 @@ def grouped_run_pairs(
 
 def distinct_pairs(pairs: Dataset) -> Dataset:
     """Distinct (a_id, b_id) rows: per-batch vectorized contraction
-    (lexsort + consecutive-dup mask — no per-pair Python) then ONE
-    ``groupby.aggregate(Count)`` to dedupe across batches.  Replaces the
-    round-3 ``groupby(pair).map_groups(slice(0, 1))`` hotspot, which paid a
-    Python callback per pair-group (millions of single-row groups)."""
+    (lexsort + consecutive-dup mask — no per-pair Python), then ONE
+    bucketed exchange — ``bucket = splitmix64(mix(a, b)) % n`` — with an
+    in-bucket vectorized dedup.  A pair's rows always land in one bucket,
+    so the per-bucket dedup is globally exact.  Replaces two earlier
+    shapes: the round-3 ``groupby(pair).map_groups(slice(0, 1))`` (a
+    Python callback per pair-group) and round 4's
+    ``groupby([a, b]).aggregate(Count)`` — Ray's sort-based aggregate on a
+    TWO-column key was the dominant stage of the sf0.1 PPJoin profile
+    (11.3 s); hashing the pair down to one small int64 bucket key makes
+    the exchange sort trivially cheap and the dedup a numpy kernel."""
+    empty = pa.table({"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())})
 
     def contract(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            return pa.table({"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())})
+            return empty
         a = np.asarray(b["a_id"], dtype=np.int64)
         bb = np.asarray(b["b_id"], dtype=np.int64)
         order = np.lexsort((bb, a))
@@ -151,17 +158,35 @@ def distinct_pairs(pairs: Dataset) -> Dataset:
         return pa.table({"a_id": pa.array(a[keep]), "b_id": pa.array(bb[keep])})
 
     pairs = pairs.materialize()
-    if pairs.count() == 0:  # aggregate of an empty ds loses schema (Ray 2.49)
+    n_rows = pairs.count()
+    if n_rows == 0:  # aggregate of an empty ds loses schema (Ray 2.49)
         import ray.data as rd_
 
-        return rd_.from_arrow(
-            pa.table({"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())})
+        return rd_.from_arrow(empty)
+
+    from .sketches import splitmix64
+
+    n_buckets = _auto_buckets(n_rows)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["a_id"], dtype=np.int64).view(np.uint64)
+        bb = np.asarray(b["b_id"], dtype=np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            h = splitmix64(a * np.uint64(0x9E3779B97F4A7C15) + bb)
+        return b.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
         )
+
+    def bucket_dedup(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        return contract(g)
+
     return (
         pairs.map_batches(contract, batch_format="pyarrow")
-        .groupby(["a_id", "b_id"])
-        .aggregate(Count(alias_name="_nb"))
-        .map_batches(lambda b: b.select(["a_id", "b_id"]), batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_dedup, batch_format="pyarrow")
     )
 
 
