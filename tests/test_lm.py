@@ -42,9 +42,64 @@ def test_bigram_lm_block_layout_invariant():
     )
 
 
-def test_bigram_lm_vocab_guard_raises():
+def test_bigram_model_constructor_guard_raises():
+    """train_bigram_model's contract IS a driver-resident table, so it still
+    raises above the cap; the scoring entry points switch topology instead."""
+    from mix_blink_ray.stages.lm import train_bigram_model
+
     with pytest.raises(ValueError, match="broadcast cap"):
-        bigram_lm_scores(rd.from_arrow(_corpus()), max_vocab=2)
+        train_bigram_model(rd.from_arrow(_corpus()), max_vocab=2)
+
+
+def test_bigram_lm_distributed_path_parity():
+    """max_vocab=0 forces the partitioned-join topology (no driver model
+    table); it must produce the broadcast path's exact doc set / bigram
+    counts and the same NLLs up to float summation order."""
+    import pandas as pd
+
+    bc = bigram_lm_scores(rd.from_arrow(_corpus())).to_pandas()
+    dist = bigram_lm_scores(rd.from_arrow(_corpus()), max_vocab=0).to_pandas()
+    bc = bc.sort_values("doc_id").reset_index(drop=True)
+    dist = dist.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc[["doc_id", "n_bigrams"]], dist[["doc_id", "n_bigrams"]])
+    assert np.allclose(bc["avg_nll"], dist["avg_nll"], rtol=0, atol=1e-12)
+
+
+def test_dsir_distributed_path_parity():
+    """Forced-low-cap DSIR: four partitioned joins must reproduce the
+    two-broadcast-model scoring pass (unseen target grams take the
+    smoothing mass on both paths)."""
+    import pandas as pd
+
+    from mix_blink_ray.stages.lm import dsir_log_importance
+
+    raw = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(["a b a c", "a b", "x y z x y", "solo"]),
+            }
+        )
+    )
+    tgt = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 11], pa.int64()),
+                "text": pa.array(["a b a b", "a c"]),
+            }
+        )
+    )
+    bcast = dsir_log_importance(raw, tgt).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    dist = (
+        dsir_log_importance(raw, tgt, max_vocab=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        bcast[["doc_id", "n_bigrams"]], dist[["doc_id", "n_bigrams"]]
+    )
+    assert np.allclose(bcast["log_w"], dist["log_w"], rtol=0, atol=1e-12)
 
 
 def test_dsir_importance_orders_target_like_docs_first():
