@@ -3638,51 +3638,82 @@ def brand_distinct_suppliers(sf_dir: str):
 def events_retention_cohorts(sf_dir: str):
     """Retention-cohort matrix (the behavioral-analytics staple): cohort =
     a user's first active day; cell (cohort_day, day_offset) counts users
-    active offset days later.  Fully shuffle-bounded: (user, day) pairs
-    contract map-side per batch, the cohort table comes from a groupby-min
-    over those pairs, and the cohort attaches back via a PARTITIONED join on
-    user_id — no broadcast of the (at 100 TB, billions-row) user table."""
+    active offset days later.  One bucketed ordered-run exchange
+    (``stages/windows.py`` ``grouped_ordered_runs``) does everything a
+    groupby + self-join used to: (user, day) rows contract map-side per
+    batch, a user's rows co-locate in one hash bucket, and inside the
+    bucket one lexsort gives — per user run — the cohort (first day),
+    the distinct-day mask, and the day offsets, all vectorized.  No Ray
+    hash join at all: the previous ``pairs ⋈ cohorts`` join flaked on the
+    Ray 2.49 empty-hash-partition schema loss whenever the user table was
+    tiny (15 users at sf0.001), and the cohort is just ``min(day)`` within
+    data the exchange already co-locates.  The final cell groupby is
+    bounded by distinct (cohort, offset) cells, never rows."""
     DAY_US = 86_400_000_000
 
-    ds = _t(sf_dir, "events", ["user_id", "ts"])
-    pairs = (
-        ds.map_batches(
-            lambda b: pa.table(
-                {
-                    "user_id": b["user_id"],
-                    "day": pc.divide(pc.cast(b["ts"], pa.int64()), pa.scalar(DAY_US, pa.int64())),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby(["user_id", "day"])
-        .aggregate(Count(alias_name="_c"))
-        .drop_columns(["_c"])
-        .materialize()
-    )
-    from ..stages.clustering import cpu_scaled_partitions
+    from ..stages.windows import grouped_ordered_runs, run_index
 
-    cohorts = pairs.groupby("user_id").aggregate(Min("day", alias_name="cohort_day"))
-    # clamp like the sibling joins: Ray 2.49's hash join fails on an empty
-    # partition, which a small/skewed corpus can produce at a fixed 8
-    joined = pairs.join(
-        cohorts,
-        join_type="inner",
-        num_partitions=cpu_scaled_partitions(pairs.count()),
-        on=("user_id",),
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def contract(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()), "day": pa.array([], pa.int64())}
+            )
+        u = np.asarray(b["user_id"], dtype=np.int64)
+        d = np.asarray(pc.cast(b["ts"], pa.int64()), dtype=np.int64) // DAY_US
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
+        return pa.table({"user_id": pa.array(u[keep]), "day": pa.array(d[keep])})
+
+    empty = pa.table(
+        {
+            "cohort_day": pa.array([], pa.int64()),
+            "day_offset": pa.array([], pa.int64()),
+            "n_partial": pa.array([], pa.int64()),
+        }
+    )
+
+    def cells(g: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        u = np.asarray(g["user_id"], dtype=np.int64)
+        d = np.asarray(g["day"], dtype=np.int64)
+        # rows sorted by (user, day): cohort = run head; batches were only
+        # LOCALLY distinct, so drop cross-batch (user, day) dups first
+        keep = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
+        cohort = d[starts][run_index(starts, ends)]
+        off = (d - cohort)[keep]
+        cohort = cohort[keep]
+        o2 = np.lexsort((off, cohort))
+        c2, f2 = cohort[o2], off[o2]
+        s2 = np.flatnonzero(np.r_[True, (c2[1:] != c2[:-1]) | (f2[1:] != f2[:-1])])
+        cnt = np.diff(np.r_[s2, len(c2)])
+        return pa.table(
+            {
+                "cohort_day": pa.array(c2[s2]),
+                "day_offset": pa.array(f2[s2]),
+                "n_partial": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    partials = grouped_ordered_runs(
+        ds.map_batches(contract, batch_format="pyarrow"), "user_id", ("day",), cells
     )
     return (
-        joined.map_batches(
+        partials.groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("n_partial", alias_name="n_users"))
+        .map_batches(
             lambda b: pa.table(
                 {
                     "cohort_day": b["cohort_day"],
-                    "day_offset": pc.subtract(b["day"], b["cohort_day"]),
+                    "day_offset": b["day_offset"],
+                    "n_users": pc.cast(b["n_users"], pa.int64()),
                 }
             ),
             batch_format="pyarrow",
         )
-        .groupby(["cohort_day", "day_offset"])
-        .aggregate(Count(alias_name="n_users"))
     )
 
 
