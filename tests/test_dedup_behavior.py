@@ -274,3 +274,54 @@ def test_semantic_dedup_keep_lowest_and_join_fallback():
     import pandas as pd
 
     pd.testing.assert_frame_equal(out, forced)
+
+
+def test_pair_stat_matches_sort_aggregate():
+    """pair_stat's bucketed exchange must equal the two-column sort
+    aggregate it replaced, for both stats, across block layouts."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Min
+
+    from mix_blink_ray.stages.dedup import pair_stat
+
+    rng = np.random.RandomState(7)
+    n = 4000
+    tbl = pa.table(
+        {
+            "a_id": pa.array(rng.randint(0, 60, n), type=pa.int64()),
+            "b_id": pa.array(rng.randint(0, 60, n), type=pa.int64()),
+            "hamming": pa.array(rng.randint(0, 64, n), type=pa.int64()),
+        }
+    )
+    for parts in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        got_c = (
+            pair_stat(ds, "count", out_col="n")
+            .to_pandas()
+            .sort_values(["a_id", "b_id"])
+            .reset_index(drop=True)
+        )
+        want_c = (
+            rd.from_arrow(tbl)
+            .groupby(["a_id", "b_id"])
+            .aggregate(Count(alias_name="n"))
+            .to_pandas()
+            .sort_values(["a_id", "b_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got_c, want_c.astype("int64"))
+        got_m = (
+            pair_stat(ds, "min", value_col="hamming", out_col="hamming")
+            .to_pandas()
+            .sort_values(["a_id", "b_id"])
+            .reset_index(drop=True)
+        )
+        want_m = (
+            rd.from_arrow(tbl)
+            .groupby(["a_id", "b_id"])
+            .aggregate(Min("hamming", alias_name="hamming"))
+            .to_pandas()
+            .sort_values(["a_id", "b_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got_m, want_m.astype("int64"))
