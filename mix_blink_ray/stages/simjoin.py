@@ -192,6 +192,74 @@ def _prefix_rows_distributed(docs: Dataset, df_ds: Dataset, t: float, id_col: st
     )
 
 
+def _attach_pair_payloads(
+    pairs: Dataset,
+    src: Dataset,
+    id_col: str,
+    val_col: str,
+    out_a: str,
+    out_b: str,
+    n_parts: int,
+    broadcast_limit: int = 2_000_000,
+    broadcast_bytes: int = 2 << 30,
+) -> Dataset:
+    """Attach ``src[val_col]`` onto both sides of a pair set — the verify
+    stages' payload fetch.  Broadcast/join duality (the q5 sorted-lut
+    convention): a corpus within ``broadcast_limit`` rows AND
+    ``broadcast_bytes`` payload bytes ships ONCE via ``ray.put`` and
+    attaches with two ``index_in`` lookups per batch (no shuffle — two Ray
+    hash joins cost seconds of fixed shuffle-actor spin-up that dwarf the
+    pair set at bench scale); anything larger falls back to the two
+    partitioned joins (shuffle ∝ pairs + corpus — the 100-TB path).  The
+    broadcast path RAISES on a pair id missing from ``src`` (pairs derive
+    from src by construction, so a miss is a bug upstream); the join path
+    keeps the pre-existing inner-join semantics."""
+    stats = src.map_batches(
+        lambda b: pa.table(
+            {
+                "n": pa.array([b.num_rows], pa.int64()),
+                "nb": pa.array([b[val_col].nbytes], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    n_src, nb_src = int(stats["n"].sum()), int(stats["nb"].sum())
+
+    sel = src.map_batches(
+        lambda b: pa.table({"_k": b[id_col], "_v": b[val_col]}), batch_format="pyarrow"
+    )
+    if n_src <= broadcast_limit and nb_src <= broadcast_bytes:
+        tabs = [t_ for t_ in ray.get(sel.to_arrow_refs()) if t_.num_rows]
+        lut = (
+            pa.concat_tables(tabs)
+            if tabs
+            else pa.table({"_k": pa.array([], pa.int64()), "_v": pa.array([], pa.string())})
+        )
+        ref = ray.put((lut["_k"].combine_chunks(), lut["_v"].combine_chunks()))
+
+        def attach(b: pa.Table) -> pa.Table:
+            keys, vals = ray.get(ref)
+            pa_pos = pc.index_in(b["a_id"], value_set=keys)
+            pb_pos = pc.index_in(b["b_id"], value_set=keys)
+            if b.num_rows and (pc.any(pc.is_null(pa_pos)).as_py() or pc.any(pc.is_null(pb_pos)).as_py()):
+                raise ValueError("_attach_pair_payloads: pair id missing from source table")
+            return b.append_column(out_a, pc.take(vals, pa_pos)).append_column(
+                out_b, pc.take(vals, pb_pos)
+            )
+
+        return pairs.map_batches(attach, batch_format="pyarrow")
+
+    a_side = sel.map_batches(
+        lambda b: pa.table({"a_id": b["_k"], out_a: b["_v"]}), batch_format="pyarrow"
+    )
+    b_side = sel.map_batches(
+        lambda b: pa.table({"b_id": b["_k"], out_b: b["_v"]}), batch_format="pyarrow"
+    )
+    return pairs.join(a_side, join_type="inner", num_partitions=n_parts, on=("a_id",)).join(
+        b_side, join_type="inner", num_partitions=n_parts, on=("b_id",)
+    )
+
+
 def ppjoin_pairs(
     docs: Dataset,
     threshold: float,
@@ -199,6 +267,7 @@ def ppjoin_pairs(
     id_col: str = "doc_id",
     max_broadcast_vocab: int = 20_000_000,
     hot_token_cap: int = 4096,
+    payload_broadcast_limit: int = 2_000_000,
 ) -> Dataset:
     """All pairs with exact token-set Jaccard ≥ ``threshold`` —
     ``(a_id, b_id, jaccard)``, ``a_id < b_id``, jaccard rounded to 1e-6.
@@ -277,14 +346,15 @@ def ppjoin_pairs(
     n_parts = clamped_partitions(
         max(pairs.count(), 1), max(8, int(ray.cluster_resources().get("CPU", 8)))
     )
-    a_texts = docs.map_batches(
-        lambda b: pa.table({"a_id": b[id_col], "a_text": b[text_col]}), batch_format="pyarrow"
-    )
-    b_texts = docs.map_batches(
-        lambda b: pa.table({"b_id": b[id_col], "b_text": b[text_col]}), batch_format="pyarrow"
-    )
-    joined = pairs.join(a_texts, join_type="inner", num_partitions=n_parts, on=("a_id",)).join(
-        b_texts, join_type="inner", num_partitions=n_parts, on=("b_id",)
+    joined = _attach_pair_payloads(
+        pairs,
+        docs,
+        id_col,
+        text_col,
+        "a_text",
+        "b_text",
+        n_parts,
+        broadcast_limit=payload_broadcast_limit,
     )
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -376,6 +446,7 @@ def edit1_join(
     id_col: str,
     max_len: int = 64,
     hot_variant_cap: int = 4096,
+    payload_broadcast_limit: int = 2_000_000,
 ) -> Dataset:
     """Exact edit-distance-≤1 self-join via deletion neighborhoods (the
     FastSS family, Bocek et al. 2007): ``(a_id, b_id, dist)`` for every pair
@@ -465,14 +536,15 @@ def edit1_join(
         return rd_.from_arrow(empty_result)
 
     n_parts = cpu_scaled_partitions(pairs.count())
-    a_keys = ds.map_batches(
-        lambda b: pa.table({"a_id": b[id_col], "a_key": b[key_col]}), batch_format="pyarrow"
-    )
-    b_keys = ds.map_batches(
-        lambda b: pa.table({"b_id": b[id_col], "b_key": b[key_col]}), batch_format="pyarrow"
-    )
-    joined = pairs.join(a_keys, join_type="inner", num_partitions=n_parts, on=("a_id",)).join(
-        b_keys, join_type="inner", num_partitions=n_parts, on=("b_id",)
+    joined = _attach_pair_payloads(
+        pairs,
+        ds,
+        id_col,
+        key_col,
+        "a_key",
+        "b_key",
+        n_parts,
+        broadcast_limit=payload_broadcast_limit,
     )
 
     def verify(batch: pa.Table) -> pa.Table:

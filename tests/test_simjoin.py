@@ -110,3 +110,24 @@ def test_ppjoin_no_pairs(ray_session):
     )
     out = ppjoin_pairs(rd.from_arrow(tbl), 0.5).to_pandas()
     assert len(out) == 0
+
+
+def test_ppjoin_payload_join_fallback_parity(ray_session):
+    """payload_broadcast_limit=0 forces the partitioned-join text attach in
+    the verify stage; results must equal the broadcast attach (and thus the
+    brute-force oracle)."""
+    tbl = _corpus()
+    bc = (
+        ppjoin_pairs(rd.from_arrow(tbl).repartition(3), 0.5)
+        .to_pandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    jn = (
+        ppjoin_pairs(rd.from_arrow(tbl).repartition(3), 0.5, payload_broadcast_limit=0)
+        .to_pandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    assert len(bc) > 0
+    pd.testing.assert_frame_equal(bc, jn)
