@@ -80,24 +80,63 @@ def token_counts(ds: Dataset, text_col: str = "text", lower: bool = True) -> Dat
 
 
 def doc_frequencies(ds: Dataset, id_col: str = "doc_id", text_col: str = "text", lower: bool = True) -> Dataset:
-    """(token, df) — number of documents containing each token.  Pairs are
-    deduped inside the batch (np.unique over the exploded pair set) so only
-    distinct (token, doc) rows shuffle."""
+    """(token, df) — number of documents containing each token.
 
-    def distinct_pairs(b: pa.Table) -> pa.Table:
+    Two contractions before anything shuffles: distinct (token, doc) pairs
+    per batch (documents are whole rows, so per-batch distinct is globally
+    distinct per doc), then per-batch (token, n_partial) COUNTS — the
+    shuffle moves batches × per-batch vocabulary int-count rows, never the
+    pair set.  Partials merge through a token-hashed bucket exchange (one
+    small-int64 sort key instead of a row-scale string range-sort) with one
+    vectorized Arrow ``group_by`` per bucket — the ``distinct_pairs`` /
+    ``grouped_run_pairs`` exchange shape."""
+    from ..functions.hashing import flat_utf8, hash_strings
+
+    empty_partial = pa.table(
+        {"token": pa.array([], pa.string()), "n_partial": pa.array([], pa.int64())}
+    )
+    empty_df = pa.table({"token": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+
+    def partials(b: pa.Table) -> pa.Table:
         dids, toks = _explode(b, id_col, text_col, lower)
         if len(toks) == 0:
-            return pa.table({"token": pa.array([], pa.string()), id_col: pa.array([], pa.int64())})
-        # dedup within batch: documents are whole rows, so per-batch dedup is global-per-doc
+            return empty_partial
         order = np.lexsort((dids, toks))
         toks, dids = toks[order], dids[order]
         keep = np.concatenate([[True], (toks[1:] != toks[:-1]) | (dids[1:] != dids[:-1])])
-        return pa.table({"token": pa.array(toks[keep], pa.string()), id_col: pa.array(dids[keep])})
+        toks = toks[keep]
+        starts = np.flatnonzero(np.r_[True, toks[1:] != toks[:-1]])
+        cnt = np.diff(np.r_[starts, len(toks)])
+        return pa.table(
+            {
+                "token": pa.array(toks[starts], pa.string()),
+                "n_partial": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    n_buckets = max(256, 2 * int(ray.cluster_resources().get("CPU", 8))) if ray.is_initialized() else 256
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        col = b["token"].combine_chunks() if isinstance(b["token"], pa.ChunkedArray) else b["token"]
+        h = hash_strings(*flat_utf8(col))
+        return b.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def bucket_merge(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        if g.num_rows == 0:
+            return empty_df
+        out = g.group_by("token").aggregate([("n_partial", "sum")])
+        return pa.table(
+            {"token": out["token"], "df": pc.cast(out["n_partial_sum"], pa.int64())}
+        )
 
     return (
-        ds.map_batches(distinct_pairs, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Count(alias_name="df"))
+        ds.map_batches(partials, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_merge, batch_format="pyarrow")
     )
 
 
