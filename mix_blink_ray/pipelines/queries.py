@@ -4787,6 +4787,27 @@ def events_type_value_quantile_sketch(sf_dir: str):
     )
 
 
+def docs_epoch_shuffle(sf_dir: str):
+    """Deterministic epoch shuffle (``stages.sampling.epoch_shuffle``) —
+    the training-loop data-ordering primitive: every document gets its exact
+    1-based position in the seed-7 epoch order.  ``random_shuffle`` is an
+    all-to-all whose order is neither deterministic under retries nor
+    resumable; here the order is a pure function of (doc_id, seed) — one
+    balanced-by-construction range sort on ``splitmix64(doc_id ^
+    splitmix64(seed))`` plus the two-phase prefix scan for the position
+    stamp.  The oracle replays the splitmix64 chain in HUGEINT (the HLL/CMS
+    split-multiply trick) and ranks with ``ROW_NUMBER`` over the signed
+    64-bit view — bit-exact."""
+    from ..stages.sampling import epoch_shuffle
+
+    ds = _t(sf_dir, "documents", ["doc_id"])
+    out = epoch_shuffle(ds, "doc_id", seed=7)
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "epoch_pos": b["epoch_pos"]}),
+        batch_format="pyarrow",
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -4925,6 +4946,7 @@ QUERIES = {
     "events_type_value_quantile_sketch": events_type_value_quantile_sketch,
     "events_value_cume_dist": events_value_cume_dist,
     "users_click_no_purchase": users_click_no_purchase,
+    "docs_epoch_shuffle": docs_epoch_shuffle,
 }
 
 
@@ -6655,6 +6677,53 @@ def _build_cms_oracle(depth: int = 4, width: int = 2048, n_probes: int = 20) -> 
 
 
 _build_cms_oracle()
+
+
+def _build_epoch_shuffle_oracle(seed: int = 7) -> None:
+    """Replay ``stages.sampling.epoch_shuffle`` exactly: the per-row
+    splitmix64 chain in HUGEINT mod-2^64 (same split-multiply trick as the
+    HLL/CMS oracles), the engine's int64 VIEW of the hash via an explicit
+    two's-complement fold, and ``ROW_NUMBER`` over ``(signed hash, doc_id)``
+    — the identical total order, so positions hash-match bit-exactly.  The
+    seed pre-mix ``splitmix64(seed)`` is computed with the ENGINE's own
+    kernel and inlined, so the two sides cannot drift."""
+    from ..stages.sketches import splitmix64
+
+    seed_mix = int(splitmix64(np.array([seed], dtype=np.uint64))[0])
+    m64 = "CAST(18446744073709551616 AS HUGEINT)"
+
+    def mulmod(col: str, c: int) -> str:
+        hi, lo = c >> 32, c & 0xFFFFFFFF
+        return (
+            f"(((({col} % 4294967296) * {hi}) % 4294967296) "
+            f"* 4294967296 + {col} * {lo}) % {m64}"
+        )
+
+    c1 = 0x9E3779B97F4A7C15
+    c2, c3 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    ORACLE_SQL["docs_epoch_shuffle"] = f"""
+        WITH s1 AS (
+            SELECT doc_id,
+                   (xor(CAST(doc_id AS HUGEINT), CAST({seed_mix} AS HUGEINT))
+                    + {c1}) % {m64} AS x
+            FROM documents
+        ),
+        s2 AS (SELECT doc_id, {mulmod("xor(x, x >> 30)", c2)} AS x FROM s1),
+        s3 AS (SELECT doc_id, {mulmod("xor(x, x >> 27)", c3)} AS x FROM s2),
+        hashed AS (
+            SELECT doc_id,
+                   CASE WHEN xor(x, x >> 31) >= CAST(9223372036854775808 AS HUGEINT)
+                        THEN xor(x, x >> 31) - {m64}
+                        ELSE xor(x, x >> 31) END AS sk
+            FROM s3
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY sk, doc_id) AS BIGINT) AS epoch_pos
+        FROM hashed
+    """
+
+
+_build_epoch_shuffle_oracle()
 
 
 def _build_bpe_encode_oracle() -> None:

@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
-__all__ = ["lehmer_hash", "hash_sample", "stratified_sample"]
+__all__ = ["lehmer_hash", "hash_sample", "stratified_sample", "epoch_shuffle"]
 
 _MERSENNE31 = 2147483647  # 2^31 - 1 (prime)
 _LEHMER_MULT = 48271  # MINSTD multiplier
@@ -101,4 +101,57 @@ def stratified_sample(
         ds.map_batches(local_topk, batch_format="pyarrow")
         .groupby(stratum_col)
         .map_groups(global_topk, batch_format="pyarrow")
+    )
+
+
+def epoch_shuffle(
+    ds: Dataset,
+    key_col: str,
+    seed: int = 0,
+    pos_col: str = "epoch_pos",
+) -> Dataset:
+    """Deterministic epoch shuffle — the scale-safe global reorder that
+    feeds training loops.
+
+    ``Dataset.random_shuffle`` is an all-to-all exchange whose output order
+    is neither deterministic under task retries nor resumable mid-epoch.
+    Here the order is a PURE FUNCTION of ``(key, seed)``: rows range-sort by
+    ``splitmix64(key ^ splitmix64(seed))`` (viewed as int64 — the two sides
+    only need a CONSISTENT order, not an unsigned one; the SQL oracle
+    replays the signed view), and the two-phase prefix scan
+    (``stages.scan.prefix_scan``) stamps the exact 1-based global position.
+    Uniform 64-bit hash keys make the range sort's partitions balanced BY
+    CONSTRUCTION — no skew regardless of the input key layout (sequential
+    ids, hot prefixes, anything) — and a restarted epoch recomputes the
+    identical order, so position-ranged output shards are resumable; epoch
+    ``e+1`` is just ``seed + 1``.  Ties are impossible within one epoch
+    (``key_col`` breaks the sort after the hash), so the permutation is
+    total.  Output: the input columns + ``pos_col``; blocks come back
+    range-ordered by position, ready for a sharded ``write_parquet``.
+
+    Reference analog: none — the reference trains from a fixed HF dataset
+    order (``mix_blink/train.py``); epoch ordering is part of this engine's
+    training-data suite, same family as ``hash_sample`` above.
+    """
+    from .scan import prefix_scan
+    from .sketches import splitmix64
+
+    seed_mix = splitmix64(np.array([seed], dtype=np.uint64))[0]
+
+    def add_key(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[key_col], dtype=np.int64).view(np.uint64)
+        h = splitmix64(ids ^ seed_mix).view(np.int64)
+        return b.append_column("_sk", pa.array(h)).append_column(
+            "_one", pa.array(np.ones(b.num_rows, dtype=np.int64))
+        )
+
+    out = prefix_scan(
+        ds.map_batches(add_key, batch_format="pyarrow"),
+        ["_sk", key_col],
+        "_one",
+        out_col="_run",
+        row_col=pos_col,
+    )
+    return out.map_batches(
+        lambda b: b.drop_columns(["_sk", "_one", "_run"]), batch_format="pyarrow"
     )
