@@ -479,6 +479,17 @@ def cmd_curate(args) -> None:
         )
         metrics["dsir_weighted_docs"] = weights.count()
 
+    if args.epoch_seed >= 0:
+        # Deterministic epoch shuffle (stages/sampling.epoch_shuffle) as the
+        # FINAL stage: stamp each curated doc's exact 1-based position in the
+        # seed's epoch order, so the written shards are a ready-to-stream,
+        # resumable training order (epoch e+1 = re-run with seed+1; membership
+        # and split never change — ordering only).
+        from .stages.sampling import epoch_shuffle
+
+        curated = epoch_shuffle(curated, id_col, seed=args.epoch_seed)
+        metrics["epoch_seed"] = args.epoch_seed
+
     curated.write_parquet(_fresh_dir(args.out))
     dropped.write_parquet(_fresh_dir(args.out_dropped))
     metrics["curated_docs"] = rd.read_parquet(args.out).count()
@@ -826,6 +837,13 @@ def main(argv: list[str] | None = None) -> None:
         default=0.0,
         help="keep only docs at or below this avg-bigram-NLL percentile "
         "(CCNet-style fluency gate, runs after the heuristic gate; 0 disables)",
+    )
+    cu.add_argument(
+        "--epoch-seed",
+        type=int,
+        default=-1,
+        help="stamp a deterministic epoch_pos training-order column on the "
+        "curated output (seed of the epoch order; -1 disables)",
     )
     cu.add_argument(
         "--dsir-target",

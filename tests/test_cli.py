@@ -271,15 +271,18 @@ def test_cli_curate(tmp_path):
     # 4 CPUs: the dedup banding stage at 2 CPUs exceeds the harness timeout
     res = _run(["curate", "--docs", docs, "--out", out, "--out-dropped", outd,
                 "--manifest", man, "--min-quality", "0.4", "--threshold", "0.5",
-                "--bench-mod", "13", "--num-cpus", "4"])
+                "--bench-mod", "13", "--epoch-seed", "3", "--num-cpus", "4"])
     m = json.loads(open(man).read())
     assert m["input_docs"] == 500
     assert (m["input_docs"] >= m["after_quality"] >= m["after_dedup"]
             >= m["after_decontamination"] == m["curated_docs"] > 0)
     cur = pq.read_table(out).to_pandas()
-    assert set(cur.columns) >= {"doc_id", "text", "split"}
+    assert set(cur.columns) >= {"doc_id", "text", "split", "epoch_pos"}
     assert set(cur["split"]) <= {"train", "val", "test"}
     assert len(cur) == m["curated_docs"]
+    # the epoch order is a total 1..n permutation over the curated docs
+    assert m["epoch_seed"] == 3
+    assert sorted(cur["epoch_pos"]) == list(range(1, len(cur) + 1))
     dropped = pq.read_table(outd).to_pandas()
     assert m["after_quality"] - m["after_dedup"] == len(dropped)
     assert res["curated_docs"] == m["curated_docs"]
