@@ -183,6 +183,7 @@ def run_bench() -> dict:
         "events_value_quantile_sketch",
         "docs_simjoin_exact",
         "docs_meta_blocking",
+        "docs_epoch_shuffle",
     ]
     q_times: dict[str, float] = {}
     if bench_queries:
