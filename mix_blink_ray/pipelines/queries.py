@@ -867,6 +867,64 @@ def events_lag_prev(sf_dir: str):
     return grouped_ordered_runs(prep, "user_id", ("ts_us", "event_id"), kernel)
 
 
+def events_context_window(sf_dir: str):
+    """Per-key ordered CONTEXT-WINDOW assembly: each event gets the
+    '>'-joined concatenation of the SAME USER's last 3 event types (2
+    preceding + current; total order ts, event_id) — the set-oriented form
+    of the "mention + previous K turns" context a transcript-linkage
+    pipeline feeds its encoder (the reference assembles per-mention context
+    text one example at a time in a Python loop:
+    mix_blink/data/dataset.py:85).
+    Bucketed-run exchange (``stages.windows.grouped_ordered_runs``): one
+    shuffle, in-bucket sort by (user, ts, event_id), then TWO global
+    index shifts clamped at run starts — context never crosses a user
+    boundary — and ONE vectorized ``binary_join_element_wise`` per shift
+    depth; no per-user Python, payload bytes shuffle exactly once."""
+    from ..stages.windows import grouped_ordered_runs
+
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    prep = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+                "event_type": b["event_type"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def kernel(g: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": g["user_id"],
+                    "event_id": g["event_id"],
+                    "ctx": pa.array([], pa.string()),
+                }
+            )
+        types = g["event_type"]
+        if isinstance(types, pa.ChunkedArray):
+            types = types.combine_chunks()
+        idx = np.arange(n, dtype=np.int64)
+        run_start = np.repeat(starts, ends - starts)
+        has1 = idx - 1 >= run_start
+        has2 = idx - 2 >= run_start
+        # clamp out-of-run lags to self; the if_else below never reads them
+        t1 = types.take(pa.array(np.where(has1, idx - 1, idx)))
+        t2 = types.take(pa.array(np.where(has2, idx - 2, idx)))
+        j2 = pc.binary_join_element_wise(t2, t1, types, ">")
+        j1 = pc.binary_join_element_wise(t1, types, ">")
+        ctx = pc.if_else(pa.array(has2), j2, pc.if_else(pa.array(has1), j1, types))
+        return pa.table(
+            {"user_id": g["user_id"], "event_id": g["event_id"], "ctx": ctx}
+        )
+
+    return grouped_ordered_runs(prep, "user_id", ("ts_us", "event_id"), kernel)
+
+
 def events_value_histogram(sf_dir: str):
     """Fixed-bucket histogram (floor(value)) with MAP-SIDE COMBINE: each
     batch emits one partial-count row per bucket it saw (np.bincount), and
@@ -4825,6 +4883,7 @@ QUERIES = {
     "events_sessionized": events_sessionized,
     "events_top3_per_type": events_top3_per_type,
     "events_lag_prev": events_lag_prev,
+    "events_context_window": events_context_window,
     "events_value_histogram": events_value_histogram,
     "customers_without_orders": customers_without_orders,
     "docs_normalize": docs_normalize,
@@ -5987,6 +6046,13 @@ ORACLE_SQL = {
                coalesce(epoch_us(ts) - epoch_us(lag(ts) OVER w), -1) AS gap_us
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "events_context_window": """
+        SELECT user_id, event_id,
+               string_agg(event_type, '>') OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ctx
+        FROM events
     """,
     "events_value_histogram": """
         SELECT CAST(floor(value) AS BIGINT) AS bucket, count(*) AS n

@@ -129,3 +129,55 @@ def test_segment_offset_overflow_raises():
     ts_sorted = np.array([0, 0, 0, 2**61], dtype=np.int64)
     with pytest.raises(ValueError, match="int64"):
         segment_offset_ts(ts_sorted, starts, ends, pad=0)
+
+
+def test_context_window_boundaries_and_reference(tmp_path):
+    """events_context_window: ctx never crosses a user boundary (each user's
+    i-th event has exactly min(i+1, 3) '>'-joined parts) and matches a
+    pandas per-key reference on a skewed multi-block layout."""
+    import pyarrow.parquet as pq
+
+    from mix_blink_ray.pipelines.queries import events_context_window
+
+    rng = np.random.default_rng(11)
+    n = 1500
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            # heavy skew: one hot user plus a long tail
+            "user_id": pa.array(
+                np.where(rng.random(n) < 0.4, 3, rng.integers(0, 80, n)), pa.int64()
+            ),
+            "ts": pa.array(
+                rng.integers(0, 10_000_000, n), pa.timestamp("us")
+            ),
+            "event_type": pa.array(
+                rng.choice(["view", "click", "purchase", "error"], n)
+            ),
+            "value": pa.array(rng.random(n)),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = (
+        events_context_window(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    df = tbl.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    df["rank"] = df.groupby("user_id").cumcount()
+    parts = out["ctx"].str.split(">")
+    ranks = df.sort_values("event_id")["rank"].to_numpy()
+    assert (parts.str.len().to_numpy() == np.minimum(ranks + 1, 3)).all()
+
+    def ref_ctx(g):
+        t = g["event_type"].tolist()
+        return pd.Series(
+            [">".join(t[max(0, i - 2) : i + 1]) for i in range(len(t))],
+            index=g.index,
+        )
+
+    df["ctx"] = df.groupby("user_id", group_keys=False).apply(ref_ctx)
+    ref = df.sort_values("event_id")["ctx"].reset_index(drop=True)
+    assert out["ctx"].equals(ref)
