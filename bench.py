@@ -184,6 +184,8 @@ def run_bench() -> dict:
         "docs_simjoin_exact",
         "docs_meta_blocking",
         "docs_epoch_shuffle",
+        "events_context_window",
+        "events_distinct_types_running",
     ]
     q_times: dict[str, float] = {}
     if bench_queries:

@@ -925,6 +925,64 @@ def events_context_window(sf_dir: str):
     return grouped_ordered_runs(prep, "user_id", ("ts_us", "event_id"), kernel)
 
 
+def events_distinct_types_running(sf_dir: str):
+    """Per-key RUNNING DISTINCT COUNT: each event gets the number of distinct
+    event types the SAME USER has produced so far (inclusive; total order
+    ts, event_id) — the streaming cumulative-cardinality feature (session
+    diversity so far).  Bucketed-run exchange: first occurrences fall out of
+    ONE in-bucket lexsort by (run, type-code, position) + a vectorized
+    neighbor compare scattered back to event order, and the running count is
+    one global cumsum with per-run bases subtracted — no per-user Python, no
+    per-row set state."""
+    from ..stages.windows import grouped_ordered_runs
+
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    prep = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+                "event_type": b["event_type"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def kernel(g: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": g["user_id"],
+                    "event_id": g["event_id"],
+                    "distinct_types": pa.array([], pa.int64()),
+                }
+            )
+        types = g["event_type"]
+        if isinstance(types, pa.ChunkedArray):
+            types = types.combine_chunks()
+        codes = np.asarray(pc.dictionary_encode(types).indices, dtype=np.int64)
+        rid = np.repeat(np.arange(len(starts), dtype=np.int64), ends - starts)
+        pos = np.arange(n, dtype=np.int64)
+        order = np.lexsort((pos, codes, rid))
+        r_s, c_s = rid[order], codes[order]
+        first_sorted = np.r_[True, (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])]
+        first = np.empty(n, dtype=bool)
+        first[order] = first_sorted
+        csum = np.cumsum(first, dtype=np.int64)
+        run_base = np.repeat(np.r_[np.int64(0), csum[ends[:-1] - 1]], ends - starts)
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "event_id": g["event_id"],
+                "distinct_types": pa.array(csum - run_base),
+            }
+        )
+
+    return grouped_ordered_runs(prep, "user_id", ("ts_us", "event_id"), kernel)
+
+
 def events_value_histogram(sf_dir: str):
     """Fixed-bucket histogram (floor(value)) with MAP-SIDE COMBINE: each
     batch emits one partial-count row per bucket it saw (np.bincount), and
@@ -4884,6 +4942,7 @@ QUERIES = {
     "events_top3_per_type": events_top3_per_type,
     "events_lag_prev": events_lag_prev,
     "events_context_window": events_context_window,
+    "events_distinct_types_running": events_distinct_types_running,
     "events_value_histogram": events_value_histogram,
     "customers_without_orders": customers_without_orders,
     "docs_normalize": docs_normalize,
@@ -6053,6 +6112,19 @@ ORACLE_SQL = {
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ctx
         FROM events
+    """,
+    "events_distinct_types_running": """
+        SELECT user_id, event_id,
+               CAST(sum(first_occ) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_types
+        FROM (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN row_number() OVER (
+                       PARTITION BY user_id, event_type ORDER BY ts, event_id
+                   ) = 1 THEN 1 ELSE 0 END AS first_occ
+            FROM events
+        )
     """,
     "events_value_histogram": """
         SELECT CAST(floor(value) AS BIGINT) AS bucket, count(*) AS n

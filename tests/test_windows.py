@@ -181,3 +181,47 @@ def test_context_window_boundaries_and_reference(tmp_path):
     df["ctx"] = df.groupby("user_id", group_keys=False).apply(ref_ctx)
     ref = df.sort_values("event_id")["ctx"].reset_index(drop=True)
     assert out["ctx"].equals(ref)
+
+
+def test_distinct_types_running_matches_reference(tmp_path):
+    """events_distinct_types_running: inclusive per-key running distinct
+    count matches a pandas expanding-nunique reference on a skewed layout;
+    every run restarts at 1."""
+    import pyarrow.parquet as pq
+
+    from mix_blink_ray.pipelines.queries import events_distinct_types_running
+
+    rng = np.random.default_rng(23)
+    n = 1500
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(
+                np.where(rng.random(n) < 0.4, 5, rng.integers(0, 70, n)), pa.int64()
+            ),
+            "ts": pa.array(rng.integers(0, 10_000_000, n), pa.timestamp("us")),
+            "event_type": pa.array(
+                rng.choice(["view", "click", "purchase", "error", "signup"], n)
+            ),
+            "value": pa.array(rng.random(n)),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = (
+        events_distinct_types_running(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    df = tbl.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    ref = (
+        df.groupby("user_id")["event_type"]
+        .transform(lambda s: (~s.duplicated()).cumsum())
+        .astype(np.int64)
+    )
+    df["distinct_types"] = ref
+    expect = df.sort_values("event_id")["distinct_types"].reset_index(drop=True)
+    assert (out["distinct_types"].to_numpy() == expect.to_numpy()).all()
+    firsts = df.groupby("user_id").head(1)["distinct_types"]
+    assert (firsts == 1).all()
