@@ -4010,6 +4010,111 @@ def docs_er_clusters(sf_dir: str):
     )
 
 
+def docs_er_golden_records(sf_dir: str):
+    """GOLDEN-RECORD consolidation — the classic ER deliverable downstream of
+    clustering (the reference stops at per-mention predictions,
+    mix_blink/prediction; survivorship is engine scope): per cluster from
+    the ``docs_er_clusters`` chain, the canonical ``source`` (mode, ties →
+    lexicographically smallest), the representative member (min doc_id) and
+    the member count.  Topology: labels reach docs by ONE partitioned
+    equi-join, batches contract map-side to (cluster, source, n, min_doc)
+    cells, and the WHOLE consolidation — per-(cluster,source) totals,
+    per-cluster argmax with tie-break, min-doc, member count — falls out of
+    one ``grouped_ordered_runs`` exchange over the cells (sorted by source
+    inside each cluster run, sub-segment ``reduceat`` sums, first-max pick
+    via ``minimum.reduceat`` on masked indices): no per-cluster Python, no
+    second aggregate, no final join."""
+    from ..stages.clustering import cpu_scaled_partitions
+    from ..stages.windows import grouped_ordered_runs
+
+    labels = docs_er_clusters(sf_dir)
+    docs = _t(sf_dir, "documents", ["doc_id", "source"])
+    n_parts = cpu_scaled_partitions(docs.count())
+    joined = labels.join(
+        docs, join_type="inner", num_partitions=n_parts,
+        on=("doc_id",), right_on=("doc_id",),
+    )
+
+    def partial_cells(b: pa.Table) -> pa.Table:
+        cl = np.asarray(b["cluster_id"], dtype=np.int64)
+        doc = np.asarray(b["doc_id"], dtype=np.int64)
+        src = b["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = pc.dictionary_encode(src)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        k = len(enc.dictionary)
+        if len(cl) == 0 or k == 0:
+            return pa.table(
+                {
+                    "cluster_id": pa.array([], pa.int64()),
+                    "source": pa.array([], pa.string()),
+                    "n_partial": pa.array([], pa.int64()),
+                    "min_doc": pa.array([], pa.int64()),
+                }
+            )
+        if int(cl.max()) * k + k >= 2**63:  # loud, never silent wrap
+            raise ValueError("golden_records: cluster_id × dict size overflows int64")
+        key = cl * k + codes
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        cnt = np.diff(np.r_[starts, len(ks)]).astype(np.int64)
+        mind = np.minimum.reduceat(doc[order], starts)
+        uniq = ks[starts]
+        return pa.table(
+            {
+                "cluster_id": pa.array(uniq // k),
+                "source": enc.dictionary.take(pa.array(uniq % k)),
+                "n_partial": pa.array(cnt),
+                "min_doc": pa.array(mind),
+            }
+        )
+
+    cells = joined.map_batches(partial_cells, batch_format="pyarrow")
+
+    def kernel(g: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "cluster_id": pa.array([], pa.int64()),
+                    "canonical_source": pa.array([], pa.string()),
+                    "rep_doc": pa.array([], pa.int64()),
+                    "n_members": pa.array([], pa.int64()),
+                }
+            )
+        src = g["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        npart = np.asarray(g["n_partial"], dtype=np.int64)
+        mind = np.asarray(g["min_doc"], dtype=np.int64)
+        rid = np.repeat(np.arange(len(starts), dtype=np.int64), ends - starts)
+        # sub-segments: (cluster run, source) — rows are source-sorted per run
+        src_neq = np.asarray(pc.not_equal(src.slice(1), src.slice(0, n - 1)), dtype=bool)
+        sub_mask = np.r_[True, (rid[1:] != rid[:-1]) | src_neq]
+        sub_starts = np.flatnonzero(sub_mask).astype(np.int64)
+        sums = np.add.reduceat(npart, sub_starts)
+        sub_cl = rid[sub_starts]
+        cl_starts = np.flatnonzero(np.r_[True, sub_cl[1:] != sub_cl[:-1]]).astype(np.int64)
+        seg_len = np.diff(np.r_[cl_starts, len(sub_cl)])
+        max_rep = np.repeat(np.maximum.reduceat(sums, cl_starts), seg_len)
+        idx = np.arange(len(sums), dtype=np.int64)
+        cand = np.where(sums == max_rep, idx, len(sums))
+        firsts = np.minimum.reduceat(cand, cl_starts)  # first max = smallest source
+        pick_rows = sub_starts[firsts]
+        return pa.table(
+            {
+                "cluster_id": g["cluster_id"].take(pa.array(starts)),
+                "canonical_source": src.take(pa.array(pick_rows)),
+                "rep_doc": pa.array(np.minimum.reduceat(mind, starts)),
+                "n_members": pa.array(np.add.reduceat(npart, starts)),
+            }
+        )
+
+    return grouped_ordered_runs(cells, "cluster_id", ("source",), kernel)
+
+
 def docs_blocking_quality(sf_dir: str):
     """ER blocking-stage evaluation (pair completeness + reduction counts,
     the standard blocking metrics): a corpus with 50 known duplicate pairs
@@ -4982,6 +5087,7 @@ QUERIES = {
     "docs_media_audio": docs_media_audio,
     "docs_media_video": docs_media_video,
     "docs_er_clusters": docs_er_clusters,
+    "docs_er_golden_records": docs_er_golden_records,
     "docs_blocking_quality": docs_blocking_quality,
     "users_click_purchase_full_outer": users_click_purchase_full_outer,
     "events_tumbling_late": events_tumbling_late,
@@ -6836,6 +6942,32 @@ def _build_epoch_shuffle_oracle(seed: int = 7) -> None:
             f"(((({col} % 4294967296) * {hi}) % 4294967296) "
             f"* 4294967296 + {col} * {lo}) % {m64}"
         )
+
+    # Golden records replay the full ER chain as a CTE, then survivorship:
+    # mode source (ties -> smallest), min-doc representative, member count.
+    ORACLE_SQL["docs_er_golden_records"] = f"""
+        WITH lab AS ({ORACLE_SQL["docs_er_clusters"]}),
+        j AS (
+            SELECT l.cluster_id, d.doc_id, d.source
+            FROM lab l JOIN documents d ON d.doc_id = l.doc_id
+        ), m AS (
+            SELECT cluster_id, source, CAST(count(*) AS BIGINT) AS c
+            FROM j GROUP BY 1, 2
+        ), pick AS (
+            SELECT cluster_id, source AS canonical_source,
+                   row_number() OVER (
+                       PARTITION BY cluster_id ORDER BY c DESC, source
+                   ) AS rn
+            FROM m
+        )
+        SELECT s.cluster_id, p.canonical_source, s.rep_doc, s.n_members
+        FROM (
+            SELECT cluster_id,
+                   CAST(min(doc_id) AS BIGINT) AS rep_doc,
+                   CAST(count(*) AS BIGINT) AS n_members
+            FROM j GROUP BY 1
+        ) s JOIN pick p ON p.cluster_id = s.cluster_id AND p.rn = 1
+    """
 
     c1 = 0x9E3779B97F4A7C15
     c2, c3 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
