@@ -4020,12 +4020,12 @@ def docs_er_golden_records(sf_dir: str):
     equi-join, batches contract map-side to (cluster, source, n, min_doc)
     cells, and the WHOLE consolidation — per-(cluster,source) totals,
     per-cluster argmax with tie-break, min-doc, member count — falls out of
-    one ``grouped_ordered_runs`` exchange over the cells (sorted by source
+    one ``grouped_weighted_mode`` exchange over the cells (sorted by source
     inside each cluster run, sub-segment ``reduceat`` sums, first-max pick
     via ``minimum.reduceat`` on masked indices): no per-cluster Python, no
     second aggregate, no final join."""
     from ..stages.clustering import cpu_scaled_partitions
-    from ..stages.windows import grouped_ordered_runs
+    from ..stages.windows import grouped_weighted_mode
 
     labels = docs_er_clusters(sf_dir)
     docs = _t(sf_dir, "documents", ["doc_id", "source"])
@@ -4072,47 +4072,77 @@ def docs_er_golden_records(sf_dir: str):
         )
 
     cells = joined.map_batches(partial_cells, batch_format="pyarrow")
+    out = grouped_weighted_mode(
+        cells, "cluster_id", "source", "n_partial", min_col="min_doc"
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "cluster_id": b["cluster_id"],
+                "canonical_source": b["mode_source"],
+                "rep_doc": b["min_min_doc"],
+                "n_members": b["total_n_partial"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
-    def kernel(g: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
-        n = g.num_rows
-        if n == 0:
+
+def events_user_primary_type(sf_dir: str):
+    """Per-user PRIMARY event type (mode, ties → lexicographically smallest)
+    + total event count — the second consumer of the reusable
+    ``grouped_weighted_mode`` survivorship stage (first:
+    ``docs_er_golden_records``): batches contract to (user, type, n) cells
+    map-side (shuffle ∝ distinct cells, never rows), then one bucketed-run
+    exchange does the whole pick."""
+    from ..stages.windows import grouped_weighted_mode
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial_cells(b: pa.Table) -> pa.Table:
+        u = np.asarray(b["user_id"], dtype=np.int64)
+        et = b["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = pc.dictionary_encode(et)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        k = len(enc.dictionary)
+        if len(u) == 0 or k == 0:
             return pa.table(
                 {
-                    "cluster_id": pa.array([], pa.int64()),
-                    "canonical_source": pa.array([], pa.string()),
-                    "rep_doc": pa.array([], pa.int64()),
-                    "n_members": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "n_partial": pa.array([], pa.int64()),
                 }
             )
-        src = g["source"]
-        if isinstance(src, pa.ChunkedArray):
-            src = src.combine_chunks()
-        npart = np.asarray(g["n_partial"], dtype=np.int64)
-        mind = np.asarray(g["min_doc"], dtype=np.int64)
-        rid = np.repeat(np.arange(len(starts), dtype=np.int64), ends - starts)
-        # sub-segments: (cluster run, source) — rows are source-sorted per run
-        src_neq = np.asarray(pc.not_equal(src.slice(1), src.slice(0, n - 1)), dtype=bool)
-        sub_mask = np.r_[True, (rid[1:] != rid[:-1]) | src_neq]
-        sub_starts = np.flatnonzero(sub_mask).astype(np.int64)
-        sums = np.add.reduceat(npart, sub_starts)
-        sub_cl = rid[sub_starts]
-        cl_starts = np.flatnonzero(np.r_[True, sub_cl[1:] != sub_cl[:-1]]).astype(np.int64)
-        seg_len = np.diff(np.r_[cl_starts, len(sub_cl)])
-        max_rep = np.repeat(np.maximum.reduceat(sums, cl_starts), seg_len)
-        idx = np.arange(len(sums), dtype=np.int64)
-        cand = np.where(sums == max_rep, idx, len(sums))
-        firsts = np.minimum.reduceat(cand, cl_starts)  # first max = smallest source
-        pick_rows = sub_starts[firsts]
+        if int(u.max()) * k + k >= 2**63:
+            raise ValueError("primary_type: user_id × dict size overflows int64")
+        key = u * k + codes
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        cnt = np.diff(np.r_[starts, len(ks)]).astype(np.int64)
+        uniq = ks[starts]
         return pa.table(
             {
-                "cluster_id": g["cluster_id"].take(pa.array(starts)),
-                "canonical_source": src.take(pa.array(pick_rows)),
-                "rep_doc": pa.array(np.minimum.reduceat(mind, starts)),
-                "n_members": pa.array(np.add.reduceat(npart, starts)),
+                "user_id": pa.array(uniq // k),
+                "event_type": enc.dictionary.take(pa.array(uniq % k)),
+                "n_partial": pa.array(cnt),
             }
         )
 
-    return grouped_ordered_runs(cells, "cluster_id", ("source",), kernel)
+    cells = ds.map_batches(partial_cells, batch_format="pyarrow")
+    out = grouped_weighted_mode(cells, "user_id", "event_type", "n_partial")
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"],
+                "primary_type": b["mode_event_type"],
+                "n_events": b["total_n_partial"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def docs_blocking_quality(sf_dir: str):
@@ -5088,6 +5118,7 @@ QUERIES = {
     "docs_media_video": docs_media_video,
     "docs_er_clusters": docs_er_clusters,
     "docs_er_golden_records": docs_er_golden_records,
+    "events_user_primary_type": events_user_primary_type,
     "docs_blocking_quality": docs_blocking_quality,
     "users_click_purchase_full_outer": users_click_purchase_full_outer,
     "events_tumbling_late": events_tumbling_late,
@@ -6218,6 +6249,20 @@ ORACLE_SQL = {
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ctx
         FROM events
+    """,
+    "events_user_primary_type": """
+        SELECT user_id, primary_type, n_events FROM (
+            SELECT user_id,
+                   first_value(event_type) OVER (
+                       PARTITION BY user_id ORDER BY c DESC, event_type
+                   ) AS primary_type,
+                   CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS n_events,
+                   row_number() OVER (PARTITION BY user_id ORDER BY c DESC, event_type) AS rn
+            FROM (
+                SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2
+            )
+        ) WHERE rn = 1
     """,
     "events_distinct_types_running": """
         SELECT user_id, event_id,

@@ -29,7 +29,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
-__all__ = ["grouped_ordered_runs", "run_index", "segment_offset_ts"]
+__all__ = [
+    "grouped_ordered_runs",
+    "grouped_weighted_mode",
+    "run_index",
+    "segment_offset_ts",
+]
 
 
 def _default_buckets() -> int:
@@ -62,6 +67,70 @@ def segment_offset_ts(
     if big * len(starts) >= 2**63:
         raise ValueError("segment_offset_ts: span × runs exceeds int64")
     return (ts.astype(np.int64) - lo) + rid * big, rid
+
+
+def grouped_weighted_mode(
+    cells: Dataset,
+    key_col: str,
+    value_col: str,
+    weight_col: str,
+    min_col: str | None = None,
+    n_buckets: int | None = None,
+) -> Dataset:
+    """Per-key WEIGHTED MODE over pre-contracted (key, value, weight[, min])
+    cells: one row per key with the value of maximum total weight (ties →
+    smallest value), the key's total weight, and (optionally) the min over
+    ``min_col`` — the survivorship / most-frequent-attribute primitive
+    (golden records, per-user primary type).  Callers contract raw rows to
+    cells map-side first, so the exchange is distinct-cell bounded; the
+    consolidation itself is ONE ``grouped_ordered_runs`` pass: sub-segment
+    ``reduceat`` sums per (key, value), per-key first-max pick via
+    ``minimum.reduceat`` on masked indices — no per-key Python, no second
+    aggregate, no final join.  Output columns: ``key_col``,
+    ``mode_<value_col>``, ``total_<weight_col>`` (+ ``min_<min_col>``)."""
+    out_mode = f"mode_{value_col}"
+    out_total = f"total_{weight_col}"
+    out_min = f"min_{min_col}" if min_col else None
+
+    def kernel(g: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            cols = {
+                key_col: g[key_col],
+                out_mode: g[value_col],
+                out_total: pa.array([], pa.int64()),
+            }
+            if min_col:
+                cols[out_min] = pa.array([], pa.int64())
+            return pa.table(cols)
+        vals = g[value_col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        w = np.asarray(g[weight_col], dtype=np.int64)
+        rid = np.repeat(np.arange(len(starts), dtype=np.int64), ends - starts)
+        # sub-segments: (key run, value) — rows are value-sorted per run
+        val_neq = np.asarray(pc.not_equal(vals.slice(1), vals.slice(0, n - 1)), dtype=bool)
+        sub_starts = np.flatnonzero(np.r_[True, (rid[1:] != rid[:-1]) | val_neq]).astype(np.int64)
+        sums = np.add.reduceat(w, sub_starts)
+        sub_key = rid[sub_starts]
+        key_starts = np.flatnonzero(np.r_[True, sub_key[1:] != sub_key[:-1]]).astype(np.int64)
+        seg_len = np.diff(np.r_[key_starts, len(sub_key)])
+        max_rep = np.repeat(np.maximum.reduceat(sums, key_starts), seg_len)
+        idx = np.arange(len(sums), dtype=np.int64)
+        cand = np.where(sums == max_rep, idx, len(sums))
+        firsts = np.minimum.reduceat(cand, key_starts)  # first max = smallest value
+        cols = {
+            key_col: g[key_col].take(pa.array(starts)),
+            out_mode: vals.take(pa.array(sub_starts[firsts])),
+            out_total: pa.array(np.add.reduceat(w, starts)),
+        }
+        if min_col:
+            cols[out_min] = pa.array(
+                np.minimum.reduceat(np.asarray(g[min_col], dtype=np.int64), starts)
+            )
+        return pa.table(cols)
+
+    return grouped_ordered_runs(cells, key_col, (value_col,), kernel, n_buckets=n_buckets)
 
 
 def grouped_ordered_runs(
