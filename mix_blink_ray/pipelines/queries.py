@@ -983,6 +983,69 @@ def events_distinct_types_running(sf_dir: str):
     return grouped_ordered_runs(prep, "user_id", ("ts_us", "event_id"), kernel)
 
 
+def events_type_transitions(sf_dir: str):
+    """Per-user event-type TRANSITION counts — the order-1 Markov table over
+    the behavior stream: (prev_type, next_type, n) summed over all SAME-USER
+    adjacent pairs under total (ts, event_id) order.  Bucketed-run exchange:
+    adjacency is one run-start-masked global shift, and each bucket
+    contracts its transitions to (prev, next, n_partial) cells (dictionary
+    codes → combined int key → unique+counts), so only k² × buckets tiny
+    rows reach the final groupby — transition rows never shuffle
+    individually."""
+    from ..stages.windows import grouped_ordered_runs
+
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    prep = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+                "event_type": b["event_type"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def kernel(g: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        empty = pa.table(
+            {
+                "prev_type": pa.array([], pa.string()),
+                "next_type": pa.array([], pa.string()),
+                "n_partial": pa.array([], pa.int64()),
+            }
+        )
+        n = g.num_rows
+        if n < 2:
+            return empty
+        types = g["event_type"]
+        if isinstance(types, pa.ChunkedArray):
+            types = types.combine_chunks()
+        enc = pc.dictionary_encode(types)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        k = len(enc.dictionary)
+        interior = np.ones(n, dtype=bool)
+        interior[starts] = False  # rows whose predecessor is the SAME user
+        nxt = np.flatnonzero(interior)
+        if len(nxt) == 0:
+            return empty
+        key = codes[nxt - 1] * k + codes[nxt]
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "prev_type": enc.dictionary.take(pa.array(uniq // k)),
+                "next_type": enc.dictionary.take(pa.array(uniq % k)),
+                "n_partial": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    cells = grouped_ordered_runs(prep, "user_id", ("ts_us", "event_id"), kernel)
+    out = cells.groupby(["prev_type", "next_type"]).aggregate(
+        Sum("n_partial", alias_name="n")
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def events_value_histogram(sf_dir: str):
     """Fixed-bucket histogram (floor(value)) with MAP-SIDE COMBINE: each
     batch emits one partial-count row per bucket it saw (np.bincount), and
@@ -5119,6 +5182,7 @@ QUERIES = {
     "docs_er_clusters": docs_er_clusters,
     "docs_er_golden_records": docs_er_golden_records,
     "events_user_primary_type": events_user_primary_type,
+    "events_type_transitions": events_type_transitions,
     "docs_blocking_quality": docs_blocking_quality,
     "users_click_purchase_full_outer": users_click_purchase_full_outer,
     "events_tumbling_late": events_tumbling_late,
@@ -6249,6 +6313,16 @@ ORACLE_SQL = {
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ctx
         FROM events
+    """,
+    "events_type_transitions": """
+        SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type,
+                   event_type AS next_type
+            FROM events
+        ) WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
     """,
     "events_user_primary_type": """
         SELECT user_id, primary_type, n_events FROM (
