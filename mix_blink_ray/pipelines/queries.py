@@ -1046,6 +1046,67 @@ def events_type_transitions(sf_dir: str):
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def events_user_median_gap(sf_dir: str):
+    """Per-user EXACT MEDIAN inter-event gap (µs) — integer rank selection,
+    no floats: gaps fall out of one run-start-masked shift, each user's gaps
+    are contiguous after the in-bucket sort, and the lower median is the
+    ceil(n/2)-th smallest picked by ONE global lexsort (gap within run) +
+    per-segment index arithmetic — the same exact-integer-rank idiom the
+    quantile suite uses on both engine and SQL sides (value-deterministic
+    under gap ties: equal rank candidates share the value).  Users with a
+    single event have no gap and are excluded, matching the oracle's
+    NULL-lag filter."""
+    from ..stages.windows import grouped_ordered_runs
+
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts"])
+    prep = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def kernel(g: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "median_gap_us": pa.array([], pa.int64()),
+                "n_gaps": pa.array([], pa.int64()),
+            }
+        )
+        n = g.num_rows
+        if n < 2:
+            return empty
+        ts = np.asarray(g["ts_us"], dtype=np.int64)
+        lens = ends - starts
+        n_gaps = lens - 1  # per run
+        has = n_gaps > 0
+        if not has.any():
+            return empty
+        interior = np.ones(n, dtype=bool)
+        interior[starts] = False
+        rows = np.flatnonzero(interior)  # one per gap, grouped by run
+        gaps = ts[rows] - ts[rows - 1]
+        grid = np.repeat(np.arange(len(starts), dtype=np.int64), np.maximum(n_gaps, 0))
+        order = np.lexsort((gaps, grid))  # sort gaps within each run
+        sorted_gaps = gaps[order]
+        gseg_starts = np.r_[np.int64(0), np.cumsum(n_gaps[has])[:-1]]
+        pick = gseg_starts + (n_gaps[has] + 1) // 2 - 1
+        return pa.table(
+            {
+                "user_id": g["user_id"].take(pa.array(starts[has])),
+                "median_gap_us": pa.array(sorted_gaps[pick]),
+                "n_gaps": pa.array(n_gaps[has].astype(np.int64)),
+            }
+        )
+
+    return grouped_ordered_runs(prep, "user_id", ("ts_us", "event_id"), kernel)
+
+
 def events_value_histogram(sf_dir: str):
     """Fixed-bucket histogram (floor(value)) with MAP-SIDE COMBINE: each
     batch emits one partial-count row per bucket it saw (np.bincount), and
@@ -5183,6 +5244,7 @@ QUERIES = {
     "docs_er_golden_records": docs_er_golden_records,
     "events_user_primary_type": events_user_primary_type,
     "events_type_transitions": events_type_transitions,
+    "events_user_median_gap": events_user_median_gap,
     "docs_blocking_quality": docs_blocking_quality,
     "users_click_purchase_full_outer": users_click_purchase_full_outer,
     "events_tumbling_late": events_tumbling_late,
@@ -6313,6 +6375,21 @@ ORACLE_SQL = {
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ctx
         FROM events
+    """,
+    "events_user_median_gap": """
+        WITH gp AS (
+            SELECT user_id,
+                   epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+            FROM events
+        ), r AS (
+            SELECT user_id, gap,
+                   row_number() OVER (PARTITION BY user_id ORDER BY gap) AS rn,
+                   CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_gaps
+            FROM gp WHERE gap IS NOT NULL
+        )
+        SELECT user_id, gap AS median_gap_us, n_gaps
+        FROM r WHERE rn = (n_gaps + 1) // 2
     """,
     "events_type_transitions": """
         SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n FROM (
