@@ -1107,6 +1107,56 @@ def events_user_median_gap(sf_dir: str):
     return grouped_ordered_runs(prep, "user_id", ("ts_us", "event_id"), kernel)
 
 
+def events_user_longest_streak(sf_dir: str):
+    """Per-user LONGEST STREAK of consecutive same-type events under total
+    (ts, event_id) order — the gaps-and-islands pattern without its
+    double-ROW_NUMBER shuffle: inside the bucketed-run exchange, island
+    boundaries are ONE vectorized compare (run start OR type change),
+    island lengths one diff, and the per-user max one ``maximum.reduceat``
+    over islands grouped by run — no per-user Python, no window shuffle."""
+    from ..stages.windows import grouped_ordered_runs
+
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    prep = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+                "event_type": b["event_type"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def kernel(g: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": g["user_id"],
+                    "max_streak": pa.array([], pa.int64()),
+                }
+            )
+        types = g["event_type"]
+        if isinstance(types, pa.ChunkedArray):
+            types = types.combine_chunks()
+        rid = np.repeat(np.arange(len(starts), dtype=np.int64), ends - starts)
+        t_neq = np.asarray(pc.not_equal(types.slice(1), types.slice(0, n - 1)), dtype=bool)
+        isl_starts = np.flatnonzero(np.r_[True, (rid[1:] != rid[:-1]) | t_neq]).astype(np.int64)
+        isl_len = np.diff(np.r_[isl_starts, n]).astype(np.int64)
+        isl_rid = rid[isl_starts]
+        run_starts_isl = np.flatnonzero(np.r_[True, isl_rid[1:] != isl_rid[:-1]]).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": g["user_id"].take(pa.array(starts)),
+                "max_streak": pa.array(np.maximum.reduceat(isl_len, run_starts_isl)),
+            }
+        )
+
+    return grouped_ordered_runs(prep, "user_id", ("ts_us", "event_id"), kernel)
+
+
 def events_value_histogram(sf_dir: str):
     """Fixed-bucket histogram (floor(value)) with MAP-SIDE COMBINE: each
     batch emits one partial-count row per bucket it saw (np.bincount), and
@@ -5245,6 +5295,7 @@ QUERIES = {
     "events_user_primary_type": events_user_primary_type,
     "events_type_transitions": events_type_transitions,
     "events_user_median_gap": events_user_median_gap,
+    "events_user_longest_streak": events_user_longest_streak,
     "docs_blocking_quality": docs_blocking_quality,
     "users_click_purchase_full_outer": users_click_purchase_full_outer,
     "events_tumbling_late": events_tumbling_late,
@@ -6375,6 +6426,20 @@ ORACLE_SQL = {
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ctx
         FROM events
+    """,
+    "events_user_longest_streak": """
+        WITH o AS (
+            SELECT user_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 - row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS grp,
+                   event_type
+            FROM events
+        ), s AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS streak
+            FROM o GROUP BY user_id, event_type, grp
+        )
+        SELECT user_id, max(streak) AS max_streak FROM s GROUP BY user_id
     """,
     "events_user_median_gap": """
         WITH gp AS (
