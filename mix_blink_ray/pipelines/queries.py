@@ -5233,6 +5233,505 @@ def docs_epoch_shuffle(sf_dir: str):
     )
 
 
+def q13_customer_distribution(sf_dir: str):
+    """Two-level aggregate with a zero-preserving outer side (TPC-H Q13
+    shape: distribution of customers by order count, orders filtered by a
+    predicate).  Order counts contract map-side to (custkey, n) cells →
+    one groupby-sum keyed by customer; the second level contracts those
+    per-customer counts map-side to (c_count, partial) cells → one tiny
+    groupby whose cardinality is bounded by max-orders-per-customer.  The
+    LEFT JOIN's only contribution — customers with NO qualifying order —
+    is a single CARDINALITY (|customer| − |custkeys seen|), so the
+    customer table is never joined or shuffled at all: the c_count=0
+    bucket is two dataset counts, not a row-scale outer join."""
+    per_cust = (
+        _t(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(
+            lambda b: (
+                b.filter(pc.not_equal(b["o_orderpriority"], "1-URGENT"))
+                .group_by("o_custkey")
+                .aggregate([("o_custkey", "count")])
+                .rename_columns(["o_custkey", "n"])
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="c_count"))
+    ).materialize()
+    n_with = per_cust.count()
+    n_cust = _t(sf_dir, "customer", ["c_custkey"]).count()
+    dist = (
+        per_cust.map_batches(
+            lambda b: (
+                b.select(["c_count"])
+                .group_by("c_count")
+                .aggregate([("c_count", "count")])
+                .rename_columns(["c_count", "p"])
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("c_count")
+        .aggregate(Sum("p", alias_name="custdist"))
+    )
+    tbl = pa.Table.from_pandas(dist.to_pandas(), preserve_index=False)
+    tbl = pa.table(
+        {
+            "c_count": pc.cast(tbl["c_count"], pa.int64()),
+            "custdist": pc.cast(tbl["custdist"], pa.int64()),
+        }
+    )
+    n_zero = n_cust - n_with
+    if n_zero > 0:
+        tbl = pa.concat_tables(
+            [
+                tbl,
+                pa.table(
+                    {"c_count": pa.array([0], pa.int64()), "custdist": pa.array([n_zero], pa.int64())}
+                ),
+            ]
+        )
+    return tbl
+
+
+def q15_top_supplier(sf_dir: str):
+    """Argmax over a first-level aggregate (TPC-H Q15 shape: the supplier(s)
+    with maximum revenue in a shipdate quarter).  Revenue per supplier
+    contracts map-side to (suppkey, rev_c4) cells → one groupby-sum whose
+    output is ∝ |supplier| (a dimension); the global max is ONE Max
+    aggregate over that table (never a sort), and the equality filter +
+    name attach run over the same dimension-sized table — the fact table
+    is read once and never joined.  Exact integer c4 revenue on both
+    sides, so a float sum can never create or destroy a tie."""
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1996-04-01")
+
+    def partial(b: pa.Table) -> pa.Table:
+        ship = np.asarray(b["l_shipdate"], dtype="datetime64[us]")
+        keep = (ship >= lo) & (ship < hi)
+        if not keep.any():
+            return pa.table(
+                {"l_suppkey": pa.array([], pa.int64()), "rev_c4": pa.array([], pa.int64())}
+            )
+        cents = np.asarray(_cents(b["l_extendedprice"]), dtype=np.int64)[keep]
+        disc = np.asarray(_cents(b["l_discount"]), dtype=np.int64)[keep]
+        sk = np.asarray(b["l_suppkey"], dtype=np.int64)[keep]
+        sub = pa.table({"l_suppkey": pa.array(sk), "rev_c4": pa.array(cents * (100 - disc))})
+        return (
+            sub.group_by("l_suppkey")
+            .aggregate([("rev_c4", "sum")])
+            .rename_columns(["l_suppkey", "rev_c4"])
+        )
+
+    per_supp = (
+        _t(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("rev_c4", alias_name="rev_c4"))
+    ).materialize()
+    best = per_supp.max("rev_c4")
+    top = per_supp.map_batches(
+        lambda b: b.filter(pc.equal(b["rev_c4"], best)), batch_format="pyarrow"
+    ).to_pandas()
+    names = pa.Table.from_pandas(
+        _t(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas(), preserve_index=False
+    )
+    name_of = dict(zip(names["s_suppkey"].to_pylist(), names["s_name"].to_pylist()))
+    sk = top["l_suppkey"].astype("int64").to_numpy()
+    return pa.table(
+        {
+            "s_suppkey": pa.array(sk, pa.int64()),
+            "s_name": pa.array([name_of[int(k)] for k in sk], pa.string()),
+            "total_revenue": pa.array(
+                top["rev_c4"].astype("int64").to_numpy() / 10000.0, pa.float64()
+            ),
+        }
+    )
+
+
+def q17_small_quantity_revenue(sf_dir: str):
+    """Correlated per-group average as a two-pass broadcast (TPC-H Q17
+    shape: revenue from lineitems below 20% of their part's average
+    quantity).  Pass 1 contracts the brand-filtered fact map-side to
+    (partkey, n, sum_qty) cells → groupby-sum → a table ∝ parts-of-brand,
+    broadcast once (``ray.put``).  Pass 2 re-reads the fact and evaluates
+    the correlated predicate ``10·qty·n < 2·sum_qty`` in EXACT int64
+    (both sides multiply through instead of dividing, so no float average
+    can flip a boundary row), emitting ONE cents cell per batch.
+    l_quantity values are integer-valued doubles (1..50) — the int64 cast
+    is exact on both engine and SQL sides."""
+    import ray
+
+    part = pa.Table.from_pandas(
+        _t(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas(), preserve_index=False
+    )
+    brand_keys = np.sort(
+        np.asarray(part.filter(pc.equal(part["p_brand"], "Brand#13"))["p_partkey"], dtype=np.int64)
+    )
+    bk_ref = ray.put(brand_keys)
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        bk = ray.get(bk_ref)
+        pk = np.asarray(b["l_partkey"], dtype=np.int64)
+        pos = np.searchsorted(bk, pk)
+        keep = (pos < len(bk)) & (bk[np.minimum(pos, len(bk) - 1)] == pk)
+        if not keep.any():
+            return pa.table(
+                {
+                    "l_partkey": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_q": pa.array([], pa.int64()),
+                }
+            )
+        pk = pk[keep]
+        q = np.asarray(b["l_quantity"], dtype=np.float64)[keep].astype(np.int64)
+        sub = pa.table(
+            {
+                "l_partkey": pa.array(pk),
+                "n": pa.array(np.ones(len(pk), np.int64)),
+                "sum_q": pa.array(q),
+            }
+        )
+        return (
+            sub.group_by("l_partkey")
+            .aggregate([("n", "sum"), ("sum_q", "sum")])
+            .rename_columns(["l_partkey", "n", "sum_q"])
+        )
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    stats = (
+        _t(sf_dir, "lineitem", li_cols)
+        .map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_q", alias_name="sum_q"))
+    ).to_pandas()
+    spk = stats["l_partkey"].astype("int64").to_numpy()
+    order = np.argsort(spk)
+    lut_ref = ray.put(
+        (
+            spk[order],
+            stats["n"].astype("int64").to_numpy()[order],
+            stats["sum_q"].astype("int64").to_numpy()[order],
+        )
+    )
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        ks, ns, ss = ray.get(lut_ref)
+        if len(ks) == 0:
+            return pa.table({"cents": pa.array([0], pa.int64())})
+        pk = np.asarray(b["l_partkey"], dtype=np.int64)
+        pos = np.clip(np.searchsorted(ks, pk), 0, len(ks) - 1)
+        hit = ks[pos] == pk
+        q = np.asarray(b["l_quantity"], dtype=np.float64).astype(np.int64)
+        small = hit & (10 * q * ns[pos] < 2 * ss[pos])
+        cents = np.asarray(_cents(b["l_extendedprice"]), dtype=np.int64)
+        return pa.table({"cents": pa.array([int(cents[small].sum())], pa.int64())})
+
+    total = (
+        _t(sf_dir, "lineitem", li_cols)
+        .map_batches(rev_partial, batch_format="pyarrow")
+        .aggregate(Sum("cents", alias_name="c"))
+    )
+    return pa.table({"avg_yearly": pa.array([int(total["c"]) / 700.0], pa.float64())})
+
+
+def q18_large_volume_customers(sf_dir: str):
+    """Group-by-HAVING semi-join back onto the fact's parent (TPC-H Q18
+    shape: orders whose total quantity exceeds a threshold, enriched with
+    customer attributes).  Quantities contract map-side to (orderkey, qty)
+    cells → groupby-sum → HAVING filter; the surviving keys are RARE by
+    construction (the far tail of the order-size distribution), so they
+    broadcast as a sorted lut and orders is filtered + enriched in one
+    shuffle-free pass (above ``_SEMI_BROADCAST_LIMIT`` the q3/q4
+    partitioned-join duality applies).  Customer names attach from the
+    dimension lut on the tiny surviving result."""
+    import ray
+
+    THRESH = 280
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        sub = pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "q": pc.cast(pc.round(b["l_quantity"]), pa.int64()),
+            }
+        )
+        return (
+            sub.group_by("l_orderkey").aggregate([("q", "sum")]).rename_columns(["l_orderkey", "q"])
+        )
+
+    hot = (
+        _t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("q", alias_name="total_qty"))
+        .map_batches(
+            lambda b: b.filter(pc.greater(b["total_qty"], THRESH)), batch_format="pyarrow"
+        )
+    ).to_pandas()
+    if hot.empty:
+        return pa.table(
+            {
+                "c_name": pa.array([], pa.string()),
+                "c_custkey": pa.array([], pa.int64()),
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_totalprice": pa.array([], pa.float64()),
+                "total_qty": pa.array([], pa.int64()),
+            }
+        )
+    hk = hot["l_orderkey"].astype("int64").to_numpy()
+    order = np.argsort(hk)
+    lut_ref = ray.put((hk[order], hot["total_qty"].astype("int64").to_numpy()[order]))
+
+    def attach(b: pa.Table) -> pa.Table:
+        ks, qs = ray.get(lut_ref)
+        ok = np.asarray(b["o_orderkey"], dtype=np.int64)
+        pos = np.clip(np.searchsorted(ks, ok), 0, len(ks) - 1)
+        keep = ks[pos] == ok
+        idx = pa.array(np.flatnonzero(keep))
+        return pa.table(
+            {
+                "c_custkey": pc.take(b["o_custkey"], idx),
+                "o_orderkey": pc.take(b["o_orderkey"], idx),
+                "o_totalprice": pc.take(b["o_totalprice"], idx),
+                "total_qty": pa.array(qs[pos[keep]], pa.int64()),
+            }
+        )
+
+    rows = (
+        _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(attach, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cust = pa.Table.from_pandas(
+        _t(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas(), preserve_index=False
+    )
+    name_of = dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist()))
+    ck = rows["c_custkey"].astype("int64").to_numpy()
+    return pa.table(
+        {
+            "c_name": pa.array([name_of[int(k)] for k in ck], pa.string()),
+            "c_custkey": pa.array(ck, pa.int64()),
+            "o_orderkey": pa.array(rows["o_orderkey"].astype("int64").to_numpy(), pa.int64()),
+            "o_totalprice": pa.array(rows["o_totalprice"].to_numpy(), pa.float64()),
+            "total_qty": pa.array(rows["total_qty"].astype("int64").to_numpy(), pa.int64()),
+        }
+    )
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """Disjunctive multi-predicate dimension join (TPC-H Q19 shape: revenue
+    where (brand, size-range, quantity-range) matches any of three OR'd
+    clauses).  The dimension ships once as THREE sorted partkey sets (one
+    per clause — brand and size resolve at broadcast-build time, so the
+    per-row work is three vectorized ``searchsorted`` membership tests +
+    quantity range masks); each batch emits ONE exact-int c4 cell.  No
+    join, no shuffle — one pass over the fact."""
+    import ray
+
+    CLAUSES = [  # (brand, size_lo, size_hi, qty_lo, qty_hi)
+        ("Brand#13", 1, 5, 1, 11),
+        ("Brand#25", 1, 10, 10, 20),
+        ("Brand#22", 1, 15, 20, 30),
+    ]
+    part = pa.Table.from_pandas(
+        _t(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).to_pandas(), preserve_index=False
+    )
+    sets = []
+    for brand, slo, shi, _qlo, _qhi in CLAUSES:
+        m = pc.and_(
+            pc.equal(part["p_brand"], brand),
+            pc.and_(pc.greater_equal(part["p_size"], slo), pc.less_equal(part["p_size"], shi)),
+        )
+        sets.append(np.sort(np.asarray(part.filter(m)["p_partkey"], dtype=np.int64)))
+    sets_ref = ray.put(sets)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ss = ray.get(sets_ref)
+        pk = np.asarray(b["l_partkey"], dtype=np.int64)
+        q = np.asarray(b["l_quantity"], dtype=np.float64).astype(np.int64)
+        keep = np.zeros(len(pk), dtype=bool)
+        for (_, _, _, qlo, qhi), ks in zip(CLAUSES, ss):
+            if len(ks) == 0:
+                continue
+            pos = np.clip(np.searchsorted(ks, pk), 0, len(ks) - 1)
+            keep |= (ks[pos] == pk) & (q >= qlo) & (q <= qhi)
+        if not keep.any():
+            return pa.table({"rev_c4": pa.array([0], pa.int64())})
+        cents = np.asarray(_cents(b["l_extendedprice"]), dtype=np.int64)[keep]
+        disc = np.asarray(_cents(b["l_discount"]), dtype=np.int64)[keep]
+        return pa.table({"rev_c4": pa.array([int((cents * (100 - disc)).sum())], pa.int64())})
+
+    agg = (
+        _t(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .aggregate(Sum("rev_c4", alias_name="r"))
+    )
+    return pa.table({"revenue": pa.array([int(agg["r"]) / 10000.0], pa.float64())})
+
+
+def q8_market_share(sf_dir: str):
+    """National market share inside a region by year (TPC-H Q8 shape — the
+    widest join tree in the suite: lineitem ⋈ orders ⋈ customer ⋈ nation
+    ⋈ region on one arm, ⋈ supplier ⋈ nation on the other).  Every
+    dimension arm resolves from broadcast sorted-array luts built once;
+    orders filtered to the region's customers and the 2-year window
+    becomes an orderkey→year lut (broadcast below
+    ``_SEMI_BROADCAST_LIMIT``, the q7 partitioned-join duality above it),
+    so the default plan has NO fact-fact exchange.  Per-batch grouped
+    partials carry exact int64 c4 revenue (numerator, denominator) per
+    year — two cells per batch reach the final tiny groupby; the share
+    replays q14's scale-round idiom in the oracle."""
+    import ray
+
+    from ..stages.clustering import clamped_partitions
+
+    REGION, NATION = "AFRICA", "NATION_18"
+    lo = np.datetime64("1995-01-01")
+    hi = np.datetime64("1996-12-31")
+
+    nat = pa.Table.from_pandas(
+        _t(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas(),
+        preserve_index=False,
+    )
+    reg = pa.Table.from_pandas(
+        _t(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas(), preserve_index=False
+    )
+    rkey = reg.filter(pc.equal(reg["r_name"], REGION))["r_regionkey"][0].as_py()
+    region_nations = np.sort(
+        np.asarray(nat.filter(pc.equal(nat["n_regionkey"], rkey))["n_nationkey"], dtype=np.int64)
+    )
+    target_nkey = nat.filter(pc.equal(nat["n_name"], NATION))["n_nationkey"][0].as_py()
+
+    cust = pa.Table.from_pandas(
+        _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas(), preserve_index=False
+    )
+    ck = np.asarray(cust["c_custkey"], dtype=np.int64)
+    cn = np.asarray(cust["c_nationkey"], dtype=np.int64)
+    region_custs = np.sort(ck[np.isin(cn, region_nations)])
+    rc_ref = ray.put(region_custs)
+
+    supp = pa.Table.from_pandas(
+        _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas(), preserve_index=False
+    )
+    sk = np.asarray(supp["s_suppkey"], dtype=np.int64)
+    sn = np.asarray(supp["s_nationkey"], dtype=np.int64)
+    so = np.argsort(sk)
+    supp_ref = ray.put((sk[so], sn[so]))
+
+    def orders_window(b: pa.Table) -> pa.Table:
+        rc = ray.get(rc_ref)
+        od = np.asarray(b["o_orderdate"], dtype="datetime64[us]")
+        ckey = np.asarray(b["o_custkey"], dtype=np.int64)
+        keep = (od >= lo) & (od <= hi)
+        if len(rc):
+            pos = np.clip(np.searchsorted(rc, ckey), 0, len(rc) - 1)
+            keep &= rc[pos] == ckey
+        else:
+            keep[:] = False
+        idx = pa.array(np.flatnonzero(keep))
+        return pa.table(
+            {
+                "o_orderkey": pc.take(b["o_orderkey"], idx),
+                "o_year": pc.cast(pc.year(pc.take(b["o_orderdate"], idx)), pa.int64()),
+            }
+        )
+
+    orders_f = (
+        _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(orders_window, batch_format="pyarrow")
+        .materialize()
+    )
+    n_orders_f = orders_f.count()
+
+    def rev_partial(b: pa.Table, okey_lut) -> pa.Table:
+        empty = pa.table(
+            {
+                "o_year": pa.array([], pa.int64()),
+                "num_c4": pa.array([], pa.int64()),
+                "den_c4": pa.array([], pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        if okey_lut is not None:
+            ok, oy = ray.get(okey_lut) if isinstance(okey_lut, ray.ObjectRef) else okey_lut
+            if len(ok) == 0:
+                return empty
+            okey = np.asarray(b["l_orderkey"], dtype=np.int64)
+            pos = np.clip(np.searchsorted(ok, okey), 0, len(ok) - 1)
+            keep = ok[pos] == okey
+            year = oy[pos]
+        else:
+            keep = np.ones(b.num_rows, dtype=bool)
+            year = np.asarray(b["o_year"], dtype=np.int64)
+        if not keep.any():
+            return empty
+        sks, sns = ray.get(supp_ref)
+        skey = np.asarray(b["l_suppkey"], dtype=np.int64)
+        sp = np.clip(np.searchsorted(sks, skey), 0, len(sks) - 1)
+        is_target = (sks[sp] == skey) & (sns[sp] == target_nkey)
+        cents = np.asarray(_cents(b["l_extendedprice"]), dtype=np.int64)
+        disc = np.asarray(_cents(b["l_discount"]), dtype=np.int64)
+        rev = cents * (100 - disc)
+        sub = pa.table(
+            {
+                "o_year": pa.array(year[keep]),
+                "num_c4": pa.array(np.where(is_target[keep], rev[keep], 0)),
+                "den_c4": pa.array(rev[keep]),
+            }
+        )
+        return (
+            sub.group_by("o_year")
+            .aggregate([("num_c4", "sum"), ("den_c4", "sum")])
+            .rename_columns(["o_year", "num_c4", "den_c4"])
+        )
+
+    li_cols = ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    if n_orders_f <= _SEMI_BROADCAST_LIMIT:
+        odf = orders_f.to_pandas()
+        ok = odf["o_orderkey"].to_numpy(dtype=np.int64)
+        o = np.argsort(ok)
+        okey_ref = ray.put((ok[o], odf["o_year"].to_numpy(dtype=np.int64)[o]))
+        partials = _t(sf_dir, "lineitem", li_cols).map_batches(
+            lambda b: rev_partial(b, okey_ref), batch_format="pyarrow"
+        )
+    else:
+        n_parts = clamped_partitions(n_orders_f, max(8, int(ray.cluster_resources().get("CPU", 8))))
+        joined = _t(sf_dir, "lineitem", li_cols).join(
+            orders_f,
+            join_type="inner",
+            num_partitions=n_parts,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+        partials = joined.map_batches(lambda b: rev_partial(b, None), batch_format="pyarrow")
+
+    agg = partials.groupby("o_year").aggregate(
+        Sum("num_c4", alias_name="num"), Sum("den_c4", alias_name="den")
+    )
+    adf = agg.to_pandas()
+    if adf.empty:
+        return pa.table(
+            {
+                "o_year": pa.array([], pa.int64()),
+                "mkt_share": pa.array([], pa.float64()),
+                "nation_revenue": pa.array([], pa.float64()),
+                "total_revenue": pa.array([], pa.float64()),
+            }
+        )
+    num = adf["num"].astype("int64").to_numpy()
+    den = adf["den"].astype("int64").to_numpy()
+    share = [float(int((100.0 * n_) / d_ * 10000 + 0.5)) / 10000.0 for n_, d_ in zip(num, den)]
+    return pa.table(
+        {
+            "o_year": pa.array(adf["o_year"].astype("int64").to_numpy(), pa.int64()),
+            "mkt_share": pa.array(share, pa.float64()),
+            "nation_revenue": pa.array(num / 10000.0, pa.float64()),
+            "total_revenue": pa.array(den / 10000.0, pa.float64()),
+        }
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -5379,6 +5878,12 @@ QUERIES = {
     "events_value_cume_dist": events_value_cume_dist,
     "users_click_no_purchase": users_click_no_purchase,
     "docs_epoch_shuffle": docs_epoch_shuffle,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q8_market_share": q8_market_share,
 }
 
 
@@ -7818,6 +8323,99 @@ def _emb_semantic_dedup_sql(threshold: float) -> str:
 
 ORACLE_SQL["emb_near_dup"] = _emb_near_dup_sql()
 ORACLE_SQL["emb_semantic_dedup"] = _emb_semantic_dedup_sql(0.3)
+
+ORACLE_SQL["q13_customer_distribution"] = """
+    WITH oc AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+        FROM orders WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, COALESCE(n, 0) AS c_count
+        FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+    )
+    GROUP BY c_count
+"""
+
+ORACLE_SQL["q15_top_supplier"] = """
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_c4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, rev_c4 / 10000.0 AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE rev_c4 = (SELECT max(rev_c4) FROM rev)
+"""
+
+ORACLE_SQL["q17_small_quantity_revenue"] = """
+    WITH pl AS (
+        SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#13'
+    ), st AS (
+        SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS s
+        FROM pl GROUP BY l_partkey
+    )
+    SELECT CAST(sum(cents) AS BIGINT) / 700.0 AS avg_yearly
+    FROM pl JOIN st ON l_partkey = k
+    WHERE 10 * q * n < 2 * s
+"""
+
+ORACLE_SQL["q18_large_volume_customers"] = """
+    WITH tq AS (
+        SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING total_qty > 280
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_totalprice, total_qty
+    FROM tq JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+"""
+
+ORACLE_SQL["q19_disjunctive_revenue"] = """
+    WITH f AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c4
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    )
+    SELECT CAST(sum(rev_c4) AS BIGINT) / 10000.0 AS revenue FROM f
+"""
+
+ORACLE_SQL["q8_market_share"] = """
+    WITH j AS (
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c4,
+               sn.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'AFRICA'
+          AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+    ), s AS (
+        SELECT o_year,
+               CAST(sum(CASE WHEN supp_nation = 'NATION_18' THEN rev_c4 ELSE 0 END) AS BIGINT) AS num,
+               CAST(sum(rev_c4) AS BIGINT) AS den
+        FROM j GROUP BY o_year
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           CAST(round((100.0 * num) / den * 10000) AS BIGINT) / 10000.0 AS mkt_share,
+           num / 10000.0 AS nation_revenue,
+           den / 10000.0 AS total_revenue
+    FROM s
+"""
 
 # The jsonl_mentions oracle reads the fixture path directly — make sure the
 # fixture exists as soon as this module is imported (the driver may run the
