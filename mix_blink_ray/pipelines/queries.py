@@ -5732,6 +5732,165 @@ def q8_market_share(sf_dir: str):
     )
 
 
+def events_mad_outliers(sf_dir: str):
+    """Robust anomaly gate (the |x − median| > 3·MAD outlier rule — the
+    quality-filter staple that survives heavy tails where z-scores don't).
+    Reuses the two bounded cell-histogram passes of ``events_value_mad``
+    (shuffle ∝ distinct cents cells, never rows) and then needs NO third
+    pass: the deviation histogram already carries every |cents − median|
+    count, so the outlier count per type is a driver-side sum over the
+    bounded cell table.  Everything integer — strict ``> 3·MAD`` in cents
+    can never be flipped by float roundoff on either side."""
+    import ray
+
+    from ..stages.quantiles import grouped_cell_histogram
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def disc_median(hist: pa.Table) -> dict:
+        groups = hist["event_type"].to_numpy(zero_copy_only=False)
+        cells = np.asarray(hist["cell"], dtype=np.int64)
+        ns = np.asarray(hist["n"], dtype=np.int64)
+        med = {}
+        for g in sorted(set(groups)):
+            m = groups == g
+            order = np.argsort(cells[m], kind="stable")
+            gc, gn = cells[m][order], ns[m][order]
+            cum = np.cumsum(gn)
+            rank = int(np.ceil(cum[-1] * 0.5))
+            med[g] = int(gc[int(np.searchsorted(cum, max(rank, 1)))])
+        return med
+
+    med = disc_median(grouped_cell_histogram(ds, "event_type", "value", scale=100.0))
+    med_ref = ray.put(med)
+
+    def dev_partial(b: pa.Table) -> pa.Table:
+        mm = ray.get(med_ref)
+        g = b["event_type"].to_numpy(zero_copy_only=False)
+        cents = np.asarray(_cents(b["value"]), dtype=np.int64)
+        gm = np.array([mm[x] for x in g], dtype=np.int64)
+        dev = np.abs(cents - gm)
+        ug, ginv = np.unique(g, return_inverse=True)
+        out_g, out_c, out_n = [], [], []
+        for i, gg in enumerate(ug):
+            dv = dev[ginv == i]
+            uc, cnt = np.unique(dv, return_counts=True)
+            out_g.append(np.full(len(uc), gg, dtype=object))
+            out_c.append(uc)
+            out_n.append(cnt.astype(np.int64))
+        return pa.table(
+            {
+                "event_type": pa.array(np.concatenate(out_g)),
+                "cell": pa.array(np.concatenate(out_c)),
+                "n_partial": pa.array(np.concatenate(out_n)),
+            }
+        )
+
+    hist2 = pa.Table.from_pandas(
+        (
+            ds.map_batches(dev_partial, batch_format="pyarrow")
+            .groupby(["event_type", "cell"])
+            .aggregate(Sum("n_partial", alias_name="n"))
+        ).to_pandas(),
+        preserve_index=False,
+    )
+    mad = disc_median(hist2)
+    groups = hist2["event_type"].to_numpy(zero_copy_only=False)
+    cells = np.asarray(hist2["cell"], dtype=np.int64)
+    ns = np.asarray(hist2["n"], dtype=np.int64)
+    gs = sorted(mad)
+    n_tot = [int(ns[groups == g].sum()) for g in gs]
+    n_out = [int(ns[(groups == g) & (cells > 3 * mad[g])].sum()) for g in gs]
+    return pa.table(
+        {
+            "event_type": pa.array(gs, pa.string()),
+            "n": pa.array(n_tot, pa.int64()),
+            "n_outliers": pa.array(n_out, pa.int64()),
+        }
+    )
+
+
+def events_user_rfm(sf_dir: str):
+    """RFM segmentation (recency / frequency / monetary quartiles — the
+    classic behavioral-scoring operator).  One groupby contracts the
+    stream to the per-user (max-ts, count, sum-cents) table; each of the
+    three NTILE(4) assignments is ONE range sort of that users-sized
+    table + the two-phase prefix scan (``stages/scan.py``) for the exact
+    1-based global rank — NTILE's rank arithmetic (first ``n mod 4``
+    tiles get ``⌈n/4⌉``) then replays identically on both sides, with
+    ``user_id`` as the deterministic tie-break so distributed and SQL
+    ranks can never diverge on ties.  Tiles re-attach by two partitioned
+    user-keyed joins; nothing row-scale ever reaches the driver."""
+    from ..stages.clustering import cpu_scaled_partitions
+    from ..stages.scan import prefix_scan
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        sub = pa.table(
+            {
+                "user_id": b["user_id"],
+                "rec_us": pc.cast(b["ts"], pa.int64()),
+                "freq": pa.array(np.ones(b.num_rows, np.int64)),
+                "mon_c": _cents(b["value"]),
+            }
+        )
+        return (
+            sub.group_by("user_id")
+            .aggregate([("rec_us", "max"), ("freq", "sum"), ("mon_c", "sum")])
+            .rename_columns(["user_id", "rec_us", "freq", "mon_c"])
+        )
+
+    users = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Max("rec_us", alias_name="rec_us"),
+            Sum("freq", alias_name="freq"),
+            Sum("mon_c", alias_name="mon_c"),
+        )
+    ).materialize()
+    n = users.count()
+    base, rem = n // 4, n % 4
+
+    def tile_of(rank: np.ndarray) -> np.ndarray:
+        # NTILE(4): the first `rem` tiles hold base+1 rows, the rest base.
+        big = rem * (base + 1)
+        in_big = rank <= big
+        t = np.empty(len(rank), dtype=np.int64)
+        if base + 1 > 0:
+            t[in_big] = (rank[in_big] - 1) // (base + 1) + 1
+        if base > 0:
+            t[~in_big] = rem + (rank[~in_big] - big - 1) // base + 1
+        return t
+
+    def tiles_for(metric: str, out_col: str):
+        ranked = prefix_scan(
+            users.select_columns(["user_id", metric]),
+            [metric, "user_id"],
+            metric,
+            out_col="_cum",
+            row_col="_rn",
+        )
+        return ranked.map_batches(
+            lambda b: pa.table(
+                {
+                    "user_id": b["user_id"],
+                    out_col: pa.array(tile_of(np.asarray(b["_rn"], dtype=np.int64)), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    np_ = cpu_scaled_partitions(n)
+    out = (
+        tiles_for("rec_us", "r_tile")
+        .join(tiles_for("freq", "f_tile"), join_type="inner", num_partitions=np_, on=("user_id",))
+        .join(tiles_for("mon_c", "m_tile"), join_type="inner", num_partitions=np_, on=("user_id",))
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -5884,6 +6043,8 @@ QUERIES = {
     "q18_large_volume_customers": q18_large_volume_customers,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q8_market_share": q8_market_share,
+    "events_mad_outliers": events_mad_outliers,
+    "events_user_rfm": events_user_rfm,
 }
 
 
@@ -8387,6 +8548,41 @@ ORACLE_SQL["q19_disjunctive_revenue"] = """
            OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
     )
     SELECT CAST(sum(rev_c4) AS BIGINT) / 10000.0 AS revenue FROM f
+"""
+
+ORACLE_SQL["events_mad_outliers"] = """
+    WITH cells AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cell FROM events
+    ), med AS (
+        SELECT event_type, quantile_disc(cell, 0.5) AS m
+        FROM cells GROUP BY event_type
+    ), mad AS (
+        SELECT c.event_type, quantile_disc(abs(c.cell - med.m), 0.5) AS d
+        FROM cells c JOIN med ON c.event_type = med.event_type
+        GROUP BY c.event_type
+    )
+    SELECT c.event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN abs(c.cell - med.m) > 3 * mad.d THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+    FROM cells c
+    JOIN med ON c.event_type = med.event_type
+    JOIN mad ON c.event_type = mad.event_type
+    GROUP BY c.event_type
+"""
+
+ORACLE_SQL["events_user_rfm"] = """
+    WITH u AS (
+        SELECT user_id,
+               CAST(max(epoch_us(ts)) AS BIGINT) AS rec_us,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mon_c
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(NTILE(4) OVER (ORDER BY rec_us, user_id) AS BIGINT) AS r_tile,
+           CAST(NTILE(4) OVER (ORDER BY freq, user_id) AS BIGINT) AS f_tile,
+           CAST(NTILE(4) OVER (ORDER BY mon_c, user_id) AS BIGINT) AS m_tile
+    FROM u
 """
 
 ORACLE_SQL["q8_market_share"] = """
