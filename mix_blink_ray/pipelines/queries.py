@@ -5891,6 +5891,91 @@ def events_user_rfm(sf_dir: str):
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def events_dau_wau_stickiness(sf_dir: str):
+    """Exact DAU / rolling-7-day-WAU stickiness per day — the engagement
+    metric whose sliding COUNT(DISTINCT) normally forces either an
+    approximate sketch or a window × pairs self-join.  Here it is EXACT in
+    one bucketed-run exchange: batches contract to distinct (user, day)
+    pairs map-side, ``grouped_ordered_runs`` sorts each user's days once,
+    and a user's contribution to every 7-day window collapses to merged
+    interval DELTAS (+1 at interval start, −1 at merged-end + 7; days ≤ 6
+    apart fuse because their [a, a+6] covers overlap) — so the shuffle
+    carries (user, day) pairs, the driver sees only per-bucket (day, dau,
+    Δwau) cells bounded by the day span, and WAU(d) is one cumulative sum.
+    Stickiness is integer permille (``dau·1000 // wau``) — floor division
+    on both sides, never a float ratio."""
+    from ..stages.windows import grouped_ordered_runs
+
+    day_us = 86_400_000_000
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs_partial(b: pa.Table) -> pa.Table:
+        u = np.asarray(b["user_id"], dtype=np.int64)
+        d = np.asarray(b["ts"].cast(pa.int64()), dtype=np.int64) // day_us
+        uniq = np.unique(np.stack([u, d], axis=1), axis=0)
+        return pa.table(
+            {"user_id": pa.array(uniq[:, 0], pa.int64()), "day_idx": pa.array(uniq[:, 1], pa.int64())}
+        )
+
+    def kernel(g: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        empty = pa.table(
+            {
+                "day_idx": pa.array([], pa.int64()),
+                "dau_n": pa.array([], pa.int64()),
+                "wau_delta": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        u = np.asarray(g["user_id"], dtype=np.int64)
+        d = np.asarray(g["day_idx"], dtype=np.int64)
+        # cross-batch dedup: the bucket arrives sorted by (user, day)
+        first = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
+        u, d = u[first], d[first]
+        # merged-interval boundaries: new user OR day gap > 6
+        new_run = np.r_[True, (u[1:] != u[:-1]) | (d[1:] - d[:-1] > 6)]
+        s_idx = np.flatnonzero(new_run)
+        e_idx = np.r_[s_idx[1:], len(d)] - 1
+        # per-bucket contraction of both cell kinds
+        dau_days, dau_n = np.unique(d, return_counts=True)
+        delta_days = np.concatenate([d[s_idx], d[e_idx] + 7])
+        delta_vals = np.concatenate(
+            [np.ones(len(s_idx), np.int64), np.full(len(e_idx), -1, np.int64)]
+        )
+        ud, inv = np.unique(delta_days, return_inverse=True)
+        dsum = np.zeros(len(ud), np.int64)
+        np.add.at(dsum, inv, delta_vals)
+        return pa.table(
+            {
+                "day_idx": pa.array(np.concatenate([dau_days, ud]), pa.int64()),
+                "dau_n": pa.array(
+                    np.concatenate([dau_n.astype(np.int64), np.zeros(len(ud), np.int64)]), pa.int64()
+                ),
+                "wau_delta": pa.array(
+                    np.concatenate([np.zeros(len(dau_days), np.int64), dsum]), pa.int64()
+                ),
+            }
+        )
+
+    pairs = ds.map_batches(pairs_partial, batch_format="pyarrow")
+    cells = grouped_ordered_runs(pairs, "user_id", ("day_idx",), kernel).to_pandas()
+    days = np.sort(cells.loc[cells["dau_n"] > 0, "day_idx"].unique())
+    dau = cells.groupby("day_idx")["dau_n"].sum()
+    deltas = cells.groupby("day_idx")["wau_delta"].sum().sort_index()
+    cum_days = deltas.index.to_numpy(dtype=np.int64)
+    cum = deltas.to_numpy(dtype=np.int64).cumsum()
+    wau = cum[np.searchsorted(cum_days, days, side="right") - 1]
+    dau_v = dau.reindex(days).to_numpy(dtype=np.int64)
+    return pa.table(
+        {
+            "day_idx": pa.array(days, pa.int64()),
+            "dau": pa.array(dau_v, pa.int64()),
+            "wau": pa.array(wau, pa.int64()),
+            "stickiness_pm": pa.array(dau_v * 1000 // wau, pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -6045,6 +6130,7 @@ QUERIES = {
     "q8_market_share": q8_market_share,
     "events_mad_outliers": events_mad_outliers,
     "events_user_rfm": events_user_rfm,
+    "events_dau_wau_stickiness": events_dau_wau_stickiness,
 }
 
 
@@ -8548,6 +8634,23 @@ ORACLE_SQL["q19_disjunctive_revenue"] = """
            OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
     )
     SELECT CAST(sum(rev_c4) AS BIGINT) / 10000.0 AS revenue FROM f
+"""
+
+ORACLE_SQL["events_dau_wau_stickiness"] = """
+    WITH pairs AS (
+        SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx, user_id
+        FROM events
+    ), dau AS (
+        SELECT day_idx, CAST(count(*) AS BIGINT) AS dau FROM pairs GROUP BY day_idx
+    ), wau AS (
+        SELECT d.day_idx, CAST(count(DISTINCT p.user_id) AS BIGINT) AS wau
+        FROM (SELECT DISTINCT day_idx FROM pairs) d
+        JOIN pairs p ON p.day_idx BETWEEN d.day_idx - 6 AND d.day_idx
+        GROUP BY d.day_idx
+    )
+    SELECT dau.day_idx, dau.dau, wau.wau,
+           CAST(dau.dau * 1000 // wau.wau AS BIGINT) AS stickiness_pm
+    FROM dau JOIN wau ON dau.day_idx = wau.day_idx
 """
 
 ORACLE_SQL["events_mad_outliers"] = """

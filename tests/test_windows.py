@@ -225,3 +225,47 @@ def test_distinct_types_running_matches_reference(tmp_path):
     assert (out["distinct_types"].to_numpy() == expect.to_numpy()).all()
     firsts = df.groupby("user_id").head(1)["distinct_types"]
     assert (firsts == 1).all()
+
+
+def test_dau_wau_interval_merge_boundaries(tmp_path):
+    """Gap of exactly 6 days fuses one WAU coverage interval; 7 splits it.
+    Brute-force reference over a constructed + fuzzed (user, day) set."""
+    import pyarrow.parquet as pq
+
+    from mix_blink_ray.pipelines.queries import events_dau_wau_stickiness
+
+    day_us = 86_400_000_000
+    rng = np.random.default_rng(11)
+    # constructed edges: u1 gap 6 (fuse) then gap 14 (split); u2 gap 7
+    # (split); u3 singleton; duplicates within (user, day) must dedup.
+    pairs = [(1, 0), (1, 6), (1, 20), (2, 0), (2, 7), (3, 3), (3, 3)]
+    # fuzz: 40 users × random day subsets of 0..29
+    for u in range(10, 50):
+        for d in np.unique(rng.integers(0, 30, rng.integers(1, 9))):
+            pairs.append((u, int(d)))
+    users = np.array([p[0] for p in pairs], np.int64)
+    days = np.array([p[1] for p in pairs], np.int64)
+    n = len(pairs)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(days * day_us + rng.integers(0, day_us, n), pa.timestamp("us")),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array(rng.random(n)),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = events_dau_wau_stickiness(str(tmp_path)).to_pandas().set_index("day_idx")
+
+    uniq = sorted(set(pairs))
+    active_days = sorted({d for _, d in uniq})
+    for d in active_days:
+        dau = sum(1 for (_, dd) in uniq if dd == d)
+        wau_users = {u for (u, dd) in uniq if d - 6 <= dd <= d}
+        row = out.loc[d]
+        assert row["dau"] == dau, d
+        assert row["wau"] == len(wau_users), d
+        assert row["stickiness_pm"] == dau * 1000 // len(wau_users), d
+    assert set(out.index) == set(active_days)
