@@ -5976,6 +5976,152 @@ def events_dau_wau_stickiness(sf_dir: str):
     )
 
 
+def events_weekly_churn(sf_dir: str):
+    """Weekly churn / retention cohorts — the subscription-analytics staple
+    (active users per week, how many are NEW vs returning, how many CHURN
+    before the next week).  The naive form is two self-joins of the
+    user-week table against itself at lag ±1; here it is ONE bucketed-run
+    exchange: batches contract to distinct (user, week) pairs map-side,
+    ``grouped_ordered_runs`` sorts each user's weeks once, and both lag
+    comparisons collapse to vectorized neighbor compares inside the run
+    (``new`` ⇔ no row at week−1, ``retained`` ⇔ a row at week+1).  Buckets
+    emit (week, active, retained, new) cells bounded by the week span, so
+    the driver consolidates counters, never rows.  ``churn_pm`` is integer
+    permille by floor division on both sides.  The global last week retains
+    nobody by construction (LEAD semantics — there is no week+1 yet)."""
+    from ..stages.windows import grouped_ordered_runs
+
+    week_us = 604_800_000_000
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs_partial(b: pa.Table) -> pa.Table:
+        u = np.asarray(b["user_id"], dtype=np.int64)
+        w = np.asarray(b["ts"].cast(pa.int64()), dtype=np.int64) // week_us
+        uniq = np.unique(np.stack([u, w], axis=1), axis=0)
+        return pa.table(
+            {"user_id": pa.array(uniq[:, 0], pa.int64()), "week_idx": pa.array(uniq[:, 1], pa.int64())}
+        )
+
+    def kernel(g: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        empty = pa.table(
+            {
+                "week_idx": pa.array([], pa.int64()),
+                "active_n": pa.array([], pa.int64()),
+                "retained_n": pa.array([], pa.int64()),
+                "new_n": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        u = np.asarray(g["user_id"], dtype=np.int64)
+        w = np.asarray(g["week_idx"], dtype=np.int64)
+        # cross-batch dedup: the bucket arrives sorted by (user, week)
+        first = np.r_[True, (u[1:] != u[:-1]) | (w[1:] != w[:-1])]
+        u, w = u[first], w[first]
+        # lag/lead by one vectorized shift each: a row is NEW unless the
+        # previous row is the same user at week−1; it is RETAINED iff the
+        # next row is the same user at week+1.
+        new = np.r_[True, (u[1:] != u[:-1]) | (w[1:] != w[:-1] + 1)]
+        retained = np.r_[(u[1:] == u[:-1]) & (w[1:] == w[:-1] + 1), False]
+        uw, inv = np.unique(w, return_inverse=True)
+        active = np.zeros(len(uw), np.int64)
+        ret_n = np.zeros(len(uw), np.int64)
+        new_n = np.zeros(len(uw), np.int64)
+        np.add.at(active, inv, 1)
+        np.add.at(ret_n, inv, retained.astype(np.int64))
+        np.add.at(new_n, inv, new.astype(np.int64))
+        return pa.table(
+            {
+                "week_idx": pa.array(uw, pa.int64()),
+                "active_n": pa.array(active, pa.int64()),
+                "retained_n": pa.array(ret_n, pa.int64()),
+                "new_n": pa.array(new_n, pa.int64()),
+            }
+        )
+
+    pairs = ds.map_batches(pairs_partial, batch_format="pyarrow")
+    cells = grouped_ordered_runs(pairs, "user_id", ("week_idx",), kernel).to_pandas()
+    agg = cells.groupby("week_idx")[["active_n", "retained_n", "new_n"]].sum().sort_index()
+    active = agg["active_n"].to_numpy(dtype=np.int64)
+    retained = agg["retained_n"].to_numpy(dtype=np.int64)
+    new_u = agg["new_n"].to_numpy(dtype=np.int64)
+    churned = active - retained
+    return pa.table(
+        {
+            "week_idx": pa.array(agg.index.to_numpy(dtype=np.int64), pa.int64()),
+            "active": pa.array(active, pa.int64()),
+            "new_users": pa.array(new_u, pa.int64()),
+            "retained_next": pa.array(retained, pa.int64()),
+            "churned_next": pa.array(churned, pa.int64()),
+            "churn_pm": pa.array(churned * 1000 // active, pa.int64()),
+        }
+    )
+
+
+def orders_revenue_pareto(sf_dir: str):
+    """Pareto 80/20 revenue concentration — the smallest top-spender set
+    whose cumulative revenue reaches 80% of the total (the "how few
+    customers pay for everything" audit).  Per-customer cents contract
+    map-side then in one groupby (shuffle ∝ customers, not orders); the
+    global descending rank + running total is the existing two-phase
+    prefix scan (``stages/scan.py`` — exact int64, association-free, so
+    the window-SQL replay is bit-identical); the 80% threshold row is a
+    filter + min aggregate over the scanned table.  Only four scalars ever
+    reach the driver.  Ties break on ``o_custkey`` so distributed and SQL
+    ranks can never diverge; the permille share uses floor division on
+    both sides.  Raises (never wraps) if ``total × 1000`` would exceed
+    int64 — the oracle's BIGINT arithmetic fails loudly at the same point."""
+    from ..stages.scan import prefix_scan
+
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        sub = pa.table({"o_custkey": b["o_custkey"], "rev_c": _cents(b["o_totalprice"])})
+        return (
+            sub.group_by("o_custkey")
+            .aggregate([("rev_c", "sum")])
+            .rename_columns(["o_custkey", "rev_c"])
+        )
+
+    cust = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    )
+
+    def add_neg(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "neg_rev", pa.array(-np.asarray(b["rev_c"], dtype=np.int64), pa.int64())
+        )
+
+    scanned = prefix_scan(
+        cust.map_batches(add_neg, batch_format="pyarrow"),
+        ["neg_rev", "o_custkey"],
+        "rev_c",
+        out_col="_cum",
+        row_col="_rn",
+    ).materialize()
+    tot = scanned.aggregate(Max("_cum"), Max("_rn"))
+    total, n = int(tot["max(_cum)"]), int(tot["max(_rn)"])
+    if total * 1000 >= 2**63:
+        raise ValueError("orders_revenue_pareto: total × 1000 exceeds int64")
+    thresh = 4 * total  # cum·5 ≥ total·4 ⇔ share ≥ 80%, exact in int64
+    hit = scanned.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(pc.multiply_checked(b["_cum"], pa.scalar(5, pa.int64())), thresh)
+        ),
+        batch_format="pyarrow",
+    ).aggregate(Min("_rn"), Min("_cum"))
+    top_n, cum80 = int(hit["min(_rn)"]), int(hit["min(_cum)"])
+    return pa.table(
+        {
+            "total_customers": pa.array([n], pa.int64()),
+            "top_n_80": pa.array([top_n], pa.int64()),
+            "top_share_pm": pa.array([cum80 * 1000 // total], pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -6131,6 +6277,8 @@ QUERIES = {
     "events_mad_outliers": events_mad_outliers,
     "events_user_rfm": events_user_rfm,
     "events_dau_wau_stickiness": events_dau_wau_stickiness,
+    "events_weekly_churn": events_weekly_churn,
+    "orders_revenue_pareto": orders_revenue_pareto,
 }
 
 
@@ -8686,6 +8834,50 @@ ORACLE_SQL["events_user_rfm"] = """
            CAST(NTILE(4) OVER (ORDER BY freq, user_id) AS BIGINT) AS f_tile,
            CAST(NTILE(4) OVER (ORDER BY mon_c, user_id) AS BIGINT) AS m_tile
     FROM u
+"""
+
+ORACLE_SQL["events_weekly_churn"] = """
+    WITH pairs AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week_idx
+        FROM events
+    ), w AS (
+        SELECT user_id, week_idx,
+               LAG(week_idx)  OVER (PARTITION BY user_id ORDER BY week_idx) AS prv,
+               LEAD(week_idx) OVER (PARTITION BY user_id ORDER BY week_idx) AS nxt
+        FROM pairs
+    )
+    SELECT week_idx,
+           CAST(count(*) AS BIGINT) AS active,
+           CAST(sum(CASE WHEN prv = week_idx - 1 THEN 0 ELSE 1 END) AS BIGINT) AS new_users,
+           CAST(sum(CASE WHEN nxt = week_idx + 1 THEN 1 ELSE 0 END) AS BIGINT) AS retained_next,
+           CAST(count(*) - sum(CASE WHEN nxt = week_idx + 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS churned_next,
+           CAST((count(*) - sum(CASE WHEN nxt = week_idx + 1 THEN 1 ELSE 0 END)) * 1000
+                // count(*) AS BIGINT) AS churn_pm
+    FROM w GROUP BY week_idx
+"""
+
+ORACLE_SQL["orders_revenue_pareto"] = """
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        FROM orders GROUP BY o_custkey
+    ), tot AS (
+        SELECT CAST(sum(rev_c) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS n FROM cust
+    ), ranked AS (
+        SELECT CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, o_custkey
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               ROW_NUMBER() OVER (ORDER BY rev_c DESC, o_custkey) AS rn
+        FROM cust
+    ), hit AS (
+        SELECT CAST(min(rn) AS BIGINT) AS top_n, CAST(min(cum) AS BIGINT) AS cum80
+        FROM ranked, tot WHERE cum * 5 >= t * 4
+    )
+    SELECT tot.n AS total_customers,
+           hit.top_n AS top_n_80,
+           CAST(hit.cum80 * 1000 // tot.t AS BIGINT) AS top_share_pm
+    FROM tot, hit
 """
 
 ORACLE_SQL["q8_market_share"] = """

@@ -107,3 +107,30 @@ def test_bigram_counts_respect_row_boundaries():
         tk = t.split()
         want.update(" ".join(tk[i : i + 2]) for i in range(len(tk) - 1))
     assert dict(zip(out.bigram, out.n)) == dict(want)
+
+
+def test_revenue_pareto_hand_computed(tmp_path):
+    """Hand-computed 80% threshold: revenues 50,30,10,10 (cents 5000...) —
+    top-1 cum=50 <80, top-2 cum=80 >=80 exactly at the boundary (cum*5 ==
+    total*4), so top_n_80=2 and share 800 permille; per-customer sums
+    contract multi-order customers first."""
+    import pyarrow.parquet as pq
+
+    from mix_blink_ray.pipelines.queries import orders_revenue_pareto
+
+    # customer 1: 30+20=50; customer 2: 30; customer 3: 10; customer 4: 10
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "o_custkey": pa.array([1, 1, 2, 3, 4], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 5),
+            "o_totalprice": pa.array([30.0, 20.0, 30.0, 10.0, 10.0]),
+            "o_orderdate": pa.array([np.datetime64("1995-01-01", "us")] * 5),
+            "o_orderpriority": pa.array(["1-URGENT"] * 5),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "orders.parquet")
+    out = orders_revenue_pareto(str(tmp_path)).to_pandas()
+    assert out.loc[0, "total_customers"] == 4
+    assert out.loc[0, "top_n_80"] == 2
+    assert out.loc[0, "top_share_pm"] == 800

@@ -269,3 +269,51 @@ def test_dau_wau_interval_merge_boundaries(tmp_path):
         assert row["wau"] == len(wau_users), d
         assert row["stickiness_pm"] == dau * 1000 // len(wau_users), d
     assert set(out.index) == set(active_days)
+
+
+def test_weekly_churn_gap_boundaries(tmp_path):
+    """A 1-week gap churns the user then re-counts them as NEW; consecutive
+    weeks retain; duplicates within (user, week) dedup.  Brute-force LAG/LEAD
+    reference over a constructed + fuzzed (user, week) set."""
+    import pyarrow.parquet as pq
+
+    from mix_blink_ray.pipelines.queries import events_weekly_churn
+
+    week_us = 604_800_000_000
+    rng = np.random.default_rng(23)
+    # constructed edges: u1 consecutive (retained) then gap 2 (churn + new
+    # again); u2 singleton; u3 duplicate rows in one week must dedup.
+    pairs = [(1, 0), (1, 1), (1, 3), (2, 2), (3, 1), (3, 1)]
+    for u in range(10, 40):
+        for w in np.unique(rng.integers(0, 8, rng.integers(1, 6))):
+            pairs.append((u, int(w)))
+    users = np.array([p[0] for p in pairs], np.int64)
+    weeks = np.array([p[1] for p in pairs], np.int64)
+    n = len(pairs)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(weeks * week_us + rng.integers(0, week_us, n), pa.timestamp("us")),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array(rng.random(n)),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = events_weekly_churn(str(tmp_path)).to_pandas().set_index("week_idx")
+
+    uniq = sorted(set(pairs))
+    uniq_set = set(uniq)
+    active_weeks = sorted({w for _, w in uniq})
+    for w in active_weeks:
+        active = sum(1 for (_, ww) in uniq if ww == w)
+        new = sum(1 for (u, ww) in uniq if ww == w and (u, w - 1) not in uniq_set)
+        ret = sum(1 for (u, ww) in uniq if ww == w and (u, w + 1) in uniq_set)
+        row = out.loc[w]
+        assert row["active"] == active, w
+        assert row["new_users"] == new, w
+        assert row["retained_next"] == ret, w
+        assert row["churned_next"] == active - ret, w
+        assert row["churn_pm"] == (active - ret) * 1000 // active, w
+    assert set(out.index) == set(active_weeks)
