@@ -6122,6 +6122,116 @@ def orders_revenue_pareto(sf_dir: str):
     )
 
 
+def q22_sales_opportunity(sf_dir: str):
+    """TPC-H q22 topology (global-sales-opportunity): customers whose balance
+    is STRICTLY above the positive-balance average and who never placed a
+    HIGH-VALUE order (>300k — "never ordered at all" is vacuous here, every
+    customer orders), counted per country — the scalar-subquery broadcast +
+    NOT-EXISTS
+    anti-join shape that completes the repo's TPC-H sweep (q2/q9/q11/q16/q20
+    need the absent ``partsupp`` table; q12/q21 need ship-mode/commit-date
+    columns the testdata lacks; here the country code is ``c_nationkey``
+    because ``c_phone`` is likewise absent — topology preserved, documented
+    deviation).  The average gate is EXACT without a float division:
+    ``bal > avg ⟺ bal_c · n > total_c`` in int64 (guarded multiply — the
+    oracle's BIGINT product fails loudly at the same point); the scalar
+    subquery is two driver scalars, never a row; the anti-join reuses the
+    broadcast-set / partitioned-left-outer duality every keyed attach in
+    this engine uses (reference join semantics: mix_blink/data.py gold
+    removal)."""
+    import ray
+
+    from ..stages.clustering import clamped_partitions
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def with_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+                "bal_c": _cents(b["c_acctbal"]),
+            }
+        )
+
+    cents = cust.map_batches(with_cents, batch_format="pyarrow").materialize()
+    pos = cents.map_batches(
+        lambda b: b.filter(pc.greater(b["bal_c"], pa.scalar(0, pa.int64()))),
+        batch_format="pyarrow",
+    )
+    agg = pos.aggregate(Sum("bal_c"), Count())
+    tot, n = int(agg["sum(bal_c)"]), int(agg["count()"])
+    ext = cents.aggregate(Max("bal_c"), Min("bal_c"))
+    if max(abs(int(ext["max(bal_c)"])), abs(int(ext["min(bal_c)"]))) * n >= 2**63:
+        raise ValueError("q22_sales_opportunity: bal_c × n exceeds int64")
+    rich = cents.map_batches(
+        lambda b: b.filter(
+            pc.greater(pc.multiply_checked(b["bal_c"], pa.scalar(n, pa.int64())), tot)
+        ),
+        batch_format="pyarrow",
+    )
+    # "never ordered" is vacuous in this data (every customer orders), so the
+    # NOT-EXISTS side is the HIGH-VALUE order set (>300k) — same shape as
+    # customers_without_orders, non-trivial result.
+    okeys = (
+        _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "o_custkey": pc.unique(
+                        b.filter(pc.greater(b["o_totalprice"], 300000.0))["o_custkey"]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_keys = okeys.count()
+    if n_keys <= _ANTI_BROADCAST_LIMIT:
+        keys_ref = ray.put(pa.array(sorted(set(okeys.to_pandas()["o_custkey"])), pa.int64()))
+
+        def anti(b: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+            return b.filter(pc.invert(pc.is_in(b["c_custkey"], value_set=ks)))
+
+        idle = rich.map_batches(anti, batch_format="pyarrow")
+    else:
+        marks = (
+            okeys.map_batches(
+                lambda b: pa.table(
+                    {"o_custkey": b["o_custkey"], "has_order": pa.array([True] * b.num_rows)}
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("o_custkey")
+            .aggregate(Count(alias_name="n_marks"))
+        )
+        idle = rich.join(
+            marks,
+            join_type="left_outer",
+            num_partitions=clamped_partitions(n_keys, 16),
+            on=("c_custkey",),
+            right_on=("o_custkey",),
+        ).map_batches(
+            lambda b: b.filter(pc.is_null(b["n_marks"])), batch_format="pyarrow"
+        )
+    out = (
+        idle.groupby("nationkey")
+        .aggregate(Count(alias_name="numcust"), Sum("bal_c", alias_name="bal_sum"))
+        .to_pandas()
+    )
+    if len(out) == 0:  # empty groupby loses its schema in Ray — rebuild it
+        out = out.reindex(columns=["nationkey", "numcust", "bal_sum"])
+    return pa.table(
+        {
+            "nationkey": pa.array(out["nationkey"].to_numpy(dtype=np.int64), pa.int64()),
+            "numcust": pa.array(out["numcust"].to_numpy(dtype=np.int64), pa.int64()),
+            "totacctbal": pa.array(out["bal_sum"].to_numpy(dtype=np.int64) / 100.0, pa.float64()),
+        }
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -6274,6 +6384,7 @@ QUERIES = {
     "q18_large_volume_customers": q18_large_volume_customers,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q8_market_share": q8_market_share,
+    "q22_sales_opportunity": q22_sales_opportunity,
     "events_mad_outliers": events_mad_outliers,
     "events_user_rfm": events_user_rfm,
     "events_dau_wau_stickiness": events_dau_wau_stickiness,
@@ -8878,6 +8989,25 @@ ORACLE_SQL["orders_revenue_pareto"] = """
            hit.top_n AS top_n_80,
            CAST(hit.cum80 * 1000 // tot.t AS BIGINT) AS top_share_pm
     FROM tot, hit
+"""
+
+ORACLE_SQL["q22_sales_opportunity"] = """
+    WITH bal AS (
+        SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        FROM customer
+    ), avgt AS (
+        SELECT CAST(sum(bal_c) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS n
+        FROM bal WHERE bal_c > 0
+    )
+    SELECT nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(bal_c) AS BIGINT) / 100.0 AS totacctbal
+    FROM bal, avgt
+    WHERE bal_c * n > tot
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = bal.c_custkey AND o_totalprice > 300000)
+    GROUP BY nationkey
 """
 
 ORACLE_SQL["q8_market_share"] = """

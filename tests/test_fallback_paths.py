@@ -324,3 +324,22 @@ def test_q5_partitioned_join_fallback_equals_broadcast(monkeypatch):
         base.sort_values("n_name").reset_index(drop=True),
         forced.sort_values("n_name").reset_index(drop=True),
     )
+
+
+def test_q22_anti_join_fallback_equals_broadcast(monkeypatch):
+    """Forcing _ANTI_BROADCAST_LIMIT=0 sends q22's NOT-EXISTS side through
+    the partitioned left-outer + null-filter path; identical result
+    (order-insensitive) to the broadcast key-set path."""
+    from mix_blink_ray.pipelines import queries as qmod
+
+    sf = "/root/testdata/sf0.001"
+
+    def norm(t):
+        return (
+            t.to_pandas().sort_values("nationkey").reset_index(drop=True)
+        )
+
+    a = norm(qmod.q22_sales_opportunity(sf))
+    monkeypatch.setattr(qmod, "_ANTI_BROADCAST_LIMIT", 0)
+    b = norm(qmod.q22_sales_opportunity(sf))
+    pd.testing.assert_frame_equal(a, b)
