@@ -6232,6 +6232,48 @@ def q22_sales_opportunity(sf_dir: str):
     )
 
 
+def events_type_overlap_kmv(sf_dir: str, k: int = 128):
+    """Audience-overlap estimates between every event-type pair via KMV /
+    theta bottom-k sketches (``stages.sketches.kmv_group_registers``) — the
+    set-OPERATION sketch HLL cannot provide: union AND intersection
+    cardinalities from fixed-size registers, with exact integer pair algebra
+    over ``theta' = min(theta_a, theta_b)``.  Per-batch bottom-k partials
+    bound the exchange at ``types × k`` rows per batch (row-count and
+    cardinality free); only ``types × k`` register rows reach the driver;
+    every estimate is ``cnt · 2**64 // theta`` in exact integers, so the
+    whole sketch — registers, thetas, all four estimates — replays
+    bit-for-bit in DuckDB HUGEINT SQL (``_build_kmv_oracle``)."""
+    from ..stages.sketches import kmv_estimate, kmv_group_registers
+
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+    regs = kmv_group_registers(ds, "event_type", "user_id", k=k)
+    types = sorted(regs)
+    rows = {"type_a": [], "type_b": [], "est_a": [], "est_b": [], "est_union": [], "est_inter": []}
+    for i, a in enumerate(types):
+        theta_a, ha = regs[a]
+        for b in types[i + 1 :]:
+            theta_b, hb = regs[b]
+            th = min(theta_a, theta_b)
+            sa = {h for h in ha if h < th}
+            sb = {h for h in hb if h < th}
+            rows["type_a"].append(a)
+            rows["type_b"].append(b)
+            rows["est_a"].append(kmv_estimate(len(ha), theta_a))
+            rows["est_b"].append(kmv_estimate(len(hb), theta_b))
+            rows["est_union"].append(kmv_estimate(len(sa | sb), th))
+            rows["est_inter"].append(kmv_estimate(len(sa & sb), th))
+    return pa.table(
+        {
+            "type_a": pa.array(rows["type_a"], pa.string()),
+            "type_b": pa.array(rows["type_b"], pa.string()),
+            "est_a": pa.array(rows["est_a"], pa.int64()),
+            "est_b": pa.array(rows["est_b"], pa.int64()),
+            "est_union": pa.array(rows["est_union"], pa.int64()),
+            "est_inter": pa.array(rows["est_inter"], pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -6390,6 +6432,7 @@ QUERIES = {
     "events_dau_wau_stickiness": events_dau_wau_stickiness,
     "events_weekly_churn": events_weekly_churn,
     "orders_revenue_pareto": orders_revenue_pareto,
+    "events_type_overlap_kmv": events_type_overlap_kmv,
 }
 
 
@@ -8387,6 +8430,95 @@ def _build_hll_sliding_oracle(p: int = 8) -> None:
 
 
 _build_hll_sliding_oracle()
+
+
+def _build_kmv_oracle(k: int = 128) -> None:
+    """Replay the KMV / theta set-operation sketch bit-exact in DuckDB.
+
+    Same splitmix64 HUGEINT chain as ``_build_hll_oracle`` over distinct
+    ``(event_type, user_id)``; theta is the k-th smallest DISTINCT hash per
+    type via ``row_number()`` (or 2**64 — a HUGEINT literal — when fewer
+    than k survive, the exact mode), registers every hash STRICTLY below
+    theta, pair algebra over ``theta' = least(theta_a, theta_b)`` with set
+    union / intersection as UNION-ALL-distinct / equi-join counts, and every
+    estimate the identical exact integer ``cnt * 2**64 // theta`` the engine
+    computes (``sketches.kmv_estimate``), so the hash matches bit for bit."""
+    m64 = "CAST(18446744073709551616 AS HUGEINT)"
+
+    def mulmod(col: str, c: int) -> str:
+        hi, lo = c >> 32, c & 0xFFFFFFFF
+        return (
+            f"(((({col} % 4294967296) * {hi}) % 4294967296) "
+            f"* 4294967296 + {col} * {lo}) % {m64}"
+        )
+
+    c1 = 0x9E3779B97F4A7C15
+    c2, c3 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    ORACLE_SQL["events_type_overlap_kmv"] = f"""
+        WITH v AS (
+            SELECT DISTINCT event_type,
+                   ((CAST(user_id AS HUGEINT) % {m64}) + {m64}) % {m64} AS uid
+            FROM events
+        ),
+        s1 AS (SELECT event_type, (uid + {c1}) % {m64} AS x FROM v),
+        s2 AS (SELECT event_type, {mulmod("xor(x, x >> 30)", c2)} AS x FROM s1),
+        s3 AS (SELECT event_type, {mulmod("xor(x, x >> 27)", c3)} AS x FROM s2),
+        hashed AS (SELECT DISTINCT event_type, xor(x, x >> 31) AS h FROM s3),
+        ranked AS (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM hashed
+        ),
+        theta AS (
+            SELECT event_type,
+                   CASE WHEN count(*) >= {k}
+                        THEN max(CASE WHEN rn = {k} THEN h END)
+                        ELSE {m64} END AS th
+            FROM ranked GROUP BY event_type
+        ),
+        regs AS (
+            SELECT r.event_type, r.h
+            FROM ranked r JOIN theta t ON r.event_type = t.event_type
+            WHERE r.h < t.th
+        ),
+        cnts AS (SELECT event_type, count(*) AS cnt FROM regs GROUP BY event_type),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   a.th AS tha, b.th AS thb,
+                   CASE WHEN a.th < b.th THEN a.th ELSE b.th END AS thm
+            FROM theta a JOIN theta b ON a.event_type < b.event_type
+        ),
+        sa AS (SELECT p.type_a, p.type_b, r.h
+               FROM pairs p JOIN regs r
+                 ON r.event_type = p.type_a AND r.h < p.thm),
+        sb AS (SELECT p.type_a, p.type_b, r.h
+               FROM pairs p JOIN regs r
+                 ON r.event_type = p.type_b AND r.h < p.thm),
+        uni AS (
+            SELECT type_a, type_b, count(DISTINCT h) AS cu
+            FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb) u
+            GROUP BY type_a, type_b
+        ),
+        intr AS (
+            SELECT sa.type_a, sa.type_b, count(*) AS ci
+            FROM sa JOIN sb
+              ON sa.type_a = sb.type_a AND sa.type_b = sb.type_b AND sa.h = sb.h
+            GROUP BY sa.type_a, sa.type_b
+        )
+        SELECT p.type_a, p.type_b,
+               CAST((ca.cnt * {m64}) // p.tha AS BIGINT) AS est_a,
+               CAST((cb.cnt * {m64}) // p.thb AS BIGINT) AS est_b,
+               CAST((coalesce(uni.cu, 0) * {m64}) // p.thm AS BIGINT) AS est_union,
+               CAST((coalesce(intr.ci, 0) * {m64}) // p.thm AS BIGINT) AS est_inter
+        FROM pairs p
+        JOIN cnts ca ON ca.event_type = p.type_a
+        JOIN cnts cb ON cb.event_type = p.type_b
+        LEFT JOIN uni  ON uni.type_a = p.type_a AND uni.type_b = p.type_b
+        LEFT JOIN intr ON intr.type_a = p.type_a AND intr.type_b = p.type_b
+    """
+
+
+_build_kmv_oracle()
 
 
 def _build_dd_quantile_oracle(sub_bits: int = 7) -> None:

@@ -37,6 +37,8 @@ __all__ = [
     "dd_estimate",
     "dd_group_registers",
     "dd_group_quantiles",
+    "kmv_group_registers",
+    "kmv_estimate",
 ]
 
 
@@ -537,3 +539,102 @@ def dd_group_quantiles(
             "m": pa.array(m),
         }
     )
+
+
+def _kmv_partial(b: pa.Table, group_col: str, value_col: str, k: int) -> pa.Table:
+    """Per-batch bottom-k partial: distinct (group, value) → splitmix64 →
+    the ≤ k smallest distinct hashes per group.  Emitted rows are bounded by
+    ``groups_in_batch × k`` regardless of batch size."""
+    groups = b[group_col].to_numpy(zero_copy_only=False)
+    h = splitmix64(np.asarray(b[value_col], dtype=np.int64).view(np.uint64))
+    out_g, out_h = [], []
+    for g in np.unique(groups):  # few groups per batch; inner ops vectorized
+        hu = np.unique(h[groups == g])  # sorted ascending
+        hu = hu[: min(k, len(hu))]
+        out_g.append(np.full(len(hu), g, dtype=object))
+        out_h.append(hu)
+    return pa.table(
+        {
+            group_col: pa.array(np.concatenate(out_g) if out_g else [], pa.string()),
+            "h": pa.array(
+                np.concatenate(out_h) if out_h else np.empty(0, np.uint64), pa.uint64()
+            ),
+        }
+    )
+
+
+def kmv_group_registers(
+    ds: Dataset, group_col: str, value_col: str, k: int = 128
+) -> dict:
+    """Per-group KMV / theta-sketch registers for SET-OPERATION cardinality
+    estimates (union / intersection of distinct-value sets — the audience-
+    overlap question HLL alone cannot answer without lossy inclusion-
+    exclusion at merge time).
+
+    Theta convention: if a group holds ≥ k distinct hashes, ``theta`` is the
+    k-th smallest and the register set is every hash STRICTLY below it
+    (k − 1 entries); otherwise ``theta = 2**64`` and the set is exact.  The
+    single estimator ``est = cnt · 2**64 // theta`` then covers both modes
+    (exact mode divides by 2**64 and returns the true count), and any pair
+    algebra is exact integer arithmetic over ``theta' = min(theta_a,
+    theta_b)`` — which is what makes the whole sketch replayable bit-for-bit
+    in DuckDB HUGEINT SQL (``_build_kmv_oracle`` in queries.py).
+
+    Distribution: per-batch partials keep ≤ ``groups × k`` rows (bottom-k
+    merge is a distributive aggregate — the k smallest of a union are among
+    the k smallest of each part), one ``groupby(group)`` merge, and only the
+    ``groups × k`` register rows ever reach the driver.  Shuffle volume is
+    row-count AND cardinality free.  Returns ``{group: (theta, sorted tuple
+    of retained hashes as Python ints)}``.  Relative error ≈ 1/sqrt(k−2).
+    """
+    if k < 2:
+        raise ValueError("kmv_group_registers: k must be ≥ 2")
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "h": pa.array([], pa.uint64()),
+                    "theta_lo": pa.array([], pa.int64()),
+                    "theta_hi": pa.array([], pa.int64()),
+                }
+            )
+        hu = np.unique(np.asarray(g["h"], dtype=np.uint64))
+        if len(hu) >= k:
+            theta = int(hu[k - 1])
+            hu = hu[: k - 1]
+        else:
+            theta = 1 << 64
+        n = len(hu)
+        return pa.table(
+            {
+                group_col: pa.array([g[group_col][0].as_py()] * n, pa.string()),
+                "h": pa.array(hu, pa.uint64()),
+                # 2**64 does not fit any Arrow integer: carry theta as
+                # (hi, lo) 32-bit halves and reassemble on the driver.
+                "theta_lo": pa.array(np.full(n, theta & 0xFFFFFFFF, np.int64)),
+                "theta_hi": pa.array(np.full(n, theta >> 32, np.int64)),
+            }
+        )
+
+    tbl = (
+        ds.map_batches(lambda b: _kmv_partial(b, group_col, value_col, k), batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(merge, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out: dict = {}
+    for g, sub in tbl.groupby(group_col):
+        theta = (int(sub["theta_hi"].iloc[0]) << 32) | int(sub["theta_lo"].iloc[0])
+        out[g] = (theta, tuple(int(x) for x in np.sort(sub["h"].to_numpy(dtype=np.uint64))))
+    return out
+
+
+def kmv_estimate(cnt: int, theta: int) -> int:
+    """The theta estimator as exact integer floor division (both engine and
+    DuckDB HUGEINT replay compute this identical expression)."""
+    est = cnt * (1 << 64) // theta
+    if est >= 2**63:
+        raise ValueError("kmv_estimate: estimate exceeds int64")
+    return est

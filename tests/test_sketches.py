@@ -213,3 +213,82 @@ def test_dd_subnormal_and_extreme_cells():
     assert (rel <= 2**-7).all()
     assert c[np.argsort(x, kind="stable")].tolist() == sorted(c.tolist())
     assert c[5] == 0 and est[5] == 0.0
+
+
+def _kmv_ds(groups, values, blocks=1):
+    tbl = pa.table(
+        {
+            "g": pa.array(groups, pa.string()),
+            "v": pa.array(values, pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    return ds.repartition(blocks) if blocks > 1 else ds
+
+
+def test_kmv_exact_mode_small_groups(ray_session):
+    """Distinct count < k ⇒ theta = 2**64 and the estimator returns the
+    EXACT distinct count (cnt·2**64 // 2**64 = cnt) — for every group and
+    every pair set-operation."""
+    from mix_blink_ray.stages.sketches import kmv_estimate, kmv_group_registers
+
+    # a: {1..30}, b: {21..50} → |a|=30 |b|=30 |a∩b|=10 |a∪b|=50
+    g = ["a"] * 30 + ["b"] * 30 + ["a"] * 5  # duplicates must not count twice
+    v = list(range(1, 31)) + list(range(21, 51)) + list(range(1, 6))
+    regs = kmv_group_registers(_kmv_ds(g, v, blocks=3), "g", "v", k=128)
+    ta, ha = regs["a"]
+    tb, hb = regs["b"]
+    assert ta == 1 << 64 and tb == 1 << 64
+    assert kmv_estimate(len(ha), ta) == 30
+    assert kmv_estimate(len(hb), tb) == 30
+    sa, sb = set(ha), set(hb)
+    th = min(ta, tb)
+    assert kmv_estimate(len(sa | sb), th) == 50
+    assert kmv_estimate(len(sa & sb), th) == 10
+
+
+def test_kmv_error_bound_vs_exact(ray_session):
+    """Sketch mode (distinct ≫ k): single-set and union/intersection
+    estimates within the KMV error envelope (≈1/sqrt(k−2), generous 5×)."""
+    from mix_blink_ray.stages.sketches import kmv_estimate, kmv_group_registers
+
+    k = 256
+    na, nb, shared = 20_000, 15_000, 5_000
+    a_vals = list(range(na))  # a: [0, 20000)
+    b_vals = list(range(na - shared, na - shared + nb))  # overlap = 5000
+    g = ["a"] * na + ["b"] * nb
+    regs = kmv_group_registers(_kmv_ds(g, a_vals + b_vals, blocks=4), "g", "v", k=k)
+    ta, ha = regs["a"]
+    tb, hb = regs["b"]
+    tol = 5.0 / np.sqrt(k - 2)
+    assert abs(kmv_estimate(len(ha), ta) - na) <= tol * na
+    assert abs(kmv_estimate(len(hb), tb) - nb) <= tol * nb
+    th = min(ta, tb)
+    sa = {h for h in ha if h < th}
+    sb = {h for h in hb if h < th}
+    union_true = na + nb - shared
+    assert abs(kmv_estimate(len(sa | sb), th) - union_true) <= tol * union_true
+    # intersection error scales with the UNION cardinality, not |a∩b|
+    assert abs(kmv_estimate(len(sa & sb), th) - shared) <= tol * union_true
+
+
+def test_kmv_partition_invariant(ray_session):
+    """Registers and theta are bit-identical regardless of block layout
+    (bottom-k merge is order-free)."""
+    from mix_blink_ray.stages.sketches import kmv_group_registers
+
+    rng = np.random.default_rng(11)
+    v = rng.integers(0, 5_000, size=8_000).tolist()
+    g = ["t%d" % (x % 3) for x in v]
+    r1 = kmv_group_registers(_kmv_ds(g, v, blocks=1), "g", "v", k=64)
+    r7 = kmv_group_registers(_kmv_ds(g, v, blocks=7), "g", "v", k=64)
+    assert r1 == r7
+
+
+def test_kmv_k_too_small_raises(ray_session):
+    import pytest
+
+    from mix_blink_ray.stages.sketches import kmv_group_registers
+
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_group_registers(_kmv_ds(["a"], [1]), "g", "v", k=1)
