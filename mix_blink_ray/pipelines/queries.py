@@ -6274,6 +6274,203 @@ def events_type_overlap_kmv(sf_dir: str, k: int = 128):
     )
 
 
+def parts_co_purchase_lift(
+    sf_dir: str,
+    min_support: int = 2,
+    k: int = 20,
+    max_basket: int = 4096,
+    broadcast_limit: int | None = None,
+):
+    """Market-basket co-occurrence with EXACT integer lift — the frequent-
+    pattern primitive (top-k co-purchased part pairs by lift, permille).
+
+    One bucketed-run exchange does everything (``grouped_ordered_runs`` keyed
+    by order, sorted by part): duplicate (order, part) rows collapse to one
+    vectorized consecutive-dup mask, per-basket pairs come from the
+    triangular expansion ``all_pairs_within_runs`` (NO Python per basket —
+    unlike ``grouped_run_pairs``' per-colliding-key callback, here EVERY
+    order collides so the expansion must be global), and each bucket
+    contracts to three cell kinds in ONE schema via the packed int64 key
+    ``a·2³² + b`` (pairs), ``a·2³² + SENTINEL`` (per-part basket counts) and
+    ``−1`` (basket total): only contracted cells reach the single groupby.
+    Baskets longer than ``max_basket`` RAISE (pair emission is inherently
+    quadratic per basket — the hot-key guard convention, never silent), as
+    does any partkey ≥ 2³¹ (the packing domain).  Lift is exact permille
+    floor division — ``n_ab·N·1000 // (n_a·n_b)`` — with the numerator
+    guarded in Python ints to RAISE where the oracle's BIGINT product would
+    fail loudly too.  Deterministic top-k by (lift desc, part_a, part_b)
+    through the partial-top-k merge, so only k rows reach the driver."""
+    import ray
+
+    from ..stages.clustering import cpu_scaled_partitions
+    from ..stages.topk import topk_rows
+    from ..stages.windows import all_pairs_within_runs, grouped_ordered_runs, run_index
+
+    _SENT = (1 << 32) - 1  # impossible partkey (guarded < 2**31)
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def kernel(g: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        empty = pa.table(
+            {"cell": pa.array([], pa.int64()), "n_partial": pa.array([], pa.int64())}
+        )
+        if g.num_rows == 0:
+            return empty
+        parts = np.asarray(g["l_partkey"], dtype=np.int64)
+        if parts.max(initial=0) >= 1 << 31 or parts.min(initial=0) < 0:
+            raise ValueError(
+                "parts_co_purchase_lift: partkey outside [0, 2^31) — the "
+                "packed-pair cell key would collide; widen the packing"
+            )
+        # collapse duplicate (order, part) rows: sorted by (order, part), a
+        # dup is a non-run-start row equal to its predecessor
+        keep = np.ones(len(parts), dtype=bool)
+        keep[1:] = parts[1:] != parts[:-1]
+        keep[starts] = True
+        rid = run_index(starts, ends)[keep]
+        parts = parts[keep]
+        s2 = np.flatnonzero(np.r_[True, rid[1:] != rid[:-1]]).astype(np.int64)
+        e2 = np.r_[s2[1:], len(rid)].astype(np.int64)
+        if (e2 - s2).max(initial=0) > max_basket:
+            raise ValueError(
+                f"parts_co_purchase_lift: basket over {max_basket} distinct "
+                "parts — quadratic pair emission; raise max_basket explicitly"
+            )
+        li, ri = all_pairs_within_runs(s2, e2)
+        cells = [parts * (1 << 32) + np.int64(_SENT), np.array([-1], dtype=np.int64)]
+        weights = [np.ones(len(parts), dtype=np.int64), np.array([len(s2)], dtype=np.int64)]
+        if len(li):
+            key = parts[li] * (1 << 32) + parts[ri]  # sorted ⇒ a < b
+            uniq, cnt = np.unique(key, return_counts=True)
+            cells.append(uniq)
+            weights.append(cnt.astype(np.int64))
+        return pa.table(
+            {
+                "cell": pa.array(np.concatenate(cells)),
+                "n_partial": pa.array(np.concatenate(weights)),
+            }
+        )
+
+    agg = (
+        grouped_ordered_runs(ds, "l_orderkey", ("l_partkey",), kernel)
+        .groupby("cell")
+        .aggregate(Sum("n_partial", alias_name="n"))
+        .materialize()  # contracted cells: ∝ distinct pairs, re-read 3×
+    )
+    n_baskets = int(agg.filter(expr="cell == -1").to_pandas()["n"].iloc[0])
+    pcounts = agg.map_batches(
+        lambda b: pa.table(
+            {
+                "pk": pc.divide(b["cell"], pa.scalar(1 << 32, pa.int64())),
+                "n_part": b["n"],
+            }
+        ).filter(
+            pc.and_(
+                pc.greater_equal(b["cell"], pa.scalar(0, pa.int64())),  # not the -1 basket-total cell
+                pc.equal(
+                    pc.bit_wise_and(b["cell"], pa.scalar(_SENT, pa.int64())),
+                    pa.scalar(_SENT, pa.int64()),
+                ),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = agg.map_batches(
+        lambda b: pa.table(
+            {
+                "part_a": pc.divide(b["cell"], pa.scalar(1 << 32, pa.int64())),
+                "part_b": pc.bit_wise_and(b["cell"], pa.scalar(_SENT, pa.int64())),
+                "n_ab": b["n"],
+            }
+        ).filter(
+            pc.and_(
+                pc.greater_equal(b["n"], pa.scalar(min_support, pa.int64())),
+                pc.and_(
+                    pc.greater_equal(b["cell"], pa.scalar(0, pa.int64())),
+                    pc.not_equal(
+                        pc.bit_wise_and(b["cell"], pa.scalar(_SENT, pa.int64())),
+                        pa.scalar(_SENT, pa.int64()),
+                    ),
+                ),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    max_nab = pairs.max("n_ab") or 0
+    if max_nab * n_baskets * 1000 >= 2**63:
+        raise ValueError(
+            "parts_co_purchase_lift: lift numerator exceeds int64 — the "
+            "oracle's BIGINT product fails loudly here too"
+        )
+
+    def lift(b: pa.Table) -> pa.Table:
+        nab = np.asarray(b["n_ab"], dtype=np.int64)
+        na = np.asarray(b["n_a"], dtype=np.int64)
+        nb = np.asarray(b["n_b"], dtype=np.int64)
+        return pa.table(
+            {
+                "part_a": b["part_a"],
+                "part_b": b["part_b"],
+                "n_ab": b["n_ab"],
+                "lift_permille": pa.array(nab * n_baskets * 1000 // (na * nb)),
+            }
+        )
+
+    # ── per-part basket-count attach: broadcast sorted lut below the limit
+    # (the part dimension ships ONCE via ray.put; searchsorted per batch),
+    # else two partitioned joins — the house duality, forced-fallback
+    # parity-tested ──
+    if broadcast_limit is None:
+        broadcast_limit = _SEMI_BROADCAST_LIMIT
+    if pcounts.count() <= broadcast_limit:
+        pt = pcounts.to_pandas()
+        pk = pt["pk"].to_numpy(dtype=np.int64)
+        o = np.argsort(pk)
+        lut_ref = ray.put((pk[o], pt["n_part"].to_numpy(dtype=np.int64)[o]))
+
+        def attach(b: pa.Table) -> pa.Table:
+            lk, lv = ray.get(lut_ref)
+            a = np.asarray(b["part_a"], dtype=np.int64)
+            c = np.asarray(b["part_b"], dtype=np.int64)
+            pos_a = np.clip(np.searchsorted(lk, a), 0, max(len(lk) - 1, 0))
+            pos_b = np.clip(np.searchsorted(lk, c), 0, max(len(lk) - 1, 0))
+            if len(lk) == 0 and len(a):
+                raise ValueError("parts_co_purchase_lift: empty count lut with pairs present")
+            if (lk[pos_a] != a).any() or (lk[pos_b] != c).any():
+                raise ValueError("parts_co_purchase_lift: pair part missing from count lut")
+            return pa.table(
+                {
+                    "part_a": b["part_a"],
+                    "part_b": b["part_b"],
+                    "n_ab": b["n_ab"],
+                    "n_a": pa.array(lv[pos_a]),
+                    "n_b": pa.array(lv[pos_b]),
+                }
+            )
+
+        j = pairs.map_batches(attach, batch_format="pyarrow")
+    else:
+        n_parts = cpu_scaled_partitions(pairs.count())
+        pcounts_a = pcounts.map_batches(
+            lambda b: pa.table({"pk": b["pk"], "n_a": b["n_part"]}), batch_format="pyarrow"
+        )
+        pcounts_b = pcounts.map_batches(
+            lambda b: pa.table({"pk": b["pk"], "n_b": b["n_part"]}), batch_format="pyarrow"
+        )
+        j = pairs.join(
+            pcounts_a, join_type="inner", num_partitions=n_parts, on=("part_a",), right_on=("pk",)
+        )
+        j = j.join(
+            pcounts_b, join_type="inner", num_partitions=n_parts, on=("part_b",), right_on=("pk",)
+        )
+
+    return topk_rows(
+        j.map_batches(lift, batch_format="pyarrow"),
+        ["lift_permille", "part_a", "part_b"],
+        [True, False, False],
+        k,
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -6433,6 +6630,7 @@ QUERIES = {
     "events_weekly_churn": events_weekly_churn,
     "orders_revenue_pareto": orders_revenue_pareto,
     "events_type_overlap_kmv": events_type_overlap_kmv,
+    "parts_co_purchase_lift": parts_co_purchase_lift,
 }
 
 
@@ -8519,6 +8717,30 @@ def _build_kmv_oracle(k: int = 128) -> None:
 
 
 _build_kmv_oracle()
+
+
+# Market-basket lift: distinct (order, part) baskets, self-join pairs with
+# a < b, support ≥ 2, lift as the same exact BIGINT permille floor division
+# the engine computes (both sides raise on BIGINT/int64 overflow), top-20 by
+# the total (lift desc, part_a, part_b) order.
+ORACLE_SQL["parts_co_purchase_lift"] = """
+    WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    nn AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS nb FROM b),
+    f AS (SELECT p, CAST(count(*) AS BIGINT) AS np FROM b GROUP BY p),
+    pr AS (
+        SELECT b1.p AS part_a, b2.p AS part_b, CAST(count(*) AS BIGINT) AS n_ab
+        FROM b b1 JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p
+        GROUP BY b1.p, b2.p
+        HAVING count(*) >= 2
+    )
+    SELECT part_a, part_b, n_ab,
+           (n_ab * (SELECT nb FROM nn) * 1000) // (ca.np * cb.np) AS lift_permille
+    FROM pr
+    JOIN f ca ON ca.p = pr.part_a
+    JOIN f cb ON cb.p = pr.part_b
+    ORDER BY lift_permille DESC, part_a, part_b
+    LIMIT 20
+"""
 
 
 def _build_dd_quantile_oracle(sub_bits: int = 7) -> None:

@@ -30,6 +30,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 __all__ = [
+    "all_pairs_within_runs",
     "grouped_ordered_runs",
     "grouped_weighted_mode",
     "run_index",
@@ -47,6 +48,39 @@ def _default_buckets() -> int:
 def run_index(starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
     """Per-row run id for segment arrays (``np.repeat`` over run lengths)."""
     return np.repeat(np.arange(len(starts), dtype=np.int64), ends - starts)
+
+
+def all_pairs_within_runs(
+    starts: np.ndarray, ends: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """All unordered index pairs (i < j) WITHIN each run, fully vectorized.
+
+    Unlike :func:`mix_blink_ray.stages.dedup.grouped_run_pairs` — whose
+    ``pair_fn`` fires a Python call per COLLIDING key, fine when collisions
+    are rare (LSH bands) but the measured hotspot class when EVERY key
+    collides (market baskets: every order has ≥ 2 items) — this emits the
+    triangular expansion for every run in one shot: each row ``g`` in a run
+    ending at ``e`` appears ``e − 1 − g`` times on the left, and its right
+    partners are the consecutive rows ``g+1 … e−1`` recovered by one global
+    ``arange`` minus per-left-block offsets.  No Python per run, no Python
+    per pair.  Returns ``(left, right)`` global row indices; output size is
+    ``Σ len·(len−1)/2`` — the caller guards run length (pair emission is
+    inherently quadratic per key)."""
+    n = int(ends[-1]) if len(ends) else 0
+    if n == 0:
+        z = np.empty(0, np.int64)
+        return z, z
+    g = np.arange(n, dtype=np.int64)
+    # per-row left-appearance count: rows until the end of the row's own run
+    cnt = np.repeat(ends, ends - starts) - 1 - g
+    total = int(cnt.sum())
+    if total == 0:
+        z = np.empty(0, np.int64)
+        return z, z
+    left = np.repeat(g, cnt)
+    block_start = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    right = left + 1 + (np.arange(total, dtype=np.int64) - np.repeat(block_start, cnt))
+    return left, right
 
 
 def segment_offset_ts(
