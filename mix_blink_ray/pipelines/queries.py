@@ -6471,6 +6471,110 @@ def parts_co_purchase_lift(
     )
 
 
+def events_snapshot_diff(sf_dir: str):
+    """Snapshot reconciliation (data-diff) between two versions of a keyed
+    table — added / removed / changed / unchanged counts per event_type.
+
+    The two versions derive DETERMINISTICALLY from events (both sides and
+    the oracle compute the identical views, so the diff itself is what's
+    tested): OLD drops rows with ``event_id % 97 == 0``; NEW drops rows with
+    ``event_id % 89 == 0`` and increments ``value`` by 1.0 where
+    ``event_id % 11 == 0``.  The 100-TB shape: a FULL OUTER JOIN on the key
+    is ONE bucketed-run exchange — both sides tagged and bucketed by
+    ``hash(key)``, in-bucket sort by (key, side), run length 1 ⇒
+    added/removed by side, length 2 ⇒ vectorized payload compare (value
+    bit-equal, user, ts, type) ⇒ changed/unchanged — and each bucket
+    contracts to (event_type, status, n) cells, so row-scale data crosses
+    the exchange exactly once and only type×4-bounded cells reach the final
+    groupby.  A key appearing twice on ONE side RAISES (diff requires a
+    primary key; silent last-wins would lie)."""
+    from ..stages.windows import grouped_ordered_runs
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts", "value"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b["event_id"], dtype=np.int64)
+        val = np.asarray(b["value"], dtype=np.float64)
+        ts = np.asarray(pc.cast(b["ts"], pa.int64()), dtype=np.int64)
+        uid = np.asarray(b["user_id"], dtype=np.int64)
+        et = b["event_type"]
+        newval = np.where(eid % 11 == 0, val + 1.0, val)
+        out = []
+        for side, mask, v in ((0, eid % 97 != 0, val), (1, eid % 89 != 0, newval)):
+            idx = pa.array(np.flatnonzero(mask))
+            out.append(
+                pa.table(
+                    {
+                        "event_id": pa.array(eid[mask]),
+                        "side": pa.array(np.full(int(mask.sum()), side, np.int64)),
+                        "user_id": pa.array(uid[mask]),
+                        "event_type": pc.take(et, idx),
+                        "ts_us": pa.array(ts[mask]),
+                        "value": pa.array(v[mask]),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    def kernel(g: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "status": pa.array([], pa.string()),
+                "n_partial": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        lens = ends - starts
+        if lens.max(initial=0) > 2:
+            raise ValueError(
+                "events_snapshot_diff: key repeats within one snapshot — "
+                "diff requires a primary key"
+            )
+        side = np.asarray(g["side"], dtype=np.int64)
+        val = np.asarray(g["value"], dtype=np.float64)
+        uid = np.asarray(g["user_id"], dtype=np.int64)
+        ts = np.asarray(g["ts_us"], dtype=np.int64)
+        et = g["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = pc.dictionary_encode(et)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        # statuses: 0 added, 1 removed, 2 changed, 3 unchanged
+        two = lens == 2
+        status = np.where(side[starts] == 0, 1, 0)  # singles: old-only=removed, new-only=added
+        i0 = starts[two]
+        if ((side[i0] != 0) | (side[i0 + 1] != 1)).any():
+            raise ValueError("events_snapshot_diff: key repeats within one snapshot")
+        same = (
+            (val[i0] == val[i0 + 1])
+            & (uid[i0] == uid[i0 + 1])
+            & (ts[i0] == ts[i0 + 1])
+            & (codes[i0] == codes[i0 + 1])
+        )
+        status[two] = np.where(same, 3, 2)
+        et_run = codes[ends - 1]  # the NEW side's type when present
+        cellkey = et_run * 4 + status
+        uniq, cnt = np.unique(cellkey, return_counts=True)
+        names = pa.array(["added", "removed", "changed", "unchanged"])
+        return pa.table(
+            {
+                "event_type": enc.dictionary.take(pa.array(uniq // 4)),
+                "status": names.take(pa.array(uniq % 4)),
+                "n_partial": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    cells = grouped_ordered_runs(
+        ds.map_batches(tag, batch_format="pyarrow"), "event_id", ("side",), kernel
+    )
+    out = cells.groupby(["event_type", "status"]).aggregate(
+        Sum("n_partial", alias_name="n")
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -6631,6 +6735,7 @@ QUERIES = {
     "orders_revenue_pareto": orders_revenue_pareto,
     "events_type_overlap_kmv": events_type_overlap_kmv,
     "parts_co_purchase_lift": parts_co_purchase_lift,
+    "events_snapshot_diff": events_snapshot_diff,
 }
 
 
@@ -8717,6 +8822,35 @@ def _build_kmv_oracle(k: int = 128) -> None:
 
 
 _build_kmv_oracle()
+
+
+# Snapshot diff: the same two deterministic views the engine derives, a
+# FULL OUTER JOIN on the key, status by NULL-side / payload compare (value
+# compared as IEEE doubles — the +1.0 mutation is exact on both engines),
+# counts per (NEW-side-preferred) event_type × status.
+ORACLE_SQL["events_snapshot_diff"] = """
+    WITH old AS (
+        SELECT event_id, user_id, event_type, ts, value
+        FROM events WHERE event_id % 97 <> 0
+    ),
+    new AS (
+        SELECT event_id, user_id, event_type, ts,
+               CASE WHEN event_id % 11 = 0 THEN value + 1.0 ELSE value END AS value
+        FROM events WHERE event_id % 89 <> 0
+    ),
+    j AS (
+        SELECT coalesce(n.event_type, o.event_type) AS event_type,
+               CASE WHEN o.event_id IS NULL THEN 'added'
+                    WHEN n.event_id IS NULL THEN 'removed'
+                    WHEN o.value <> n.value OR o.user_id <> n.user_id
+                         OR o.ts <> n.ts OR o.event_type <> n.event_type
+                    THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+    )
+    SELECT event_type, status, CAST(count(*) AS BIGINT) AS n
+    FROM j GROUP BY event_type, status
+"""
 
 
 # Market-basket lift: distinct (order, part) baskets, self-join pairs with
