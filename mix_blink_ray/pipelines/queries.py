@@ -1107,6 +1107,87 @@ def events_user_median_gap(sf_dir: str):
     return grouped_ordered_runs(prep, "user_id", ("ts_us", "event_id"), kernel)
 
 
+def events_user_twap(sf_dir: str):
+    """Per-user TIME-WEIGHTED AVERAGE value (µs-exact LOCF integration) —
+    the metering/engagement primitive a plain AVG gets wrong when samples
+    are irregular: each event's value holds until the user's next event, so
+    TWA = Σ cents_i·(ts_{i+1}−ts_i) / (ts_last−ts_first), all in exact
+    int64 (truncating division on BOTH sides — DuckDB's `//` truncates
+    toward zero, so the operator RAISES on negative values rather than
+    silently diverging from numpy's floor).  The per-term product is
+    bounded by max_cents × user_span; the kernel checks that bound against
+    2⁶³ and RAISES before any int64 wrap — matching the oracle's loud
+    HUGEINT-vs-BIGINT divergence rather than wrapping.  Single-event and
+    zero-span users have no integration window and are excluded, matching
+    the oracle's HAVING.  Runs in ONE bucketed-run exchange
+    (`grouped_ordered_runs`): gaps from a run-start-masked shift, per-user
+    numerators one masked ``add.reduceat`` — no per-user Python."""
+    from ..stages.windows import grouped_ordered_runs
+
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    prep = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+                "cents": _cents(b["value"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def kernel(g: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "twap_cents": pa.array([], pa.int64()),
+                "dur_us": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+            }
+        )
+        n = g.num_rows
+        if n < 2:
+            return empty
+        ts = np.asarray(g["ts_us"], dtype=np.int64)
+        cents = np.asarray(g["cents"], dtype=np.int64)
+        if int(cents.min(initial=0)) < 0:
+            raise ValueError(
+                "events_user_twap: negative values unsupported (DuckDB `//` "
+                "truncates toward zero, numpy floors — results would diverge)"
+            )
+        lens = ends - starts
+        span = ts[ends - 1] - ts[starts]
+        if int(cents.max(initial=0)) * int(span.max(initial=0)) >= 2**63:
+            raise ValueError(
+                "events_user_twap: cents x span exceeds int64 — the oracle's "
+                "BIGINT sum would overflow loudly; refusing to wrap"
+            )
+        interior = np.ones(n, dtype=bool)
+        interior[starts] = False
+        rows = np.flatnonzero(interior)  # one per gap, grouped by run
+        prod = cents[rows - 1] * (ts[rows] - ts[rows - 1])
+        gap_counts = lens - 1
+        gstart = np.r_[np.int64(0), np.cumsum(gap_counts)[:-1]]
+        nz = gap_counts > 0
+        nums = np.zeros(len(starts), dtype=np.int64)
+        if nz.any():
+            nums[nz] = np.add.reduceat(prod, gstart[nz])
+        keep = nz & (span > 0)
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "user_id": g["user_id"].take(pa.array(starts[keep])),
+                "twap_cents": pa.array(nums[keep] // span[keep]),
+                "dur_us": pa.array(span[keep]),
+                "n_events": pa.array(lens[keep].astype(np.int64)),
+            }
+        )
+
+    return grouped_ordered_runs(prep, "user_id", ("ts_us", "event_id"), kernel)
+
+
 def events_user_longest_streak(sf_dir: str):
     """Per-user LONGEST STREAK of consecutive same-type events under total
     (ts, event_id) order — the gaps-and-islands pattern without its
@@ -6637,6 +6718,7 @@ QUERIES = {
     "events_user_primary_type": events_user_primary_type,
     "events_type_transitions": events_type_transitions,
     "events_user_median_gap": events_user_median_gap,
+    "events_user_twap": events_user_twap,
     "events_user_longest_streak": events_user_longest_streak,
     "docs_blocking_quality": docs_blocking_quality,
     "users_click_purchase_full_outer": users_click_purchase_full_outer,
@@ -7812,6 +7894,24 @@ ORACLE_SQL = {
         )
         SELECT user_id, gap AS median_gap_us, n_gaps
         FROM r WHERE rn = (n_gaps + 1) // 2
+    """,
+    "events_user_twap": """
+        WITH o AS (
+            SELECT user_id, epoch_us(ts) AS ts_us,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   lead(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+            FROM events
+        ), s AS (
+            SELECT user_id,
+                   CAST(sum(CASE WHEN nxt IS NULL THEN 0
+                                 ELSE cents * (nxt - ts_us) END) AS BIGINT) AS num,
+                   CAST(max(ts_us) - min(ts_us) AS BIGINT) AS dur_us,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM o GROUP BY user_id
+        )
+        SELECT user_id, num // dur_us AS twap_cents, dur_us, n_events
+        FROM s WHERE n_events >= 2 AND dur_us > 0
     """,
     "events_type_transitions": """
         SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n FROM (

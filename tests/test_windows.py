@@ -317,3 +317,48 @@ def test_weekly_churn_gap_boundaries(tmp_path):
         assert row["churned_next"] == active - ret, w
         assert row["churn_pm"] == (active - ret) * 1000 // active, w
     assert set(out.index) == set(active_weeks)
+
+
+def test_user_twap_hand_computed(tmp_path):
+    """events_user_twap: LOCF integration matches hand arithmetic; single-event
+    and zero-span users excluded; negative values raise (DuckDB `//`
+    truncation vs numpy floor divergence guard)."""
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from mix_blink_ray.pipelines.queries import events_user_twap
+
+    def write(rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array(np.arange(len(rows)), pa.int64()),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    np.array([r[1] for r in rows], np.int64), pa.timestamp("us")
+                ),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, tmp_path / "events.parquet")
+        return str(tmp_path)
+
+    s = 1_000_000  # one second in µs
+    rows = [
+        # user 1: value 1.00 for 10s, 4.00 for 20s → (100·10 + 400·20)/30 = 300
+        (1, 0 * s, 1.00),
+        (1, 10 * s, 4.00),
+        (1, 30 * s, 9.99),
+        (2, 5 * s, 7.00),          # single event: excluded
+        (3, 8 * s, 2.00),          # zero span: excluded
+        (3, 8 * s, 3.00),
+    ]
+    out = events_user_twap(write(rows)).to_pandas().set_index("user_id")
+    assert set(out.index) == {1}
+    assert out.loc[1, "twap_cents"] == 300
+    assert out.loc[1, "dur_us"] == 30 * s
+    assert out.loc[1, "n_events"] == 3
+
+    with _pytest.raises(Exception, match="negative"):
+        events_user_twap(write([(1, 0, -1.0), (1, s, 2.0)])).to_pandas()
