@@ -1832,6 +1832,79 @@ def docs_near_dup_verified(sf_dir: str):
     return _round(pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"jaccard": 6})
 
 
+def _crawl_day(ids: np.ndarray, n_days: int = 32) -> np.ndarray:
+    """Deterministic synthetic crawl day for a doc id (splitmix64 % n_days) —
+    pure arithmetic, so BOTH engine and oracle derive the identical view and
+    the day can be RE-derived anywhere from the id alone (no day column ever
+    ships through a shuffle or join)."""
+    from ..stages.sketches import splitmix64
+
+    return (splitmix64(ids.astype(np.int64).view(np.uint64)) % np.uint64(n_days)).astype(
+        np.int64
+    )
+
+
+def docs_near_dup_windowed(sf_dir: str):
+    """TIME-WINDOWED near-duplicate join — duplicates only count within a
+    7-day crawl window (the web-recrawl dedup pattern: the same boilerplate
+    re-crawled years apart is NOT a duplicate event worth an edge).  Crawl
+    day is a deterministic view ``splitmix64(doc_id) % 32`` (no timestamp in
+    the table; same derive-the-version idiom as `events_snapshot_diff`).
+
+    Scale story: LSH band keys mix in the 8-day time CELL and each band row
+    is emitted into its own and the next cell (`minhash_near_dup_pairs`
+    window mode), so every |Δday| ≤ 7 pair still shares ≥ 1 exchange key —
+    equal cells collide home/home, adjacent cells copy/home — while a hot
+    boilerplate band is bounded per (band, cell), never assembling all of
+    history in one task.  Cell-boundary pairs beyond 7 days are removed by
+    an EXACT |Δday| filter whose days are RE-derived from the ids by pure
+    arithmetic (zero joins), then exact char-3-gram Jaccard ≥ 0.4 verifies
+    text.  Output: (a_id, b_id, day_a, day_b, jaccard)."""
+    from ..stages.dedup import minhash_near_dup_pairs, ngram_jaccard_verify
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_day(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "text": b["text"],
+                "day": pa.array(_crawl_day(np.asarray(b["doc_id"], dtype=np.int64))),
+            }
+        )
+
+    prep = ds.map_batches(add_day, batch_format="pyarrow")
+    cand = minhash_near_dup_pairs(
+        prep, DedupConfig(jaccard_threshold=0.3), window_col="day", window_width=8
+    ).select_columns(["a_id", "b_id"])
+
+    def window_filter(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["a_id"], dtype=np.int64)
+        bb = np.asarray(b["b_id"], dtype=np.int64)
+        keep = np.abs(_crawl_day(a) - _crawl_day(bb)) <= 7
+        return b.filter(pa.array(keep))
+
+    verified = ngram_jaccard_verify(
+        cand.map_batches(window_filter, batch_format="pyarrow"), ds, threshold=0.4
+    )
+
+    def attach_days(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a_id": b["a_id"],
+                "b_id": b["b_id"],
+                "day_a": pa.array(_crawl_day(np.asarray(b["a_id"], dtype=np.int64))),
+                "day_b": pa.array(_crawl_day(np.asarray(b["b_id"], dtype=np.int64))),
+                "jaccard": _round_col(b["jaccard"], 6),
+            }
+        )
+
+    return pa.Table.from_pandas(
+        verified.map_batches(attach_days, batch_format="pyarrow").to_pandas(),
+        preserve_index=False,
+    )
+
+
 def lineitem_bloom_semi_join(sf_dir: str):
     """Semi-join via Bloom prefilter + exact verify (``stages.bloom``):
     lineitems of high-value orders (o_totalprice > 300k), returning per-key
@@ -6757,6 +6830,7 @@ QUERIES = {
     "emb_knn_lsh_top5": emb_knn_lsh_top5,
     "emb_knn_ivf_top5": emb_knn_ivf_top5,
     "docs_near_dup_verified": docs_near_dup_verified,
+    "docs_near_dup_windowed": docs_near_dup_windowed,
     "docs_chunk_windows": docs_chunk_windows,
     "lineitem_bloom_semi_join": lineitem_bloom_semi_join,
     "emb_norms": emb_norms,
@@ -9238,6 +9312,53 @@ def _build_minhash_oracle() -> None:
             JOIN g gb ON gb.doc_id = keep.b_id
         )
         SELECT a_id, b_id,
+               CAST(round(jac * 1000000) AS BIGINT) / 1000000.0 AS jaccard
+        FROM v WHERE jac >= 0.4
+    """
+    # Time-windowed near-dup: the SAME candidate + verify replay gated by the
+    # deterministic crawl-day view (splitmix64(doc_id) % 32 — the engine's
+    # `_crawl_day`, replayed term-by-term in HUGEINT) at |Δday| ≤ 7.  The
+    # engine's cell-mixed banding finds exactly the within-window subset of
+    # `cand` (cells differ ≤ 1 whenever |Δday| ≤ 7), so filtering the global
+    # candidate set here is the identical pair set.
+    c1 = 0x9E3779B97F4A7C15
+    c2, c3 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    ORACLE_SQL["docs_near_dup_windowed"] = f"""
+        WITH {make_ctes("documents")},
+        keep AS (SELECT a_id, b_id FROM cand WHERE k / 128.0 >= 0.3),
+        d1 AS (SELECT doc_id,
+                      (CAST(doc_id AS HUGEINT) + {c1}) % {m64} AS x
+               FROM documents),
+        d2 AS (SELECT doc_id, {mulmod("xor(x, x >> 30)", c2)} AS x FROM d1),
+        d3 AS (SELECT doc_id, {mulmod("xor(x, x >> 27)", c3)} AS x FROM d2),
+        days AS (SELECT doc_id,
+                        CAST(xor(x, x >> 31) % 32 AS BIGINT) AS day
+                 FROM d3),
+        win AS (
+            SELECT keep.a_id, keep.b_id, da.day AS day_a, db.day AS day_b
+            FROM keep
+            JOIN days da ON da.doc_id = keep.a_id
+            JOIN days db ON db.doc_id = keep.b_id
+            WHERE abs(da.day - db.day) <= 7
+        ),
+        g AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) >= 3
+                        THEN list_distinct(list_transform(
+                                 generate_series(1, length(text) - 2),
+                                 i -> substring(text, i, 3)))
+                        WHEN length(text) > 0 THEN [text]
+                        ELSE CAST([] AS VARCHAR[]) END AS grams
+            FROM documents
+        ), v AS (
+            SELECT win.a_id, win.b_id, win.day_a, win.day_b,
+                   CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                     / greatest(len(list_distinct(list_concat(ga.grams, gb.grams))), 1) AS jac
+            FROM win
+            JOIN g ga ON ga.doc_id = win.a_id
+            JOIN g gb ON gb.doc_id = win.b_id
+        )
+        SELECT a_id, b_id, day_a, day_b,
                CAST(round(jac * 1000000) AS BIGINT) / 1000000.0 AS jaccard
         FROM v WHERE jac >= 0.4
     """

@@ -315,7 +315,12 @@ def exact_dedup(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def minhash_near_dup_pairs(
-    docs: Dataset, cfg: DedupConfig = DedupConfig(), text_col: str = "text", id_col: str = "doc_id"
+    docs: Dataset,
+    cfg: DedupConfig = DedupConfig(),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_col: str | None = None,
+    window_width: int | None = None,
 ) -> Dataset:
     """MinHash+LSH near-dup candidates, verified by signature Jaccard.
 
@@ -324,16 +329,44 @@ def minhash_near_dup_pairs(
     candidate pairs → cross-band dedup → verify by joining the per-doc
     signature table (binary column) onto the (small) pair set twice.
     Output: (a_id, b_id, est_jaccard), a_id < b_id.
-    """
+
+    ``window_col`` / ``window_width`` enable TIME-WINDOWED banding (the
+    recrawl-dedup pattern: duplicates only matter within a bounded interval):
+    each band key additionally mixes in the row's time cell
+    ``window_col // window_width`` and every band row is emitted into its own
+    AND the next cell (two 16 B rows), so any pair with interval distance
+    < ``window_width`` still shares ≥ 1 exchange key — cell equal → home/home
+    collision, cell adjacent → copy/home collision — while band groups are
+    bounded per (band, cell) instead of per band over ALL of history (a hot
+    boilerplate band on a years-long crawl never assembles in one task).
+    Pairs farther apart than the caller's exact window can still collide at
+    cell boundaries; callers filter exactly.  Key mixing can only ADD
+    candidates (verify removes them); it can never drop a same-(band, cell)
+    collision."""
+    if (window_col is None) != (window_width is None):
+        raise ValueError("window_col and window_width must be set together")
 
     def band_rows(batch: pa.Table) -> pa.Table:
         sig = _word_shingle_sigs(batch[text_col], cfg)
         keys = lsh_band_keys(sig, cfg.num_bands)
         n = batch.num_rows
         row_idx = np.repeat(np.arange(n, dtype=np.int64), cfg.num_bands)
+        flat = keys.reshape(-1)
+        if window_col is not None:
+            from ..functions.hashing import _P
+
+            cells = (
+                np.asarray(batch[window_col], dtype=np.int64) // window_width
+            ).astype(np.uint64)
+            cells_rep = np.repeat(cells, cfg.num_bands)
+            base = flat.view(np.uint64) * _P
+            flat = np.concatenate([base + cells_rep, base + cells_rep + np.uint64(1)]).view(
+                np.int64
+            )
+            row_idx = np.concatenate([row_idx, row_idx])
         return pa.table(
             {
-                "band_key": pa.array(keys.reshape(-1)),
+                "band_key": pa.array(flat),
                 id_col: pc.take(batch[id_col], pa.array(row_idx)),
             }
         )
@@ -381,7 +414,7 @@ def minhash_near_dup_pairs(
     )
     # docs is parquet-backed or pre-materialized in every caller, so count()
     # is metadata-cheap; it only sizes the hash buckets.
-    n_band_rows = docs.count() * cfg.num_bands
+    n_band_rows = docs.count() * cfg.num_bands * (2 if window_col is not None else 1)
     pairs = distinct_pairs(
         grouped_run_pairs(
             docs.map_batches(band_rows, batch_format="pyarrow"),

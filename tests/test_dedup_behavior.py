@@ -325,3 +325,80 @@ def test_pair_stat_matches_sort_aggregate():
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got_m, want_m.astype("int64"))
+
+
+def test_windowed_banding_matches_global_candidates_within_window():
+    """Window-mode banding (cell-mixed keys + adjacent-cell copies) must find
+    EXACTLY the within-window subset of the global candidate pair set — the
+    two-cell emission can never drop a |Δ| < width collision."""
+    texts, ids = [], []
+    for i in range(40):
+        texts.append(BASE if i % 2 == 0 else BASE.replace("quick", "swift"))
+        ids.append(i)
+    day = np.arange(40, dtype=np.int64) * 3 % 29  # spread over ~a month
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts),
+                "day": pa.array(day),
+            }
+        )
+    )
+    cfg = DedupConfig(jaccard_threshold=0.3)
+    g = minhash_near_dup_pairs(ds, cfg).to_pandas()
+    w = minhash_near_dup_pairs(ds, cfg, window_col="day", window_width=8).to_pandas()
+
+    def pairset(df, window=None):
+        out = set()
+        for r in df.itertuples():
+            if window is not None and abs(int(day[r.a_id]) - int(day[r.b_id])) > window:
+                continue
+            out.add((r.a_id, r.b_id))
+        return out
+
+    # engine guarantee: every global pair with |Δday| < width collides in
+    # window mode too; window mode may ALSO surface boundary pairs beyond
+    # that (callers filter exactly), but never pairs global banding missed
+    within = pairset(g, window=7)
+    got = pairset(w)
+    assert within <= got, sorted(within - got)[:5]
+    assert got <= pairset(g), "window mode invented a non-colliding pair"
+    assert within, "constructed corpus must produce within-window collisions"
+
+
+def test_near_dup_windowed_query_window_semantics(tmp_path):
+    """docs_near_dup_windowed: near-identical texts pair iff their derived
+    crawl days are ≤ 7 apart (ids chosen by probing the day view)."""
+    import pyarrow.parquet as pq
+
+    from mix_blink_ray.pipelines.queries import _crawl_day, docs_near_dup_windowed
+
+    days = _crawl_day(np.arange(4000, dtype=np.int64))
+    # find an id pair with |Δday| <= 7 and one with > 7
+    close_pair = far_pair = None
+    for i in range(1, 4000):
+        if abs(int(days[i]) - int(days[0])) <= 7 and close_pair is None:
+            close_pair = (0, i)
+        if abs(int(days[i]) - int(days[0])) > 7 and far_pair is None:
+            far_pair = (0, i)
+        if close_pair and far_pair:
+            break
+    ids = [close_pair[0], close_pair[1], far_pair[1]]
+    texts = [BASE, BASE.replace("quick", "swift"), BASE.replace("fox", "wolf")]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = docs_near_dup_windowed(str(tmp_path)).to_pandas()
+    pairs = {(r.a_id, r.b_id) for r in out.itertuples()}
+    assert tuple(sorted(close_pair)) in pairs
+    assert all(far_pair[1] not in p for p in pairs), pairs
+    assert (out["day_a"] - out["day_b"]).abs().le(7).all()
