@@ -1766,6 +1766,20 @@ def emb_knn_top5(sf_dir: str):
     return knn_bruteforce(ds, query_ids=[0, 1, 2, 3, 4], cfg=AnnConfig(k=5))
 
 
+def emb_mutual_knn(sf_dir: str):
+    """Mutual 3-NN graph over the embedding corpus (``stages.ann.mutual_knn``):
+    undirected edges where BOTH endpoints rank each other in their exact
+    cosine top-3 (self excluded, ties → smaller id) — the symmetrized
+    neighborhood graph that density clustering / hub-noise pruning build on.
+    Corpus broadcast once sorted by id; directed edges leave each batch as
+    byte-packed (lo, hi, side-rank) cells; ONE pair_stat(sum) exchange merges
+    directions.  Output: (a_id, b_id, rank_ab, rank_ba), a_id < b_id."""
+    from ..stages.ann import mutual_knn
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pa.Table.from_pandas(mutual_knn(ds, k=3).to_pandas(), preserve_index=False)
+
+
 def emb_knn_lsh_top5(sf_dir: str):
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
     return knn_lsh(ds, query_ids=[0, 1, 2, 3, 4], cfg=AnnConfig(k=5))
@@ -6827,6 +6841,7 @@ QUERIES = {
     "docs_window_jaccard_clusters": docs_window_jaccard_clusters,
     "jsonl_mentions": jsonl_mentions,
     "emb_knn_top5": emb_knn_top5,
+    "emb_mutual_knn": emb_mutual_knn,
     "emb_knn_lsh_top5": emb_knn_lsh_top5,
     "emb_knn_ivf_top5": emb_knn_ivf_top5,
     "docs_near_dup_verified": docs_near_dup_verified,
@@ -7858,6 +7873,23 @@ ORACLE_SQL = {
                    ) AS rank
             FROM q CROSS JOIN embeddings e
         ) WHERE rank <= 5
+    """,
+    "emb_mutual_knn": """
+        WITH r AS (
+            SELECT a.vec_id AS src, e.vec_id AS dst,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.embedding, e.embedding) DESC,
+                                e.vec_id
+                   ) AS rank
+            FROM embeddings a CROSS JOIN embeddings e
+            WHERE e.vec_id <> a.vec_id
+        ), k AS (SELECT * FROM r WHERE rank <= 3)
+        SELECT x.src AS a_id, x.dst AS b_id,
+               CAST(x.rank AS BIGINT) AS rank_ab,
+               CAST(y.rank AS BIGINT) AS rank_ba
+        FROM k x JOIN k y ON y.src = x.dst AND y.dst = x.src
+        WHERE x.src < x.dst
     """,
     "emb_knn_ivf_top5": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5)

@@ -14,12 +14,14 @@ from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
 __all__ = [
     "AnnConfig",
     "knn_bruteforce",
+    "mutual_knn",
     "knn_lsh",
     "knn_ivf",
     "kmeans_centroids",
@@ -183,6 +185,112 @@ def knn_bruteforce(embeddings: Dataset, query_ids: list[int], cfg: AnnConfig = A
         batch_size=4096,
     ).to_pandas()
     return _merge_topk(partials, cfg.k)
+
+
+def mutual_knn(
+    embeddings, k: int = 3, vec_col: str = "embedding", id_col: str = "vec_id"
+):
+    """MUTUAL k-NN graph: undirected edges (a, b) where b ∈ knn_k(a) AND
+    a ∈ knn_k(b) under exact cosine (self excluded; ties → smaller id) —
+    the symmetrized neighborhood graph density-based clustering and
+    cross-encoder candidate pruning build on (a one-sided kNN edge is
+    usually hub noise; a mutual edge is evidence both localities agree).
+
+    Scale shape: corpus matrix broadcast ONCE sorted by id (``ray.put``),
+    batches stream through one (batch × corpus) matmul each — the same
+    bounded-broadcast contract as :func:`similarity_join_exact` (the LSH /
+    IVF stages are the path past broadcast size).  Directed top-k edges
+    leave each batch as (lo, hi, rank-packed-by-side) cells; ONE
+    ``pair_stat(sum)`` bucketed exchange merges the two directions (the
+    packed int is exact: each side emits a directed edge at most once), and
+    mutuality = both bytes present.  Output:
+    (a_id, b_id, rank_ab, rank_ba), a_id < b_id, ranks 1-based.
+    """
+    from .dedup import pair_stat
+
+    if not 1 <= k <= 255:
+        raise ValueError("mutual_knn: k must be in [1, 255] (byte-packed ranks)")
+
+    empty = pa.table(
+        {
+            "a_id": pa.array([], pa.int64()),
+            "b_id": pa.array([], pa.int64()),
+            "packed": pa.array([], pa.int64()),
+        }
+    )
+
+    corpus = embeddings.map_batches(
+        lambda b: b.select([id_col, vec_col]), batch_format="pyarrow"
+    ).to_arrow_refs()
+    tables = [t for t in ray.get(corpus) if t.num_rows]
+    if not tables:
+        import ray.data as rd_
+
+        return rd_.from_arrow(
+            pa.table(
+                {
+                    "a_id": pa.array([], pa.int64()),
+                    "b_id": pa.array([], pa.int64()),
+                    "rank_ab": pa.array([], pa.int64()),
+                    "rank_ba": pa.array([], pa.int64()),
+                }
+            )
+        )
+    full = pa.concat_tables(tables).combine_chunks()
+    full = full.take(pc.sort_indices(full[id_col]))  # stable-sort tie-break = id asc
+    ids_all = np.asarray(full[id_col], dtype=np.int64)
+    v = vectors_from_batch(full[vec_col]).astype(np.float64)
+    norms = np.linalg.norm(v, axis=1)
+    unit_all = np.divide(v, norms[:, None], out=np.zeros_like(v), where=norms[:, None] > 0)
+    mat_ref = ray.put((ids_all, unit_all))
+
+    def directed(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        ids_c, unit_c = ray.get(mat_ref)
+        kk = min(k, len(ids_c) - 1)
+        if kk <= 0:
+            return empty
+        ids_b = np.asarray(batch[id_col], dtype=np.int64)
+        vb = vectors_from_batch(batch[vec_col]).astype(np.float64)
+        nb = np.linalg.norm(vb, axis=1)
+        ub = np.divide(vb, nb[:, None], out=np.zeros_like(vb), where=nb[:, None] > 0)
+        cos = ub @ unit_c.T
+        cos[ids_b[:, None] == ids_c[None, :]] = -np.inf  # self
+        # stable sort on -cos: equal cosines keep corpus order == id asc
+        idx = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+        src = np.repeat(ids_b, kk)
+        dst = ids_c[idx.reshape(-1)]
+        rank = np.tile(np.arange(1, kk + 1, dtype=np.int64), len(ids_b))
+        return pa.table(
+            {
+                "a_id": pa.array(np.minimum(src, dst)),
+                "b_id": pa.array(np.maximum(src, dst)),
+                "packed": pa.array(np.where(src < dst, rank, rank << 8)),
+            }
+        )
+
+    summed = pair_stat(
+        embeddings.map_batches(directed, batch_format="pyarrow"),
+        stat="sum",
+        value_col="packed",
+        out_col="s",
+    )
+
+    def mutual(b: pa.Table) -> pa.Table:
+        s = np.asarray(b["s"], dtype=np.int64)
+        lo_r, hi_r = s & 0xFF, s >> 8
+        keep = (lo_r > 0) & (hi_r > 0)
+        return pa.table(
+            {
+                "a_id": b["a_id"].filter(pa.array(keep)),
+                "b_id": b["b_id"].filter(pa.array(keep)),
+                "rank_ab": pa.array(lo_r[keep]),
+                "rank_ba": pa.array(hi_r[keep]),
+            }
+        )
+
+    return summed.map_batches(mutual, batch_format="pyarrow")
 
 
 def kmeans_centroids(

@@ -402,3 +402,52 @@ def test_near_dup_windowed_query_window_semantics(tmp_path):
     assert tuple(sorted(close_pair)) in pairs
     assert all(far_pair[1] not in p for p in pairs), pairs
     assert (out["day_a"] - out["day_b"]).abs().le(7).all()
+
+
+def test_mutual_knn_hand_geometry_and_pair_stat_sum():
+    """mutual_knn at k=1 on constructed 2-D directions: 0° and 5° are each
+    other's nearest (mutual, rank 1/1); 40° points at 5° but is nobody's
+    nearest (one-sided edge must NOT appear).  Also pins pair_stat(sum)."""
+    import math
+
+    from mix_blink_ray.stages.ann import mutual_knn
+    from mix_blink_ray.stages.dedup import pair_stat
+
+    angles = {10: 0.0, 11: 5.0, 12: 40.0}
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(sorted(angles), pa.int64()),
+            "embedding": pa.array(
+                [
+                    [math.cos(math.radians(a)), math.sin(math.radians(a))]
+                    for _, a in sorted(angles.items())
+                ],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    out = mutual_knn(rd.from_arrow(tbl), k=1).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.a_id, r.b_id, r.rank_ab, r.rank_ba) == (10, 11, 1, 1)
+
+    # k=2: every edge among 3 points is mutual (each top-2 is the other two)
+    out2 = mutual_knn(rd.from_arrow(tbl), k=2).to_pandas()
+    assert len(out2) == 3
+
+    # pair_stat sum: duplicate pair rows add their values
+    ps = pair_stat(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "a_id": pa.array([1, 1, 2], pa.int64()),
+                    "b_id": pa.array([5, 5, 6], pa.int64()),
+                    "v": pa.array([3, 4, 7], pa.int64()),
+                }
+            )
+        ),
+        stat="sum",
+        value_col="v",
+        out_col="s",
+    ).to_pandas().set_index(["a_id", "b_id"])["s"].to_dict()
+    assert ps == {(1, 5): 7, (2, 6): 7}
