@@ -1846,6 +1846,106 @@ def docs_near_dup_verified(sf_dir: str):
     return _round(pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"jaccard": 6})
 
 
+def sources_shingle_overlap(sf_dir: str):
+    """Cross-source contamination matrix: for every source pair, how many
+    DISTINCT word-3-shingles appear in BOTH sources — the diagnostic that
+    tells a corpus curator which feeds share boilerplate / syndicated
+    content before near-dup rates explode.  Scale shape: shingles hash to
+    uint64 (the string never ships — the exchange carries 16 B (hash,
+    source) cells, per-batch distinct first), ONE bucketed-run exchange
+    groups by shingle hash, cross-batch (hash, source) dups collapse by a
+    consecutive-dup mask, in-run pair expansion is `all_pairs_within_runs`
+    (run length ≤ n_sources, so pair volume is bounded by sources², never
+    rows), and each bucket contracts to (source_a, source_b, n) cells —
+    only sources²-bounded rows reach the final groupby.  Pair order is the
+    in-run STRING sort, so source_a < source_b matches the oracle's binary
+    collation.  Hash-grouping equals string-grouping modulo negligible
+    64-bit collisions (same caveat as the LSH band keys)."""
+    from ..functions.hashing import flat_utf8, hash_strings
+    from ..stages.windows import all_pairs_within_runs, grouped_ordered_runs
+
+    ds = _t(sf_dir, "documents", ["source", "text"])
+    empty_rows = pa.table(
+        {"h": pa.array([], pa.int64()), "source": pa.array([], pa.string())}
+    )
+
+    def shingle_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty_rows
+        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(pc.utf8_lower(b["text"])))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        n_sh = np.maximum(np.diff(offs) - 2, 0)
+        total = int(n_sh.sum())
+        if total == 0:
+            return empty_rows
+        local = np.arange(total, dtype=np.int64) - np.repeat(
+            np.r_[np.int64(0), np.cumsum(n_sh)[:-1]], n_sh
+        )
+        i0 = np.repeat(offs[:-1], n_sh) + local
+        sh = pc.binary_join_element_wise(
+            flat.take(pa.array(i0)),
+            flat.take(pa.array(i0 + 1)),
+            flat.take(pa.array(i0 + 2)),
+            " ",
+        )
+        h = hash_strings(*flat_utf8(sh)).view(np.int64)
+        src = b["source"].combine_chunks() if isinstance(b["source"], pa.ChunkedArray) else b["source"]
+        enc = src.take(pa.array(np.repeat(np.arange(len(offs) - 1, dtype=np.int64), n_sh))).dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        order = np.lexsort((codes, h))
+        h, codes = h[order], codes[order]
+        keep = np.r_[True, (h[1:] != h[:-1]) | (codes[1:] != codes[:-1])]
+        return pa.table(
+            {
+                "h": pa.array(h[keep]),
+                "source": enc.dictionary.take(pa.array(codes[keep])),
+            }
+        )
+
+    empty_cells = pa.table(
+        {
+            "source_a": pa.array([], pa.string()),
+            "source_b": pa.array([], pa.string()),
+            "n_partial": pa.array([], pa.int64()),
+        }
+    )
+
+    def kernel(g: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        if g.num_rows == 0:
+            return empty_cells
+        h = np.asarray(g["h"], dtype=np.int64)
+        src = g["source"].combine_chunks() if isinstance(g["source"], pa.ChunkedArray) else g["source"]
+        enc = src.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        keep = np.r_[True, (h[1:] != h[:-1]) | (codes[1:] != codes[:-1])]
+        h2, c2 = h[keep], codes[keep]
+        s2 = np.flatnonzero(np.r_[True, h2[1:] != h2[:-1]]).astype(np.int64)
+        e2 = np.r_[s2[1:], len(h2)].astype(np.int64)
+        li, ri = all_pairs_within_runs(s2, e2)
+        if len(li) == 0:
+            return empty_cells
+        k = np.int64(len(enc.dictionary))
+        uk, cnt = np.unique(c2[li] * k + c2[ri], return_counts=True)
+        return pa.table(
+            {
+                "source_a": enc.dictionary.take(pa.array(uk // k)),
+                "source_b": enc.dictionary.take(pa.array(uk % k)),
+                "n_partial": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    cells = grouped_ordered_runs(
+        ds.map_batches(shingle_rows, batch_format="pyarrow"), "h", ("source",), kernel
+    )
+    out = cells.groupby(["source_a", "source_b"]).aggregate(
+        Sum("n_partial", alias_name="n_shared")
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def _crawl_day(ids: np.ndarray, n_days: int = 32) -> np.ndarray:
     """Deterministic synthetic crawl day for a doc id (splitmix64 % n_days) —
     pure arithmetic, so BOTH engine and oracle derive the identical view and
@@ -6846,6 +6946,7 @@ QUERIES = {
     "emb_knn_ivf_top5": emb_knn_ivf_top5,
     "docs_near_dup_verified": docs_near_dup_verified,
     "docs_near_dup_windowed": docs_near_dup_windowed,
+    "sources_shingle_overlap": sources_shingle_overlap,
     "docs_chunk_windows": docs_chunk_windows,
     "lineitem_bloom_semi_join": lineitem_bloom_semi_join,
     "emb_norms": emb_norms,
@@ -7873,6 +7974,23 @@ ORACLE_SQL = {
                    ) AS rank
             FROM q CROSS JOIN embeddings e
         ) WHERE rank <= 5
+    """,
+    "sources_shingle_overlap": """
+        WITH t AS (
+            SELECT source,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+            FROM documents
+        ), p AS (
+            SELECT source, toks, unnest(range(1, len(toks) - 1)) AS i FROM t
+        ), sh AS (
+            SELECT DISTINCT source,
+                   toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g
+            FROM p
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2
     """,
     "emb_mutual_knn": """
         WITH r AS (

