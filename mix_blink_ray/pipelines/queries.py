@@ -1958,6 +1958,72 @@ def _crawl_day(ids: np.ndarray, n_days: int = 32) -> np.ndarray:
     )
 
 
+def docs_vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary growth curve over the deterministic crawl-day
+    view (`_crawl_day`): per day, how many DISTINCT tokens appear for the
+    FIRST time in the corpus, plus the running vocabulary size — the
+    diminishing-novelty signal crawl scheduling and dedup budgeting read.
+    A token's first day is simply its MIN day, so the whole curve needs no
+    ordered scan: per-batch (token, min-day) contraction, ONE bucketed-run
+    exchange keyed by token (`grouped_ordered_runs` sorted by (token, day)
+    — run head = global min), each bucket contracting to day-bounded
+    (day, n) cells; the final groupby and the running sum touch ≤ 32 rows.
+    Shuffle ∝ distinct (token, day) cells, never token occurrences."""
+    from ..stages.windows import grouped_ordered_runs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    empty_rows = pa.table(
+        {"token": pa.array([], pa.string()), "day": pa.array([], pa.int64())}
+    )
+
+    def token_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty_rows
+        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(pc.utf8_lower(b["text"])))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        counts = np.diff(np.asarray(toks.offsets, dtype=np.int64))
+        day = np.repeat(_crawl_day(np.asarray(b["doc_id"], dtype=np.int64)), counts)
+        enc = flat.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        order = np.lexsort((day, codes))
+        codes, day = codes[order], day[order]
+        first = np.r_[True, codes[1:] != codes[:-1]]  # min day per token (day sorted within)
+        return pa.table(
+            {
+                "token": enc.dictionary.take(pa.array(codes[first])),
+                "day": pa.array(day[first]),
+            }
+        )
+
+    empty_cells = pa.table(
+        {"day": pa.array([], pa.int64()), "n_partial": pa.array([], pa.int64())}
+    )
+
+    def kernel(g: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        if g.num_rows == 0:
+            return empty_cells
+        first_day = np.asarray(g["day"], dtype=np.int64)[starts]
+        uk, cnt = np.unique(first_day, return_counts=True)
+        return pa.table({"day": pa.array(uk), "n_partial": pa.array(cnt.astype(np.int64))})
+
+    cells = grouped_ordered_runs(
+        ds.map_batches(token_rows, batch_format="pyarrow"), "token", ("day",), kernel
+    )
+    agg = (
+        cells.groupby("day")
+        .aggregate(Sum("n_partial", alias_name="new_tokens"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    agg["vocab_size"] = agg["new_tokens"].cumsum()
+    agg["new_tokens"] = agg["new_tokens"].astype("int64")
+    agg["vocab_size"] = agg["vocab_size"].astype("int64")
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
 def docs_near_dup_windowed(sf_dir: str):
     """TIME-WINDOWED near-duplicate join — duplicates only count within a
     7-day crawl window (the web-recrawl dedup pattern: the same boilerplate
@@ -6947,6 +7013,7 @@ QUERIES = {
     "docs_near_dup_verified": docs_near_dup_verified,
     "docs_near_dup_windowed": docs_near_dup_windowed,
     "sources_shingle_overlap": sources_shingle_overlap,
+    "docs_vocab_growth": docs_vocab_growth,
     "docs_chunk_windows": docs_chunk_windows,
     "lineitem_bloom_semi_join": lineitem_bloom_semi_join,
     "emb_norms": emb_norms,
@@ -8936,6 +9003,49 @@ def _build_epoch_shuffle_oracle(seed: int = 7) -> None:
 
 
 _build_epoch_shuffle_oracle()
+
+
+def _build_vocab_growth_oracle() -> None:
+    """Replay `docs_vocab_growth`: the splitmix64 % 32 crawl-day chain in
+    HUGEINT (identical to the `docs_near_dup_windowed` day CTE), a token's
+    first day as min(day), then the per-day count + running sum."""
+    m64 = "CAST(18446744073709551616 AS HUGEINT)"
+
+    def mulmod(col: str, c: int) -> str:
+        hi, lo = c >> 32, c & 0xFFFFFFFF
+        return (
+            f"(((({col} % 4294967296) * {hi}) % 4294967296) "
+            f"* 4294967296 + {col} * {lo}) % {m64}"
+        )
+
+    c1 = 0x9E3779B97F4A7C15
+    c2, c3 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    ORACLE_SQL["docs_vocab_growth"] = f"""
+        WITH d1 AS (SELECT doc_id,
+                           (CAST(doc_id AS HUGEINT) + {c1}) % {m64} AS x
+                    FROM documents),
+        d2 AS (SELECT doc_id, {mulmod("xor(x, x >> 30)", c2)} AS x FROM d1),
+        d3 AS (SELECT doc_id, {mulmod("xor(x, x >> 27)", c3)} AS x FROM d2),
+        days AS (SELECT doc_id,
+                        CAST(xor(x, x >> 31) % 32 AS BIGINT) AS day
+                 FROM d3),
+        tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM documents
+        ),
+        f AS (
+            SELECT w, min(day) AS day
+            FROM tok JOIN days USING (doc_id) GROUP BY w
+        ),
+        c AS (SELECT day, CAST(count(*) AS BIGINT) AS new_tokens FROM f GROUP BY day)
+        SELECT day, new_tokens,
+               CAST(sum(new_tokens) OVER (ORDER BY day) AS BIGINT) AS vocab_size
+        FROM c
+    """
+
+
+_build_vocab_growth_oracle()
 
 
 def _build_bpe_encode_oracle() -> None:

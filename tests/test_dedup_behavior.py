@@ -480,3 +480,46 @@ def test_sources_shingle_overlap_hand_computed(tmp_path):
     out = sources_shingle_overlap(str(tmp_path)).to_pandas()
     got = {(r.source_a, r.source_b): r.n_shared for r in out.itertuples()}
     assert got == {("A", "B"): 1}
+
+
+def test_vocab_growth_matches_pandas_reference(tmp_path):
+    """docs_vocab_growth equals a per-token min-day pandas reference on a
+    constructed corpus with repeated tokens across days; curve is monotone
+    and totals match the distinct vocabulary."""
+    import pyarrow.parquet as pq
+
+    from mix_blink_ray.pipelines.queries import _crawl_day, docs_vocab_growth
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(60)]
+    ids = np.arange(50, dtype=np.int64)
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 12)))
+        for _ in ids
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(ids)),
+            "source": pa.array(["s"] * len(ids)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = docs_vocab_growth(str(tmp_path)).to_pandas()
+
+    days = _crawl_day(ids)
+    first = {}
+    for i, t in enumerate(texts):
+        for w in t.lower().split():
+            d = int(days[i])
+            if w not in first or d < first[w]:
+                first[w] = d
+    import collections
+
+    exp = collections.Counter(first.values())
+    got = dict(zip(out["day"], out["new_tokens"]))
+    assert got == dict(exp)
+    assert out["vocab_size"].is_monotonic_increasing
+    assert out["new_tokens"].sum() == len(first) == out["vocab_size"].iloc[-1]
