@@ -1958,6 +1958,74 @@ def _crawl_day(ids: np.ndarray, n_days: int = 32) -> np.ndarray:
     )
 
 
+def sources_token_waterfill(sf_dir: str):
+    """Max-min fair token-budget allocation across sources (waterfilling) —
+    the data-mixing primitive that caps over-represented feeds: with budget
+    B = 60 % of total tokens, find the LARGEST integer cap L with
+    Σ min(c_s, L) ≤ B, then allocate min(c_s, L) per source.  Exact
+    integers end to end: per-batch token counts contract to per-source
+    cells (`group_sums_int64` — no float bincount), one dimension-sized
+    groupby, and the cap falls out of the sorted prefix scan over ≤
+    n_sources rows on the driver (the counts table IS dimension-sized; the
+    corpus never leaves the workers).  Output per source: n_tokens, cap
+    (constant), allocated, capped flag.  The unallocated remainder
+    B − Σ min(c_s, L) < #uncapped-sources stays unallocated (documented;
+    fractional top-ups would need non-integer caps)."""
+    from ..functions.numeric import group_sums_int64
+
+    ds = _t(sf_dir, "documents", ["source", "text"])
+    empty_cells = pa.table(
+        {"source": pa.array([], pa.string()), "n_partial": pa.array([], pa.int64())}
+    )
+
+    def counts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty_cells
+        n = pc.cast(
+            pc.list_value_length(pc.utf8_split_whitespace(pc.utf8_trim_whitespace(b["text"]))),
+            pa.int64(),
+        )
+        src = b["source"].combine_chunks() if isinstance(b["source"], pa.ChunkedArray) else b["source"]
+        enc = src.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        (sums,) = group_sums_int64(codes, len(enc.dictionary), np.asarray(n, dtype=np.int64))
+        return pa.table(
+            {
+                "source": enc.dictionary,
+                "n_partial": pa.array(sums),
+            }
+        )
+
+    tbl = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_partial", alias_name="n_tokens"))
+        .to_pandas()
+    )
+    c = tbl["n_tokens"].to_numpy().astype(np.int64)
+    total = int(c.sum())
+    budget = total * 3 // 5
+    sorted_c = np.sort(c)
+    n = len(c)
+    pre, cap = 0, int(sorted_c[-1]) if n else 0
+    for i in range(n):  # ≤ n_sources iterations — dimension-sized by design
+        s_i = pre + (n - i) * int(sorted_c[i])
+        if s_i > budget:
+            cap = (budget - pre) // (n - i)
+            break
+        pre += int(sorted_c[i])
+    allocated = np.minimum(c, cap)
+    return pa.table(
+        {
+            "source": pa.array(tbl["source"].to_numpy(), pa.string()),
+            "n_tokens": pa.array(c),
+            "cap": pa.array(np.full(n, cap, dtype=np.int64)),
+            "allocated": pa.array(allocated.astype(np.int64)),
+            "capped": pa.array((c > cap).astype(np.int64)),
+        }
+    )
+
+
 def docs_vocab_growth(sf_dir: str):
     """Heaps'-law vocabulary growth curve over the deterministic crawl-day
     view (`_crawl_day`): per day, how many DISTINCT tokens appear for the
@@ -7014,6 +7082,7 @@ QUERIES = {
     "docs_near_dup_windowed": docs_near_dup_windowed,
     "sources_shingle_overlap": sources_shingle_overlap,
     "docs_vocab_growth": docs_vocab_growth,
+    "sources_token_waterfill": sources_token_waterfill,
     "docs_chunk_windows": docs_chunk_windows,
     "lineitem_bloom_semi_join": lineitem_bloom_semi_join,
     "emb_norms": emb_norms,
@@ -8041,6 +8110,38 @@ ORACLE_SQL = {
                    ) AS rank
             FROM q CROSS JOIN embeddings e
         ) WHERE rank <= 5
+    """,
+    "sources_token_waterfill": """
+        WITH c AS (
+            SELECT source,
+                   CAST(sum(array_length(
+                       regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) * 3 // 5 AS b FROM c),
+        o AS (
+            SELECT source, n_tokens,
+                   row_number() OVER (ORDER BY n_tokens, source) AS rn,
+                   CAST(sum(n_tokens) OVER (ORDER BY n_tokens, source) AS BIGINT) AS pre,
+                   CAST(count(*) OVER () AS BIGINT) AS n
+            FROM c
+        ),
+        brk AS (
+            SELECT min(rn) AS rn FROM o, tot
+            WHERE (pre - n_tokens) + (n - rn + 1) * n_tokens > tot.b
+        ),
+        cap AS (
+            SELECT CASE WHEN brk.rn IS NULL THEN (SELECT max(n_tokens) FROM c)
+                        ELSE (SELECT (tot.b - (o.pre - o.n_tokens)) // (o.n - o.rn + 1)
+                              FROM o, tot WHERE o.rn = brk.rn)
+                   END AS L
+            FROM brk
+        )
+        SELECT c.source, c.n_tokens,
+               CAST(cap.L AS BIGINT) AS cap,
+               CAST(least(c.n_tokens, cap.L) AS BIGINT) AS allocated,
+               CAST(CASE WHEN c.n_tokens > cap.L THEN 1 ELSE 0 END AS BIGINT) AS capped
+        FROM c, cap
     """,
     "sources_shingle_overlap": """
         WITH t AS (

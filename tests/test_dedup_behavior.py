@@ -523,3 +523,34 @@ def test_vocab_growth_matches_pandas_reference(tmp_path):
     assert got == dict(exp)
     assert out["vocab_size"].is_monotonic_increasing
     assert out["new_tokens"].sum() == len(first) == out["vocab_size"].iloc[-1]
+
+
+def test_waterfill_hand_computed(tmp_path):
+    """sources_token_waterfill: counts [10, 20, 100], B = 78 → cap 48,
+    allocations [10, 20, 48]; budget respected; remainder < uncapped count."""
+    import pyarrow.parquet as pq
+
+    from mix_blink_ray.pipelines.queries import sources_token_waterfill
+
+    def doc(n):
+        return " ".join(f"t{i}" for i in range(n))
+
+    texts = [("A", doc(10)), ("B", doc(20)), ("C", doc(100))]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array([t for _, t in texts]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array([s for s, _ in texts]),
+            "n_chars": pa.array([len(t) for _, t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = sources_token_waterfill(str(tmp_path)).to_pandas().set_index("source")
+    assert out.loc["A", "allocated"] == 10 and out.loc["A", "capped"] == 0
+    assert out.loc["B", "allocated"] == 20 and out.loc["B", "capped"] == 0
+    assert out.loc["C", "allocated"] == 48 and out.loc["C", "capped"] == 1
+    assert (out["cap"] == 48).all()
+    budget = 130 * 3 // 5
+    assert out["allocated"].sum() <= budget
+    assert budget - out["allocated"].sum() < max((out["capped"] == 1).sum(), 1)
