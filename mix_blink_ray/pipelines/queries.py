@@ -1835,6 +1835,27 @@ def emb_knn_quantized_top5(sf_dir: str):
     return knn_bruteforce(ds2, query_ids=[0, 1, 2, 3, 4], cfg=AnnConfig(k=5))
 
 
+def docs_subset_join(sf_dir: str):
+    """EXACT set-containment join (``stages.simjoin.containment_join`` at
+    t = 1): every directed pair (a, b) whose token SET is fully contained
+    in b's — the quote/boilerplate-subsumption query (a Jaccard join can
+    never answer it: a short doc inside a long one has low Jaccard but
+    containment 1).  At t = 1 the containment prefix collapses to each
+    doc's single RAREST token (p = L − ⌈L⌉ + 1 = 1) while the right side
+    emits all tokens — the minimal zero-miss emission.  Restricted to
+    doc_id < 300 so the brute-force all-pairs oracle stays tractable (the
+    engine needs no restriction; zero-miss parity tests run unrestricted
+    random corpora at fractional thresholds)."""
+    from ..stages.simjoin import containment_join
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: b.filter(pc.less(b["doc_id"], pa.scalar(300, pa.int64()))),
+        batch_format="pyarrow",
+    )
+    out = containment_join(ds, threshold=1.0)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def docs_near_dup_verified(sf_dir: str):
     """MinHash+LSH candidates → EXACT char-3-gram Jaccard verify (texts
     hash-joined onto the pair set) — the full two-stage near-dup pipeline."""
@@ -7083,6 +7104,7 @@ QUERIES = {
     "sources_shingle_overlap": sources_shingle_overlap,
     "docs_vocab_growth": docs_vocab_growth,
     "sources_token_waterfill": sources_token_waterfill,
+    "docs_subset_join": docs_subset_join,
     "docs_chunk_windows": docs_chunk_windows,
     "lineitem_bloom_semi_join": lineitem_bloom_semi_join,
     "emb_norms": emb_norms,
@@ -8728,6 +8750,22 @@ ORACLE_SQL = {
         SELECT a_id, b_id,
                CAST(round(jac * 1000000) AS BIGINT) / 1000000.0 AS jaccard
         FROM j WHERE jac >= 0.4
+    """,
+    "docs_subset_join": """
+        WITH g AS (
+            SELECT doc_id,
+                   list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+            FROM documents
+            WHERE doc_id < 300 AND trim(text) <> ''
+        ), v AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                     / greatest(len(a.toks), 1) AS c
+            FROM g a JOIN g b ON a.doc_id <> b.doc_id
+        )
+        SELECT a_id, b_id,
+               CAST(round(c * 1000000) AS BIGINT) / 1000000.0 AS containment
+        FROM v WHERE c >= 1.0
     """,
     "docs_split_leakage_safe": """
         WITH RECURSIVE g AS (

@@ -36,7 +36,7 @@ import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
-__all__ = ["ppjoin_pairs", "edit1_join"]
+__all__ = ["ppjoin_pairs", "containment_join", "edit1_join"]
 
 
 def _distinct_row_tokens(b: pa.Table, id_col: str, text_col: str):
@@ -392,6 +392,185 @@ def ppjoin_pairs(
         # no epsilon: both sides (and the SQL oracle) compute the identical
         # int/int float64 division, so >= t is bit-deterministic
         return out.filter(pa.array(jac >= t))
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def containment_join(
+    docs: Dataset,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_broadcast_vocab: int = 20_000_000,
+    hot_pair_cap: int = 1 << 22,
+    payload_broadcast_limit: int = 2_000_000,
+) -> Dataset:
+    """All DIRECTED pairs (a, b), a ≠ b, with exact token-set CONTAINMENT
+    |A ∩ B| / |A| ≥ ``threshold`` — ``(a_id, b_id, containment)``.  The
+    asymmetric sibling of :func:`ppjoin_pairs`: quote detection, benchmark
+    decontamination, subset joins (``threshold=1`` is the classic
+    set-containment join).
+
+    Prefix theorem, containment form: |A∩B| ≥ ⌈t·|A|⌉ forces at least one
+    of A's first ``p(|A|) = |A| − ⌈t·|A|⌉ + 1`` tokens under the global
+    rarity order into B — the SAME ``p`` as the Jaccard prefix, so the
+    broadcast / distributed prefix-row stages are reused verbatim.  The
+    right side cannot prune (the witness token may sit anywhere in B), so B
+    emits ALL its distinct tokens — emission ∝ membership rows, the honest
+    asymmetric-join floor.  Candidates per token = prefix(A) × full(B)
+    through ONE bucketed exchange; the length filter |B| ≥ t·|A| runs
+    in-group; exact verify computes |A∩B| / |A| on the pair set.  A token
+    whose candidate cross-product exceeds ``hot_pair_cap`` RAISES (house
+    rule: truncation would silently break the zero-miss claim)."""
+    from .clustering import clamped_partitions
+    from .dedup import _auto_buckets, distinct_pairs, grouped_run_pairs
+    from .vocab import doc_frequencies
+
+    t = float(threshold)
+    if not 0.0 < t <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {t}")
+
+    df_ds = doc_frequencies(docs, id_col=id_col, text_col=text_col).materialize()
+    n_prefix = None
+    if df_ds.count() <= max_broadcast_vocab:
+        n_prefix = _prefix_rows_broadcast(docs, df_ds, t, id_col, text_col)
+    if n_prefix is None:
+        n_prefix = _prefix_rows_distributed(docs, df_ds, t, id_col, text_col)
+
+    role_schema = pa.table(
+        {
+            "token": pa.array([], pa.string()),
+            id_col: pa.array([], pa.int64()),
+            "set_len": pa.array([], pa.int64()),
+            "role": pa.array([], pa.int64()),
+        }
+    )
+
+    def add_role(role: int):
+        def fn(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return role_schema
+            return b.append_column("role", pa.array(np.full(b.num_rows, role, np.int64)))
+
+        return fn
+
+    def full_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return role_schema
+        rows, toks = _distinct_row_tokens(b, id_col, text_col)
+        if len(rows) == 0:
+            return role_schema
+        starts = np.flatnonzero(np.r_[True, rows[1:] != rows[:-1]])
+        lens = np.diff(np.r_[starts, len(rows)])
+        l_of = np.repeat(lens, lens)
+        ids = np.asarray(b[id_col], dtype=np.int64)[rows]
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                id_col: pa.array(ids, pa.int64()),
+                "set_len": pa.array(l_of, pa.int64()),
+                "role": pa.array(np.ones(len(rows), np.int64)),
+            }
+        )
+
+    rows_ds = (
+        n_prefix.map_batches(add_role(0), batch_format="pyarrow")
+        .union(docs.map_batches(full_rows, batch_format="pyarrow"))
+        .materialize()
+    )
+
+    def in_token_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())})
+        n = group.num_rows
+        if n < 2:
+            return empty
+        ids = np.asarray(group[id_col], dtype=np.int64)
+        lens = np.asarray(group["set_len"], dtype=np.int64)
+        roles = np.asarray(group["role"], dtype=np.int64)
+        order = np.lexsort((roles, ids))
+        ids, lens, roles = ids[order], lens[order], roles[order]
+        keep = np.r_[True, (ids[1:] != ids[:-1]) | (roles[1:] != roles[:-1])]
+        ids, lens, roles = ids[keep], lens[keep], roles[keep]
+        pi = np.flatnonzero(roles == 0)
+        fi = np.flatnonzero(roles == 1)
+        if len(pi) == 0 or len(fi) == 0:
+            return empty
+        if len(pi) * len(fi) > hot_pair_cap:
+            raise ValueError(
+                f"containment_join: token candidate cross-product "
+                f"{len(pi)}x{len(fi)} exceeds hot_pair_cap={hot_pair_cap}; "
+                "truncation would break the zero-miss guarantee"
+            )
+        a = np.repeat(ids[pi], len(fi))
+        la = np.repeat(lens[pi], len(fi))
+        b = np.tile(ids[fi], len(pi))
+        lb = np.tile(lens[fi], len(pi))
+        # length filter: |A∩B| <= |B| and >= ceil(t|A|)  =>  |B| >= t·|A|
+        keep2 = (a != b) & (lb.astype(np.float64) >= t * la - 1e-9)
+        return pa.table({"a_id": pa.array(a[keep2]), "b_id": pa.array(b[keep2])})
+
+    pairs = distinct_pairs(
+        grouped_run_pairs(
+            rows_ds, "token", in_token_pairs, n_buckets=_auto_buckets(rows_ds.count())
+        )
+    ).materialize()
+
+    empty_result = pa.table(
+        {
+            "a_id": pa.array([], pa.int64()),
+            "b_id": pa.array([], pa.int64()),
+            "containment": pa.array([], pa.float64()),
+        }
+    )
+    if pairs.count() == 0:
+        import ray.data as rd_
+
+        return rd_.from_arrow(empty_result)
+
+    n_parts = clamped_partitions(
+        max(pairs.count(), 1), max(8, int(ray.cluster_resources().get("CPU", 8)))
+    )
+    joined = _attach_pair_payloads(
+        pairs,
+        docs,
+        id_col,
+        text_col,
+        "a_text",
+        "b_text",
+        n_parts,
+        broadcast_limit=payload_broadcast_limit,
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return empty_result
+
+        def row_sets(col):
+            t2 = pa.table({"i": pa.array(np.arange(n, dtype=np.int64)), "x": col})
+            return _distinct_row_tokens(
+                t2.rename_columns(["doc_id", "text"]), "doc_id", "text"
+            )
+
+        ra, ta = row_sets(batch["a_text"])
+        rb, tb = row_sets(batch["b_text"])
+        na = np.maximum(np.bincount(ra, minlength=n), 1)
+        rows = np.concatenate([ra, rb])
+        toks = np.concatenate([ta, tb])
+        order = np.lexsort((toks, rows))
+        rows, toks = rows[order], toks[order]
+        dup = (rows[1:] == rows[:-1]) & (toks[1:] == toks[:-1])
+        inter = np.bincount(rows[1:][dup], minlength=n)
+        c = inter.astype(np.float64) / na
+        out = pa.table(
+            {
+                "a_id": batch["a_id"],
+                "b_id": batch["b_id"],
+                "containment": pa.array(np.floor(c * 1_000_000 + 0.5) / 1_000_000.0),
+            }
+        )
+        # same int/int float64 division on both sides — >= t is bit-deterministic
+        return out.filter(pa.array(c >= t))
 
     return joined.map_batches(verify, batch_format="pyarrow")
 

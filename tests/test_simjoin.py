@@ -131,3 +131,66 @@ def test_ppjoin_payload_join_fallback_parity(ray_session):
     )
     assert len(bc) > 0
     pd.testing.assert_frame_equal(bc, jn)
+
+
+def _brute_containment(tbl: pa.Table, t: float) -> pd.DataFrame:
+    docs = tbl.to_pandas()
+    sets = {r.doc_id: set(r.text.lower().split()) for r in docs.itertuples(index=False)}
+    rows = []
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            c = len(sets[a] & sets[b]) / max(len(sets[a]), 1)
+            if c >= t:
+                rows.append((a, b, round(c * 1_000_000) / 1_000_000.0))
+    return pd.DataFrame(rows, columns=["a_id", "b_id", "containment"]).sort_values(
+        ["a_id", "b_id"]
+    ).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("t,parallelism", [(0.7, 1), (0.7, 7), (1.0, 5)])
+def test_containment_zero_miss_vs_bruteforce(ray_session, t, parallelism):
+    """containment_join: ZERO MISSES vs brute-force directed containment at a
+    fractional and the subset (t=1) threshold, two partition layouts."""
+    from mix_blink_ray.stages.simjoin import containment_join
+
+    tbl = _corpus()
+    got = (
+        containment_join(rd.from_arrow(tbl).repartition(parallelism), t)
+        .to_pandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    want = _brute_containment(tbl, t)
+    assert len(want) > 0, "corpus must contain qualifying directed pairs"
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_containment_directedness(ray_session):
+    """A short doc fully inside a long one: (short, long) qualifies at t=1,
+    (long, short) does not."""
+    from mix_blink_ray.stages.simjoin import containment_join
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["alpha beta", "alpha beta gamma delta"], pa.string()),
+        }
+    )
+    out = containment_join(rd.from_arrow(tbl), 1.0).to_pandas()
+    assert {(r.a_id, r.b_id) for r in out.itertuples()} == {(1, 2)}
+    assert out["containment"].iloc[0] == 1.0
+
+
+def test_containment_hot_pair_cap_raises(ray_session):
+    from mix_blink_ray.stages.simjoin import containment_join
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(30, dtype=np.int64)),
+            "text": pa.array(["same token everywhere"] * 30, pa.string()),
+        }
+    )
+    with pytest.raises(Exception, match="hot_pair_cap"):
+        containment_join(rd.from_arrow(tbl), 0.9, hot_pair_cap=10).to_pandas()
