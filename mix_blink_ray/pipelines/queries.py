@@ -2934,6 +2934,131 @@ def docs_er_cluster_purity(sf_dir: str):
     )
 
 
+def docs_er_rand_index(sf_dir: str):
+    """(Adjusted) Rand index sufficient statistics for the verified ER
+    clustering against the source classes — the pair-counting partner of the
+    B³/purity table (``docs_er_cluster_purity``): ONE summary row with the
+    exact integer pair counts the Rand family is defined over.  tp_pairs =
+    Σ C(n_ij,2) over the contingency cells, cluster_pairs = Σ C(a_i,2) over
+    cluster sizes, class_pairs = Σ C(b_j,2) over class sizes, pair_total =
+    C(n,2); Rand = (pair_total − cluster_pairs − class_pairs + 2·tp) /
+    pair_total emitted as a non-negative permille floor division (identical
+    on numpy and DuckDB), and ARI — whose value can be NEGATIVE, where
+    numpy's floor and DuckDB's truncating ``//`` disagree — ships as the
+    exact integer rational ``ari_num / ari_den`` (= 2·(tp·C − pr·pc) /
+    (C·(pr+pc) − 2·pr·pc)) with NO division at all, so the hash can never
+    drift on sign.  Distributed shape: the contingency cells are the same
+    single bucketed exchange as the purity query; cluster sizes are a
+    cell-scale groupby of those cells, class sizes a map-side count
+    contraction over documents — the driver touches only ≤ a dozen scalars,
+    combined in arbitrary-precision Python ints and RANGE-CHECKED into int64
+    exactly where the oracle's BIGINT cast would raise (house convention:
+    fail loudly together, never wrap).  Reference parity target:
+    mix_blink/evaluation.py computes per-mention micro metrics; pair-counting
+    cluster agreement is the ER-native equivalent over the clustering output."""
+    from ..stages.dedup import ngram_jaccard_verify
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    verified = ngram_jaccard_verify(_window_pair_table(ds, 5), ds, threshold=0.5)
+    labels = _verified_cluster_labels(ds, verified)
+    src = _t(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        lambda b: pa.table({"sdoc": b["doc_id"], "source": b["source"]}),
+        batch_format="pyarrow",
+    )
+    import ray
+
+    from ..stages.clustering import clamped_partitions
+
+    n_docs = ds.count()
+    n_parts = clamped_partitions(n_docs, max(8, int(ray.cluster_resources().get("CPU", 8))))
+    joined = labels.join(src, join_type="inner", num_partitions=n_parts, on=("doc_id",), right_on=("sdoc",))
+
+    def cell_partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"cluster_id": b["cluster_id"], "source": b["source"]})
+            .group_by(["cluster_id", "source"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["cluster_id", "source", "n_partial"])
+
+    cells = (
+        joined.map_batches(cell_partial, batch_format="pyarrow")
+        .groupby(["cluster_id", "source"])
+        .aggregate(Sum("n_partial", alias_name="n_cs"))
+    )
+
+    # C(m,2) partials stay int64-safe: m ≤ n_docs and we RAISE before any
+    # square can exceed 2^63 (DuckDB's HUGEINT survives to the BIGINT cast;
+    # the driver combine below uses Python ints so only outputs are checked).
+    if n_docs >= 3_000_000_000:
+        raise ValueError("docs_er_rand_index: C(n,2) exceeds int64 — emit raw cells instead")
+
+    def tp_partial(b: pa.Table) -> pa.Table:
+        m = np.asarray(b["n_cs"], dtype=np.int64)
+        agg = pa.table(
+            {"cluster_id": b["cluster_id"], "a_p": b["n_cs"], "tp_p": pa.array(m * (m - 1) // 2, pa.int64())}
+        )
+        g = agg.group_by("cluster_id").aggregate([("a_p", "sum"), ("tp_p", "sum")])
+        return g.rename_columns(["cluster_id", "a_p", "tp_p"])
+
+    per_cluster = (
+        cells.map_batches(tp_partial, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .aggregate(Sum("a_p", alias_name="a_i"), Sum("tp_p", alias_name="tp_c"))
+    )
+
+    def reduce_partial(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["a_i"], dtype=np.int64)
+        tp = np.asarray(b["tp_c"], dtype=np.int64)
+        return pa.table(
+            {
+                "pr_p": pa.array([int((a * (a - 1) // 2).sum())], pa.int64()),
+                "tp_sum_p": pa.array([int(tp.sum())], pa.int64()),
+            }
+        )
+
+    red = per_cluster.map_batches(reduce_partial, batch_format="pyarrow").sum(["pr_p", "tp_sum_p"])
+    pr, tp = int(red["sum(pr_p)"]), int(red["sum(tp_sum_p)"])
+
+    def class_partial(b: pa.Table) -> pa.Table:
+        g = pa.table({"source": b["source"]}).group_by("source").aggregate([([], "count_all")])
+        return g.rename_columns(["source", "b_partial"])
+
+    classes = (
+        _t(sf_dir, "documents", ["source"])
+        .map_batches(class_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("b_partial", alias_name="b_j"))
+        .to_pandas()
+    )
+    pc2 = sum(int(v) * (int(v) - 1) // 2 for v in classes["b_j"])
+
+    n = int(n_docs)
+    pair_total = n * (n - 1) // 2
+    if pair_total == 0:
+        raise ValueError("docs_er_rand_index: fewer than 2 documents")
+    rand_permille = (1000 * (pair_total - pr - pc2 + 2 * tp)) // pair_total
+    ari_num = 2 * (tp * pair_total - pr * pc2)
+    ari_den = pair_total * (pr + pc2) - 2 * pr * pc2
+    if ari_den == 0:
+        raise ValueError("docs_er_rand_index: degenerate clustering (ARI undefined)")
+    for name, v in (("ari_num", ari_num), ("ari_den", ari_den), ("pair_total", pair_total)):
+        if not (-(2**63) <= v < 2**63):
+            raise ValueError(f"docs_er_rand_index: {name} overflows int64 (oracle BIGINT cast would raise)")
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "pair_total": pa.array([pair_total], pa.int64()),
+            "tp_pairs": pa.array([tp], pa.int64()),
+            "cluster_pairs": pa.array([pr], pa.int64()),
+            "class_pairs": pa.array([pc2], pa.int64()),
+            "rand_permille": pa.array([rand_permille], pa.int64()),
+            "ari_num": pa.array([ari_num], pa.int64()),
+            "ari_den": pa.array([ari_den], pa.int64()),
+        }
+    )
+
+
 def docs_search_bm25(sf_dir: str):
     """BM25 top-10 retrieval (k1=6/5, b=3/4) in EXACT integer arithmetic:
     with avgdl = T/N folded through, the saturation term becomes
@@ -7131,6 +7256,7 @@ QUERIES = {
     "docs_simjoin_exact": docs_simjoin_exact,
     "customers_name_edit1": customers_name_edit1,
     "docs_er_cluster_purity": docs_er_cluster_purity,
+    "docs_er_rand_index": docs_er_rand_index,
     "docs_search_bm25": docs_search_bm25,
     "sources_lexical_diversity": sources_lexical_diversity,
     "events_top3_values_dense": events_top3_values_dense,
@@ -8724,6 +8850,57 @@ ORACLE_SQL = {
                CAST(max(n_cs) AS BIGINT) AS max_ncs,
                count(*) AS n_sources
         FROM cells GROUP BY cluster_id
+    """,
+    "docs_er_rand_index": """
+        WITH RECURSIVE g AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) >= 3
+                        THEN list_distinct(list_transform(
+                                 generate_series(1, length(text) - 2),
+                                 i -> substring(text, i, 3)))
+                        WHEN length(text) > 0 THEN [text]
+                        ELSE CAST([] AS VARCHAR[]) END AS grams
+            FROM documents
+        ), p AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM g a JOIN g b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) >= 0.5
+        ), e AS (
+            SELECT a_id AS src, b_id AS dst FROM p
+            UNION ALL SELECT b_id, a_id FROM p
+        ), reach(node, m) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, r.m FROM reach r JOIN e ON e.src = r.node
+        ), labels AS (
+            SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node
+        ), cells AS (
+            SELECT l.cluster_id, d.source, CAST(count(*) AS HUGEINT) AS n_cs
+            FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+            GROUP BY l.cluster_id, d.source
+        ), tp AS (
+            SELECT sum((n_cs * (n_cs - 1)) // 2) AS tp FROM cells
+        ), pr AS (
+            SELECT sum((a * (a - 1)) // 2) AS pr
+            FROM (SELECT sum(n_cs) AS a FROM cells GROUP BY cluster_id)
+        ), pcs AS (
+            SELECT sum((b * (b - 1)) // 2) AS pc2
+            FROM (SELECT CAST(count(*) AS HUGEINT) AS b FROM documents GROUP BY source)
+        ), nn AS (
+            SELECT CAST(count(*) AS HUGEINT) AS n,
+                   (CAST(count(*) AS HUGEINT) * (count(*) - 1)) // 2 AS c2
+            FROM documents
+        )
+        SELECT CAST(n AS BIGINT) AS n_docs,
+               CAST(c2 AS BIGINT) AS pair_total,
+               CAST(tp AS BIGINT) AS tp_pairs,
+               CAST(pr AS BIGINT) AS cluster_pairs,
+               CAST(pc2 AS BIGINT) AS class_pairs,
+               CAST((1000 * (c2 - pr - pc2 + 2 * tp)) // c2 AS BIGINT) AS rand_permille,
+               CAST(2 * (tp * c2 - pr * pc2) AS BIGINT) AS ari_num,
+               CAST(c2 * (pr + pc2) - 2 * pr * pc2 AS BIGINT) AS ari_den
+        FROM tp, pr, pcs, nn
     """,
     "customers_name_edit1": """
         WITH c AS (
