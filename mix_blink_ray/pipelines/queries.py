@@ -3059,6 +3059,90 @@ def docs_er_rand_index(sf_dir: str):
     )
 
 
+PAGERANK_SCALE = 10**12
+PAGERANK_BASE = 15 * PAGERANK_SCALE // 100  # 0.15·S exactly
+PAGERANK_ITERS = 4
+PAGERANK_OUT_DEG = 3
+
+
+def customers_pagerank(sf_dir: str):
+    """Integer PageRank over the deterministic hash-functional customer graph
+    (each node u has exactly 3 out-edges u → splitmix64(8u+k) mod n,
+    k = 0,1,2): 4 damped iterations r′(v) = 0.15·S + 0.85 · Σ_in (r(u) // 3),
+    ALL in exact non-negative int64 floor arithmetic (S = 10¹²) so the
+    fixed-point replays bit-for-bit in SQL — the oracle UNROLLS the four
+    iterations as a CTE chain (aggregates are illegal inside a recursive
+    term) on the same HUGEINT splitmix64 multiply-split as the HLL/CMS
+    oracles.  The iterative-groupby shape is the scale-relevant part — the
+    same repeated shuffle-aggregate loop as the north star's min-label
+    propagation, but with SUM semantics: contributions are EMITTED from each
+    rank row by pure arithmetic (a functional graph needs no edge table; a
+    materialized web graph swaps the emit for an edge-table join feeding the
+    SAME groupby), one node-scale exchange per iteration, zero-in-degree
+    nodes kept alive by a zero self-contribution row.  The contiguous-key
+    domain [0, n−1] is ASSERTED, not assumed, and hub sums are range-checked so
+    int64 fails exactly where the oracle's BIGINT cast would.
+    Reference parity: mix_blink has no graph stage; this generalizes the
+    clustering family (stages/clustering.py) from min- to sum-propagation."""
+    import ray
+
+    from ..stages.sketches import splitmix64
+
+    ds = _t(sf_dir, "customer", ["c_custkey"])
+    n = ds.count()
+    if n == 0:
+        raise ValueError("customers_pagerank: empty customer table")
+    mm = ds.aggregate(Min("c_custkey"), Max("c_custkey"))
+    if int(mm["min(c_custkey)"]) != 0 or int(mm["max(c_custkey)"]) != n - 1:
+        raise ValueError("customers_pagerank: c_custkey domain is not contiguous [0, n-1]")
+    nu = np.uint64(n)
+
+    ranks = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "v": pc.cast(b["c_custkey"], pa.int64()),
+                "r": pa.array(np.full(b.num_rows, PAGERANK_SCALE, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def contribs(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["v"], dtype=np.int64)
+        c = np.asarray(b["r"], dtype=np.int64) // PAGERANK_OUT_DEG
+        base_in = v.astype(np.uint64) * np.uint64(8)
+        dsts = [
+            (splitmix64(base_in + np.uint64(k)) % nu).astype(np.int64)
+            for k in range(PAGERANK_OUT_DEG)
+        ]
+        dst = np.concatenate(dsts + [v])  # zero self-row keeps sinks alive
+        con = np.concatenate([c] * PAGERANK_OUT_DEG + [np.zeros(len(v), np.int64)])
+        t = pa.table({"v": pa.array(dst, pa.int64()), "c_p": pa.array(con, pa.int64())})
+        return t.group_by("v").aggregate([("c_p", "sum")]).rename_columns(["v", "c_p"])
+
+    def next_rank(b: pa.Table) -> pa.Table:
+        s = np.asarray(b["s"], dtype=np.int64)
+        if len(s) and int(s.max(initial=0)) >= (2**63 - 1) // 85:
+            raise ValueError("customers_pagerank: hub contribution sum overflows int64")
+        return pa.table(
+            {"v": b["v"], "r": pa.array(PAGERANK_BASE + (85 * s) // 100, pa.int64())}
+        )
+
+    for _ in range(PAGERANK_ITERS):
+        ranks = (
+            ranks.map_batches(contribs, batch_format="pyarrow")
+            .groupby("v")
+            .aggregate(Sum("c_p", alias_name="s"))
+            .map_batches(next_rank, batch_format="pyarrow")
+        )
+
+    out = ranks.map_batches(
+        lambda b: pa.table({"c_custkey": b["v"], "rank_scaled": b["r"]}),
+        batch_format="pyarrow",
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def docs_search_bm25(sf_dir: str):
     """BM25 top-10 retrieval (k1=6/5, b=3/4) in EXACT integer arithmetic:
     with avgdl = T/N folded through, the saturation term becomes
@@ -7257,6 +7341,7 @@ QUERIES = {
     "customers_name_edit1": customers_name_edit1,
     "docs_er_cluster_purity": docs_er_cluster_purity,
     "docs_er_rand_index": docs_er_rand_index,
+    "customers_pagerank": customers_pagerank,
     "docs_search_bm25": docs_search_bm25,
     "sources_lexical_diversity": sources_lexical_diversity,
     "events_top3_values_dense": events_top3_values_dense,
@@ -9193,6 +9278,59 @@ def _build_hll_oracle(p: int = 12) -> None:
 
 
 _build_hll_oracle()
+
+
+def _build_pagerank_oracle() -> None:
+    """Bit-exact SQL replay of ``customers_pagerank``: edges from the same
+    HUGEINT splitmix64 chain as ``_build_hll_oracle`` (multiply split into
+    32-bit halves so the int128 product never overflows), then the four
+    damped iterations UNROLLED as a CTE chain — DuckDB disallows aggregates
+    inside a recursive term, and the iteration count is a constant anyway.
+    All arithmetic is non-negative HUGEINT floor division, identical to the
+    engine's int64 path; the final BIGINT cast raises exactly where the
+    engine's hub-sum guard does."""
+    m64 = "CAST(18446744073709551616 AS HUGEINT)"
+
+    def mulmod(col: str, c: int) -> str:
+        hi, lo = c >> 32, c & 0xFFFFFFFF
+        return (
+            f"(((({col} % 4294967296) * {hi}) % 4294967296) "
+            f"* 4294967296 + {col} * {lo}) % {m64}"
+        )
+
+    c1 = 0x9E3779B97F4A7C15
+    c2, c3 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    hops = []
+    for i in range(PAGERANK_ITERS):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        hops.append(
+            f"""{cur} AS (
+            SELECT n2.v AS v, {PAGERANK_BASE} + (85 * COALESCE(s.c, 0)) // 100 AS r
+            FROM nodes n2 LEFT JOIN (
+                SELECT e.dst AS v, sum({prev}.r // {PAGERANK_OUT_DEG}) AS c
+                FROM edges e JOIN {prev} ON {prev}.v = e.src
+                GROUP BY e.dst) s ON s.v = n2.v)"""
+        )
+    ORACLE_SQL["customers_pagerank"] = f"""
+        WITH nodes AS (SELECT CAST(c_custkey AS HUGEINT) AS v FROM customer),
+        nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM customer),
+        ks(k) AS (VALUES (0), (1), (2)),
+        x0 AS (SELECT v, (v * 8 + k) % {m64} AS x FROM nodes, ks),
+        s1 AS (SELECT v, (x + {c1}) % {m64} AS x FROM x0),
+        s2 AS (SELECT v, {mulmod("xor(x, x >> 30)", c2)} AS x FROM s1),
+        s3 AS (SELECT v, {mulmod("xor(x, x >> 27)", c3)} AS x FROM s2),
+        edges AS (SELECT v AS src,
+                         xor(x, x >> 31) % (SELECT n FROM nn) AS dst
+                  FROM s3),
+        r0 AS (SELECT v, CAST({PAGERANK_SCALE} AS HUGEINT) AS r FROM nodes),
+        {", ".join(hops)}
+        SELECT CAST(v AS BIGINT) AS c_custkey,
+               CAST(r AS BIGINT) AS rank_scaled
+        FROM r{PAGERANK_ITERS}
+    """
+
+
+_build_pagerank_oracle()
 
 
 def _build_cms_oracle(depth: int = 4, width: int = 2048, n_probes: int = 20) -> None:
