@@ -2047,6 +2047,71 @@ def sources_token_waterfill(sf_dir: str):
     )
 
 
+def sources_temperature_mix(sf_dir: str):
+    """Temperature-scaled source-mixing allocation (α = 1/2, the
+    Gopher/PaLM-style sampling exponent) — the smoothing sibling of the
+    waterfill cap: each source's weight is isqrt(c_s) (integer ⌊√c_s⌋, so
+    over-represented feeds are damped by the square root instead of hard
+    capped) and the token budget B = 60 % of the corpus splits as
+    alloc_s = B·w_s // Σw in exact integer floor division.  The per-source
+    token counts reuse the waterfill contraction (`group_sums_int64`
+    map-side cells, one dimension-sized groupby — the corpus never leaves
+    the workers); the ≤ n_sources driver rows use ``math.isqrt`` while the
+    oracle replays ⌊√c⌋ with a NEWTON recursive CTE in HUGEINT (x₀ = c,
+    xₖ₊₁ = (x + c//x)//2 while it strictly decreases; the fixed point is
+    exactly isqrt — no float sqrt anywhere, whose rounding could disagree
+    with the integer answer near perfect squares above 2⁵³).  The sub-unit
+    remainder B − Σ alloc < n_sources stays unallocated (same documented
+    convention as the waterfill).  Products B·w are range-checked against
+    2⁶³ so the engine fails exactly where the oracle's BIGINT cast would."""
+    import math
+
+    from ..functions.numeric import group_sums_int64
+
+    ds = _t(sf_dir, "documents", ["source", "text"])
+    empty_cells = pa.table(
+        {"source": pa.array([], pa.string()), "n_partial": pa.array([], pa.int64())}
+    )
+
+    def counts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty_cells
+        n = pc.cast(
+            pc.list_value_length(pc.utf8_split_whitespace(pc.utf8_trim_whitespace(b["text"]))),
+            pa.int64(),
+        )
+        src = b["source"].combine_chunks() if isinstance(b["source"], pa.ChunkedArray) else b["source"]
+        enc = src.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        (sums,) = group_sums_int64(codes, len(enc.dictionary), np.asarray(n, dtype=np.int64))
+        return pa.table({"source": enc.dictionary, "n_partial": pa.array(sums)})
+
+    tbl = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_partial", alias_name="n_tokens"))
+        .to_pandas()
+    )
+    c = [int(v) for v in tbl["n_tokens"]]
+    total = sum(c)
+    budget = total * 3 // 5
+    w = [math.isqrt(v) for v in c]
+    wsum = sum(w)
+    if wsum == 0:
+        raise ValueError("sources_temperature_mix: zero total weight")
+    if budget * max(w) >= 2**63:
+        raise ValueError("sources_temperature_mix: B*w overflows int64 (oracle BIGINT cast would raise)")
+    alloc = [budget * wi // wsum for wi in w]
+    return pa.table(
+        {
+            "source": pa.array(tbl["source"].to_numpy(), pa.string()),
+            "n_tokens": pa.array(c, pa.int64()),
+            "weight": pa.array(w, pa.int64()),
+            "allocated": pa.array(alloc, pa.int64()),
+        }
+    )
+
+
 def docs_vocab_growth(sf_dir: str):
     """Heaps'-law vocabulary growth curve over the deterministic crawl-day
     view (`_crawl_day`): per day, how many DISTINCT tokens appear for the
@@ -7313,6 +7378,7 @@ QUERIES = {
     "sources_shingle_overlap": sources_shingle_overlap,
     "docs_vocab_growth": docs_vocab_growth,
     "sources_token_waterfill": sources_token_waterfill,
+    "sources_temperature_mix": sources_temperature_mix,
     "docs_subset_join": docs_subset_join,
     "docs_chunk_windows": docs_chunk_windows,
     "lineitem_bloom_semi_join": lineitem_bloom_semi_join,
@@ -8375,6 +8441,32 @@ ORACLE_SQL = {
                CAST(least(c.n_tokens, cap.L) AS BIGINT) AS allocated,
                CAST(CASE WHEN c.n_tokens > cap.L THEN 1 ELSE 0 END AS BIGINT) AS capped
         FROM c, cap
+    """,
+    "sources_temperature_mix": """
+        WITH RECURSIVE c AS (
+            SELECT source,
+                   CAST(sum(array_length(
+                       regexp_split_to_array(trim(text), '\\s+'))) AS HUGEINT) AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        tot AS (SELECT sum(n_tokens) * 3 // 5 AS b FROM c),
+        newton(source, n_tokens, x) AS (
+            SELECT source, n_tokens, n_tokens FROM c WHERE n_tokens > 0
+            UNION ALL
+            SELECT source, n_tokens, (x + n_tokens // x) // 2
+            FROM newton WHERE (x + n_tokens // x) // 2 < x
+        ),
+        w AS (
+            SELECT c.source, c.n_tokens,
+                   COALESCE((SELECT min(x) FROM newton n WHERE n.source = c.source), 0) AS wt
+            FROM c
+        ),
+        ws AS (SELECT sum(wt) AS s FROM w)
+        SELECT w.source,
+               CAST(w.n_tokens AS BIGINT) AS n_tokens,
+               CAST(w.wt AS BIGINT) AS weight,
+               CAST((tot.b * w.wt) // ws.s AS BIGINT) AS allocated
+        FROM w, tot, ws
     """,
     "sources_shingle_overlap": """
         WITH t AS (

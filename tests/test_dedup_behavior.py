@@ -554,3 +554,33 @@ def test_waterfill_hand_computed(tmp_path):
     budget = 130 * 3 // 5
     assert out["allocated"].sum() <= budget
     assert budget - out["allocated"].sum() < max((out["capped"] == 1).sum(), 1)
+
+
+def test_temperature_mix_hand_computed(tmp_path):
+    """sources_temperature_mix: counts [100, 9, 1] -> isqrt weights
+    [10, 3, 1], B = 110*3//5 = 66, wsum 14 -> allocations [47, 14, 4];
+    budget respected; sqrt damping flattens the ratio (100:1 -> 10:1)."""
+    import pyarrow.parquet as pq
+
+    from mix_blink_ray.pipelines.queries import sources_temperature_mix
+
+    def doc(n):
+        return " ".join(f"t{i}" for i in range(n))
+
+    texts = [("A", doc(100)), ("B", doc(9)), ("C", doc(1))]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array([t for _, t in texts]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array([s for s, _ in texts]),
+            "n_chars": pa.array([len(t) for _, t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = sources_temperature_mix(str(tmp_path)).to_pandas().set_index("source")
+    assert out["weight"].to_dict() == {"A": 10, "B": 3, "C": 1}
+    assert out["allocated"].to_dict() == {"A": 47, "B": 14, "C": 4}
+    assert out["allocated"].sum() <= 66
+    # remainder strictly below n_sources (floor-division convention)
+    assert 66 - out["allocated"].sum() < 3
