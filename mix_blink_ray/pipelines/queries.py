@@ -2112,6 +2112,79 @@ def sources_temperature_mix(sf_dir: str):
     )
 
 
+def docs_wordpiece_encode(sf_dir: str):
+    """WordPiece greedy longest-match-first segmentation of every DISTINCT
+    corpus word against a FIXED subword vocabulary (BERT's inference-time
+    tokenizer; the BPE sibling `docs_bpe_encode_fixed` applies ranked merges,
+    this applies maximal-munch lookup) — per word: corpus frequency, the
+    piece sequence ('##'-prefixed continuations), piece count, and the
+    whole-word [UNK] flag when any position fails (the WordPiece contract:
+    partial decompositions are never emitted; 'v' is deliberately missing
+    from the word-initial table so the corpus exercises it).  Scale shape:
+    the corpus contracts per batch to (word, count) cells (dictionary-encode
+    + bincount), ONE vocabulary-sized groupby, and the greedy loop runs over
+    DISTINCT words only (`stages.bpe.wordpiece_greedy` — Python bounded by
+    vocab × word length, never corpus rows, same contraction as bpe_encode).
+    The oracle replays maximal munch exactly: a precomputed longest-match
+    table per (word, position) — row_number over piece length, ties
+    impossible since equal-length matching pieces are equal — walked by a
+    recursive CTE (the chain is a deterministic functional graph, so no
+    aggregates-in-recursion are needed).  Vocabulary constants are the
+    single source of truth for BOTH sides (`stages.bpe.WORDPIECE_INITIAL` /
+    `WORDPIECE_CONT` generate the SQL VALUES list).
+    Reference parity: mix_blink/data.py tokenizes with fixed pretrained HF
+    tokenizers the same way — vocabulary fixed at inference, never trained
+    in the pipeline."""
+    from ..stages.bpe import wordpiece_greedy, wordpiece_tables
+    from ..stages.vocab import tokenize_batch
+
+    ds = _t(sf_dir, "documents", ["text"])
+    empty = pa.table({"word": pa.array([], pa.string()), "n_p": pa.array([], pa.int64())})
+
+    def wcount(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        toks = tokenize_batch(b["text"], lower=True)
+        flat = pc.cast(toks.flatten(), pa.string())
+        enc = flat.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary)).astype(np.int64)
+        return pa.table({"word": enc.dictionary, "n_p": pa.array(cnt, pa.int64())})
+
+    counts = (
+        ds.map_batches(wcount, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n_p", alias_name="n_corpus"))
+    )
+    init_t, cont_t = wordpiece_tables()
+
+    def encode(b: pa.Table) -> pa.Table:
+        words = b["word"].to_pylist()
+        pieces_s, n_pieces, is_unk = [], [], []
+        for w in words:  # distinct-word scale by construction
+            ps = wordpiece_greedy(w, init_t, cont_t)
+            if ps is None:
+                pieces_s.append("[UNK]")
+                n_pieces.append(1)
+                is_unk.append(1)
+            else:
+                pieces_s.append(" ".join(ps))
+                n_pieces.append(len(ps))
+                is_unk.append(0)
+        return pa.table(
+            {
+                "word": b["word"],
+                "n_corpus": b["n_corpus"],
+                "pieces": pa.array(pieces_s, pa.string()),
+                "n_pieces": pa.array(n_pieces, pa.int64()),
+                "is_unk": pa.array(is_unk, pa.int64()),
+            }
+        )
+
+    out = counts.map_batches(encode, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def docs_vocab_growth(sf_dir: str):
     """Heaps'-law vocabulary growth curve over the deterministic crawl-day
     view (`_crawl_day`): per day, how many DISTINCT tokens appear for the
@@ -7379,6 +7452,7 @@ QUERIES = {
     "docs_vocab_growth": docs_vocab_growth,
     "sources_token_waterfill": sources_token_waterfill,
     "sources_temperature_mix": sources_temperature_mix,
+    "docs_wordpiece_encode": docs_wordpiece_encode,
     "docs_subset_join": docs_subset_join,
     "docs_chunk_windows": docs_chunk_windows,
     "lineitem_bloom_semi_join": lineitem_bloom_semi_join,
@@ -9423,6 +9497,68 @@ def _build_pagerank_oracle() -> None:
 
 
 _build_pagerank_oracle()
+
+
+def _build_wordpiece_oracle() -> None:
+    """SQL replay of ``docs_wordpiece_encode``: maximal munch as a
+    precomputed longest-match table per (word, position) — row_number over
+    piece length; ties are impossible because equal-length pieces matching
+    the same substring are the same piece — walked by a recursive CTE (each
+    state has exactly one successor: a deterministic functional-graph walk,
+    no aggregate needed inside the recursion).  The VALUES list is generated
+    from the same ``stages.bpe`` constants the engine reads, so the two
+    sides cannot drift."""
+    from ..stages.bpe import WORDPIECE_CONT, WORDPIECE_INITIAL
+
+    vals = ", ".join(
+        [f"('{p}', 0)" for p in WORDPIECE_INITIAL] + [f"('{p}', 1)" for p in WORDPIECE_CONT]
+    )
+    ORACLE_SQL["docs_wordpiece_encode"] = f"""
+        WITH RECURSIVE words AS (
+            SELECT w AS word, CAST(count(*) AS BIGINT) AS n_corpus
+            FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+                  FROM documents)
+            GROUP BY w
+        ),
+        vocab(raw, cont) AS (VALUES {vals}),
+        pos_dom AS (
+            SELECT word, unnest(range(1, length(word) + 1)) AS pos FROM words
+        ),
+        step AS (
+            SELECT word, pos, raw FROM (
+                SELECT p.word, p.pos, v.raw,
+                       row_number() OVER (PARTITION BY p.word, p.pos
+                                          ORDER BY length(v.raw) DESC) AS rn
+                FROM pos_dom p JOIN vocab v
+                  ON v.cont = CASE WHEN p.pos > 1 THEN 1 ELSE 0 END
+                 AND substring(p.word, p.pos, length(v.raw)) = v.raw
+            ) WHERE rn = 1
+        ),
+        st(word, pos, np, pieces) AS (
+            SELECT word, 1, 0, '' FROM words
+            UNION ALL
+            SELECT s.word, s.pos + length(t.raw), s.np + 1,
+                   s.pieces || CASE WHEN s.np > 0 THEN ' ' ELSE '' END ||
+                   CASE WHEN s.pos > 1 THEN '##' ELSE '' END || t.raw
+            FROM st s JOIN step t ON t.word = s.word AND t.pos = s.pos
+        ),
+        fin AS (
+            SELECT word, pos, np, pieces,
+                   row_number() OVER (PARTITION BY word ORDER BY pos DESC) AS rn
+            FROM st
+        )
+        SELECT w.word, w.n_corpus,
+               CASE WHEN f.pos = length(w.word) + 1 THEN f.pieces
+                    ELSE '[UNK]' END AS pieces,
+               CAST(CASE WHEN f.pos = length(w.word) + 1 THEN f.np
+                         ELSE 1 END AS BIGINT) AS n_pieces,
+               CAST(CASE WHEN f.pos = length(w.word) + 1 THEN 0
+                         ELSE 1 END AS BIGINT) AS is_unk
+        FROM words w JOIN fin f ON f.word = w.word AND f.rn = 1
+    """
+
+
+_build_wordpiece_oracle()
 
 
 def _build_cms_oracle(depth: int = 4, width: int = 2048, n_probes: int = 20) -> None:

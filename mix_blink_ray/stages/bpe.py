@@ -47,7 +47,15 @@ from ray.data.aggregate import Sum
 
 from ..functions.numeric import group_sums_int64
 
-__all__ = ["bpe_train", "bpe_encode", "EOW"]
+__all__ = [
+    "bpe_train",
+    "bpe_encode",
+    "EOW",
+    "WORDPIECE_INITIAL",
+    "WORDPIECE_CONT",
+    "wordpiece_tables",
+    "wordpiece_greedy",
+]
 
 EOW = "</w>"  # end-of-word marker symbol (never a whitespace-token substring)
 _SEP = "\x1e"  # pair-string separator (record separator; never in tokens)
@@ -401,3 +409,56 @@ def bpe_encode(
         )
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+# ── WordPiece greedy encoding (fixed vocabulary) ────────────────────────────
+# BERT-style longest-match-first subword segmentation over a FIXED literal
+# vocabulary (training it is the unigram-LM/EM family — out of scope; the
+# reference ships fixed HF tokenizers the same way, mix_blink/data.py).
+# Word-initial pieces and '##'-continuation pieces are SEPARATE tables; a
+# word with no match at any position is whole-word [UNK] (the WordPiece
+# contract — partial decompositions are never emitted).  'v' is deliberately
+# absent from the initial table so the synthetic corpus exercises the UNK
+# path ("vector", "value"); every letter exists as a continuation so UNK is
+# only ever decided at word start here.  Both tables are the single source
+# of truth for the engine AND the generated SQL oracle.
+WORDPIECE_INITIAL: tuple[str, ...] = ("batch", "sca", "st", "wind") + tuple(
+    "abcdefghijklmnopqrstuwxyz"  # a–z WITHOUT v
+)
+WORDPIECE_CONT: tuple[str, ...] = ("ream", "dow") + tuple("abcdefghijklmnopqrstuvwxyz")
+
+
+def wordpiece_tables() -> tuple[tuple[dict[int, frozenset[str]], int], tuple[dict[int, frozenset[str]], int]]:
+    """Length-bucketed lookup tables (table, max_len) for initial/continuation."""
+
+    def by_len(pieces: tuple[str, ...]) -> tuple[dict[int, frozenset[str]], int]:
+        d: dict[int, set[str]] = {}
+        for p in pieces:
+            d.setdefault(len(p), set()).add(p)
+        return {k: frozenset(v) for k, v in d.items()}, max(d) if d else 0
+
+    return by_len(WORDPIECE_INITIAL), by_len(WORDPIECE_CONT)
+
+
+def wordpiece_greedy(
+    word: str,
+    init_t: tuple[dict[int, frozenset[str]], int],
+    cont_t: tuple[dict[int, frozenset[str]], int],
+) -> list[str] | None:
+    """Greedy longest-match-first pieces for one word, or None for [UNK].
+    Runs over the DISTINCT-word table only (the same vocabulary-sized
+    contraction as bpe_encode) — per-position Python is bounded by distinct
+    words × word length, never corpus rows."""
+    pieces: list[str] = []
+    pos, n = 0, len(word)
+    while pos < n:
+        table, mx = init_t if pos == 0 else cont_t
+        for ln in range(min(mx, n - pos), 0, -1):
+            sub = word[pos : pos + ln]
+            if sub in table.get(ln, ()):  # type: ignore[arg-type]
+                pieces.append(sub if pos == 0 else "##" + sub)
+                pos += ln
+                break
+        else:
+            return None
+    return pieces
