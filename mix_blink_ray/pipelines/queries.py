@@ -5474,6 +5474,83 @@ def users_click_and_purchase(sf_dir: str):
     )
 
 
+def events_type_hour_chi2(sf_dir: str):
+    """Chi-square independence scan between event_type and hour-of-day —
+    the feature-leakage / drift diagnostic run before a column is trusted as
+    a model feature: χ² = Σ_cells (O−E)²/E over the FULL T×H grid (zero
+    cells contribute E = R·C/n — forgetting them understates dependence), in
+    EXACT integers: per cell (nO−RC)²·1000 // (nRC), summed (floor per cell,
+    identical on both sides; the raw products exceed int64 at row scale so
+    the ≤ T×24 grid is combined in arbitrary-precision Python ints and only
+    the OUTPUT is range-checked into int64 — the oracle runs the same cells
+    in HUGEINT and casts at the end).  Distributed shape: one map-side
+    (type, hour, count) contraction (bincount over type-code×24+hour), ONE
+    dimension-sized groupby, driver math over ≤ types×24 cells.  Marginals
+    come from observed rows so R > 0 and C > 0 by construction (no division
+    by zero); df = (T−1)(H−1) ships alongside so the caller can look up the
+    critical value."""
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "hour": pa.array([], pa.int64()),
+            "o_p": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        h = np.asarray(pc.hour(b["ts"]), dtype=np.int64)
+        t = b["event_type"].to_numpy(zero_copy_only=False)
+        ut, inv = np.unique(t, return_inverse=True)
+        code = inv * 24 + h
+        cnt = np.bincount(code, minlength=len(ut) * 24).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "event_type": pa.array(ut[nz // 24], pa.string()),
+                "hour": pa.array(nz % 24, pa.int64()),
+                "o_p": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("o_p", alias_name="o"))
+        .to_pandas()
+    )
+    if len(cells) == 0:
+        raise ValueError("events_type_hour_chi2: empty events table")
+    obs: dict[tuple[str, int], int] = {
+        (str(t), int(h)): int(o)
+        for t, h, o in zip(cells["event_type"], cells["hour"], cells["o"])
+    }
+    types = sorted({k[0] for k in obs})
+    hours = sorted({k[1] for k in obs})
+    r = {t: sum(v for (tt, _), v in obs.items() if tt == t) for t in types}
+    c = {h: sum(v for (_, hh), v in obs.items() if hh == h) for h in hours}
+    n = sum(obs.values())
+    chi2_milli = 0
+    for t in types:  # ≤ types×24 cells — dimension-sized by design
+        for h in hours:
+            o = obs.get((t, h), 0)
+            d = n * o - r[t] * c[h]
+            chi2_milli += (1000 * d * d) // (n * r[t] * c[h])
+    if chi2_milli >= 2**63:
+        raise ValueError("events_type_hour_chi2: chi2_milli overflows int64")
+    return pa.table(
+        {
+            "n_events": pa.array([n], pa.int64()),
+            "n_types": pa.array([len(types)], pa.int64()),
+            "n_hours": pa.array([len(hours)], pa.int64()),
+            "df": pa.array([(len(types) - 1) * (len(hours) - 1)], pa.int64()),
+            "chi2_milli": pa.array([chi2_milli], pa.int64()),
+        }
+    )
+
+
 def events_value_hour_corr(sf_dir: str):
     """Distributed Pearson correlation from SUFFICIENT STATISTICS: per
     event_type, corr(value, hour-of-day) where every moment (Σx, Σy, Σx²,
@@ -7418,6 +7495,7 @@ QUERIES = {
     "events_user_type_unpivot": events_user_type_unpivot,
     "users_click_and_purchase": users_click_and_purchase,
     "events_value_hour_corr": events_value_hour_corr,
+    "events_type_hour_chi2": events_type_hour_chi2,
     "events_minute_rate_ewma": events_minute_rate_ewma,
     "events_value_mad": events_value_mad,
     "events_value_hour_regression": events_value_hour_regression,
@@ -7584,6 +7662,32 @@ ORACLE_SQL = {
         SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
         INTERSECT
         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    "events_type_hour_chi2": """
+        WITH cells AS (
+            SELECT event_type, hour(ts) AS hr, CAST(count(*) AS HUGEINT) AS o
+            FROM events GROUP BY event_type, hour(ts)
+        ),
+        tot AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM events),
+        rm AS (SELECT event_type, sum(o) AS r FROM cells GROUP BY event_type),
+        cm AS (SELECT hr, sum(o) AS c FROM cells GROUP BY hr),
+        grid AS (
+            SELECT rm.event_type, cm.hr, rm.r, cm.c, COALESCE(cl.o, 0) AS o
+            FROM rm CROSS JOIN cm
+            LEFT JOIN cells cl ON cl.event_type = rm.event_type AND cl.hr = cm.hr
+        ),
+        chi AS (
+            SELECT sum((1000 * (t.n * g.o - g.r * g.c) * (t.n * g.o - g.r * g.c))
+                       // (t.n * g.r * g.c)) AS chi2_milli
+            FROM grid g, tot t
+        )
+        SELECT CAST(t.n AS BIGINT) AS n_events,
+               (SELECT count(*) FROM rm) AS n_types,
+               (SELECT count(*) FROM cm) AS n_hours,
+               CAST(((SELECT count(*) FROM rm) - 1)
+                    * ((SELECT count(*) FROM cm) - 1) AS BIGINT) AS df,
+               CAST(chi.chi2_milli AS BIGINT) AS chi2_milli
+        FROM chi, tot t
     """,
     "events_value_hour_corr": """
         WITH s AS (

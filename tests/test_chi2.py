@@ -1,0 +1,60 @@
+"""Hand-computed chi-square check for events_type_hour_chi2: a constructed
+2x2 contingency with every expected count = 2 gives chi2 = 2.0 exactly
+(per-cell (nO-RC)^2*1000 // (nRC) = 500, four cells), and zero cells on the
+full grid must contribute E = R*C/n (checked via a 2x2 with one empty cell)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from mix_blink_ray.pipelines.queries import events_type_hour_chi2
+
+
+def _events(tmp_path, rows):
+    """rows: list of (event_type, hour)."""
+    base = dt.datetime(2024, 1, 1)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [base + dt.timedelta(hours=h) for _, h in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([0] * len(rows), pa.int64()),
+            "event_type": pa.array([t for t, _ in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    return str(tmp_path)
+
+
+def test_hand_computed_2x2(tmp_path):
+    rows = [("A", 0)] * 3 + [("A", 1)] * 1 + [("B", 0)] * 1 + [("B", 1)] * 3
+    out = events_type_hour_chi2(_events(tmp_path, rows)).to_pandas().iloc[0]
+    assert int(out["n_events"]) == 8
+    assert int(out["n_types"]) == 2 and int(out["n_hours"]) == 2
+    assert int(out["df"]) == 1
+    # n=8, R=C=4, nRC=128; each cell d=|8*O-16|=8 -> 64*1000//128=500; x4.
+    assert int(out["chi2_milli"]) == 2000
+
+
+def test_zero_cell_contributes_expected(tmp_path):
+    # A: 2@h0; B: 1@h0 + 1@h1 -> grid cell (A, h1) is EMPTY but must add
+    # (0-E)^2/E = E = R*C/n = 2*1/4 = 0.5.
+    rows = [("A", 0)] * 2 + [("B", 0), ("B", 1)]
+    out = events_type_hour_chi2(_events(tmp_path, rows)).to_pandas().iloc[0]
+    n = 4
+    obs = {("A", 0): 2, ("A", 1): 0, ("B", 0): 1, ("B", 1): 1}
+    r = {"A": 2, "B": 2}
+    c = {0: 3, 1: 1}
+    expect = sum(
+        (1000 * (n * obs[(t, h)] - r[t] * c[h]) ** 2) // (n * r[t] * c[h])
+        for t in r
+        for h in c
+    )
+    assert int(out["chi2_milli"]) == expect
+    assert expect > 0  # the zero cell's E-share is included
