@@ -1107,6 +1107,75 @@ def events_user_median_gap(sf_dir: str):
     return grouped_ordered_runs(prep, "user_id", ("ts_us", "event_id"), kernel)
 
 
+def events_user_active_coverage(sf_dir: str):
+    """Per-user interval-UNION coverage: each event opens a [ts, ts+5min)
+    activity window and the metric is the union length in µs — the
+    exposure-dedup integral (ad viewability, device uptime, agent busy-time)
+    that a plain n·W overcounts wherever windows overlap.  With a CONSTANT
+    window the union telescopes to W + Σ min(W, gap_i) over consecutive
+    sorted starts — exact int64, no sweep-line state — so the whole operator
+    is ONE bucketed-run exchange (`grouped_ordered_runs`): gaps from a
+    run-start-masked shift, per-user sums one ``add.reduceat``, island count
+    (maximal merged intervals) = 1 + #(gap ≥ W) from the same mask.  No
+    per-user Python anywhere; ties broken by event_id on both sides so the
+    order is total.  Oracle: LAG window replay with the same least()/
+    boundary convention (gap = W exactly is a NEW island: [a, a+W) ∪
+    [a+W, a+2W) is contiguous in measure but the windows are disjoint —
+    both sides count it as a break, documented so the convention is
+    explicit)."""
+    from ..stages.windows import grouped_ordered_runs
+
+    W = 300_000_000  # 5 minutes in µs
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts"])
+    prep = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def kernel(g: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "covered_us": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "n_islands": pa.array([], pa.int64()),
+            }
+        )
+        n = g.num_rows
+        if n == 0:
+            return empty
+        ts = np.asarray(g["ts_us"], dtype=np.int64)
+        if int((ends - starts).max(initial=0)) >= 2**63 // W:
+            raise ValueError("events_user_active_coverage: n_events x W overflows int64")
+        interior = np.ones(n, dtype=bool)
+        interior[starts] = False
+        rows = np.flatnonzero(interior)
+        gaps = np.zeros(n, dtype=np.int64)
+        gaps[rows] = ts[rows] - ts[rows - 1]
+        contrib = np.minimum(gaps, W)
+        contrib[starts] = W
+        covered = np.add.reduceat(contrib, starts)
+        breaks = (gaps >= W) & interior
+        islands = 1 + np.add.reduceat(breaks.astype(np.int64), starts)
+        return pa.table(
+            {
+                "user_id": pa.array(np.asarray(g["user_id"], dtype=np.int64)[starts]),
+                "covered_us": pa.array(covered, pa.int64()),
+                "n_events": pa.array(ends - starts, pa.int64()),
+                "n_islands": pa.array(islands, pa.int64()),
+            }
+        )
+
+    out = grouped_ordered_runs(prep, "user_id", ("ts_us", "event_id"), kernel)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def events_user_twap(sf_dir: str):
     """Per-user TIME-WEIGHTED AVERAGE value (µs-exact LOCF integration) —
     the metering/engagement primitive a plain AVG gets wrong when samples
@@ -7485,6 +7554,7 @@ QUERIES = {
     "events_type_transitions": events_type_transitions,
     "events_user_median_gap": events_user_median_gap,
     "events_user_twap": events_user_twap,
+    "events_user_active_coverage": events_user_active_coverage,
     "events_user_longest_streak": events_user_longest_streak,
     "docs_blocking_quality": docs_blocking_quality,
     "users_click_purchase_full_outer": users_click_purchase_full_outer,
@@ -8789,6 +8859,24 @@ ORACLE_SQL = {
         )
         SELECT user_id, gap AS median_gap_us, n_gaps
         FROM r WHERE rn = (n_gaps + 1) // 2
+    """,
+    "events_user_active_coverage": """
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) AS ts_us,
+                   lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ) AS prev
+            FROM events
+        )
+        SELECT user_id,
+               CAST(sum(CASE WHEN prev IS NULL THEN 300000000
+                             ELSE least(300000000, ts_us - prev) END) AS BIGINT)
+                   AS covered_us,
+               count(*) AS n_events,
+               CAST(1 + sum(CASE WHEN prev IS NOT NULL
+                                  AND ts_us - prev >= 300000000
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_islands
+        FROM e GROUP BY user_id
     """,
     "events_user_twap": """
         WITH o AS (

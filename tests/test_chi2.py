@@ -58,3 +58,39 @@ def test_zero_cell_contributes_expected(tmp_path):
     )
     assert int(out["chi2_milli"]) == expect
     assert expect > 0  # the zero cell's E-share is included
+
+
+def test_active_coverage_hand_computed(tmp_path):
+    """events_user_active_coverage: user 1 windows [0,300s),[100s,400s),
+    [400s,700s) -> union 700s and TWO islands (gap == W is a break: the
+    windows are disjoint even though the measure is contiguous); user 2
+    single event -> W, one island."""
+    import datetime as dt
+
+    from mix_blink_ray.pipelines.queries import events_user_active_coverage
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, 0), (1, 100), (1, 400), (2, 50)]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [base + dt.timedelta(seconds=s) for _, s in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([u for u, _ in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = (
+        events_user_active_coverage(str(tmp_path))
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert out.loc[1, "covered_us"] == 700 * 1_000_000
+    assert out.loc[1, "n_events"] == 3 and out.loc[1, "n_islands"] == 2
+    assert out.loc[2, "covered_us"] == 300 * 1_000_000
+    assert out.loc[2, "n_events"] == 1 and out.loc[2, "n_islands"] == 1
