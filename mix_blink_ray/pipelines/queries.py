@@ -1770,6 +1770,61 @@ def docs_window_jaccard_clusters(sf_dir: str):
     return _verified_cluster_labels(ds, verified)
 
 
+def docs_er_clusters_capped(sf_dir: str):
+    """Giant-component cap splitting for the ER clustering — the production
+    guard against mega-clusters (one hub block or boilerplate family can
+    transitively glue millions of records; downstream survivorship and
+    pairwise review are quadratic in cluster size, so real linkage systems
+    CAP components): clusters larger than K = 3 are split into deterministic
+    chunks of K by doc_id order, each sub-cluster labeled by its smallest
+    member (so capped ids remain min-member labels, same convention as the
+    closure itself).  Distributed shape: the closure labels feed ONE
+    bucketed-run exchange keyed by cluster_id (`grouped_ordered_runs`,
+    in-bucket sort by doc_id); within a bucket the chunk index is
+    (rank-in-run) // K and the sub-label is a pure gather at
+    run_start + chunk·K — vectorized across ALL runs, no per-cluster
+    Python.  Output keeps the original cluster_id alongside so the
+    split lineage is auditable.  Oracle: closure CTE + row_number − 1
+    // K + min() OVER (cluster, chunk).
+    Reference parity: the reference caps candidate lists per mention
+    (mix_blink/retrieval.py top-k); capping the transitive closure is the
+    cluster-side analogue."""
+    from ..stages.dedup import ngram_jaccard_verify
+    from ..stages.windows import grouped_ordered_runs
+
+    K = 3
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    verified = ngram_jaccard_verify(_window_pair_table(ds, 5), ds, threshold=0.5)
+    labels = _verified_cluster_labels(ds, verified)
+
+    def kernel(g: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "cluster_id": pa.array([], pa.int64()),
+                "capped_id": pa.array([], pa.int64()),
+            }
+        )
+        n = g.num_rows
+        if n == 0:
+            return empty
+        doc = np.asarray(g["doc_id"], dtype=np.int64)
+        lens = ends - starts
+        run_start = np.repeat(starts, lens)
+        rank = np.arange(n, dtype=np.int64) - run_start
+        head_pos = run_start + (rank // K) * K
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "cluster_id": pa.array(np.asarray(g["cluster_id"], dtype=np.int64)),
+                "capped_id": pa.array(doc[head_pos], pa.int64()),
+            }
+        )
+
+    out = grouped_ordered_runs(labels, "cluster_id", ("doc_id",), kernel)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def docs_dedup_corpus_exact(sf_dir: str):
     """Corpus dedup with the near-dup stage disabled (verify threshold > 1):
     drops are exactly the non-representative members of byte-identical text
@@ -7549,6 +7604,7 @@ QUERIES = {
     "docs_media_audio": docs_media_audio,
     "docs_media_video": docs_media_video,
     "docs_er_clusters": docs_er_clusters,
+    "docs_er_clusters_capped": docs_er_clusters_capped,
     "docs_er_golden_records": docs_er_golden_records,
     "events_user_primary_type": events_user_primary_type,
     "events_type_transitions": events_type_transitions,
@@ -9006,6 +9062,40 @@ ORACLE_SQL = {
             SELECT e.dst, r.m FROM reach r JOIN e ON e.src = r.node
         )
         SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node
+    """,
+    "docs_er_clusters_capped": """
+        WITH RECURSIVE g AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) >= 3
+                        THEN list_distinct(list_transform(
+                                 generate_series(1, length(text) - 2),
+                                 i -> substring(text, i, 3)))
+                        WHEN length(text) > 0 THEN [text]
+                        ELSE CAST([] AS VARCHAR[]) END AS grams
+            FROM documents
+        ), p AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM g a JOIN g b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) >= 0.5
+        ), e AS (
+            SELECT a_id AS src, b_id AS dst FROM p
+            UNION ALL SELECT b_id, a_id FROM p
+        ), reach(node, m) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, r.m FROM reach r JOIN e ON e.src = r.node
+        ), labels AS (
+            SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node
+        ), ranked AS (
+            SELECT doc_id, cluster_id,
+                   (row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) - 1)
+                       // 3 AS chunk
+            FROM labels
+        )
+        SELECT doc_id, cluster_id,
+               min(doc_id) OVER (PARTITION BY cluster_id, chunk) AS capped_id
+        FROM ranked
     """,
     "docs_dedup_corpus_exact": """
         WITH corpus AS (

@@ -1,0 +1,44 @@
+"""Behavior tests for docs_er_clusters_capped: every capped sub-cluster has
+at most K=3 members, sub-labels are the min member of each doc_id-ordered
+chunk, and a constructed 7-member cluster splits 3/3/1 exactly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from mix_blink_ray.pipelines.queries import docs_er_clusters_capped
+
+
+def test_constructed_split(tmp_path):
+    # 7 copies of one text (ids 0..6, all within the ±5 pair window of a
+    # neighbor -> one transitive cluster) + 1 unrelated doc (id 7).
+    t = "alpha beta gamma delta epsilon"
+    u = "zzz yyy xxx www vvv"
+    texts = [t] * 7 + [u]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(8), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 8),
+            "source": pa.array(["s"] * 8),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = docs_er_clusters_capped(str(tmp_path)).to_pandas().sort_values("doc_id")
+    assert out["cluster_id"].tolist() == [0] * 7 + [7]
+    # chunks of 3 by doc_id order, each labeled by its smallest member
+    assert out["capped_id"].tolist() == [0, 0, 0, 3, 3, 3, 6, 7]
+
+
+def test_cap_property_on_testdata():
+    out = docs_er_clusters_capped("/root/testdata/sf0.001").to_pandas()
+    sizes = out.groupby("capped_id").size()
+    assert (sizes <= 3).all()
+    # sub-label is always a member of its own sub-cluster and its minimum
+    mins = out.groupby("capped_id")["doc_id"].min()
+    assert (mins.index == mins.values).all()
+    # lineage: capped id never crosses original cluster boundaries
+    assert (out.groupby("capped_id")["cluster_id"].nunique() == 1).all()
