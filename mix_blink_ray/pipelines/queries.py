@@ -1825,6 +1825,59 @@ def docs_er_clusters_capped(sf_dir: str):
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def docs_stratified_folds(sf_dir: str):
+    """Stratified k-fold assignment (k = 5): within every source stratum the
+    folds are balanced BY CONSTRUCTION (sizes differ by ≤ 1) — the
+    cross-validation / eval-holdout primitive where a plain hash-mod split
+    leaves small strata lopsided (a 7-doc source can land 5 docs in one fold
+    by chance; stratified ranks cannot).  Assignment is a pure function of
+    the data: rank within source under the total order (splitmix64(doc_id)
+    signed view, tie → doc_id — the epoch-shuffle convention), fold =
+    rank mod k.  Distributed shape: ONE bucketed-run exchange keyed by
+    source (`grouped_ordered_runs`, in-bucket sort by (sk, doc_id)); the
+    rank is arange minus run starts, vectorized across all runs.  Contrast
+    with `docs_split_leakage_safe` (CLUSTER-level assignment so near-dups
+    never straddle splits): folds here are row-level and balanced — compose
+    them (folds over cluster representatives) when both properties are
+    needed.  Oracle: the HUGEINT splitmix64 chain + two's-complement fold +
+    row_number() OVER (PARTITION BY source ORDER BY sk, doc_id)."""
+    from ..stages.sketches import splitmix64
+    from ..stages.windows import grouped_ordered_runs
+
+    N_FOLDS = 5
+    ds = _t(sf_dir, "documents", ["doc_id", "source"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["doc_id"], dtype=np.int64).view(np.uint64)
+        sk = splitmix64(ids).view(np.int64)
+        return pa.table({"doc_id": b["doc_id"], "source": b["source"], "sk": pa.array(sk)})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow")
+
+    def kernel(g: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+                "fold": pa.array([], pa.int64()),
+            }
+        )
+        n = g.num_rows
+        if n == 0:
+            return empty
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, ends - starts)
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "source": g["source"],
+                "fold": pa.array(rank % N_FOLDS, pa.int64()),
+            }
+        )
+
+    out = grouped_ordered_runs(rows, "source", ("sk", "doc_id"), kernel)
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def docs_dedup_corpus_exact(sf_dir: str):
     """Corpus dedup with the near-dup stage disabled (verify threshold > 1):
     drops are exactly the non-representative members of byte-identical text
@@ -7605,6 +7658,7 @@ QUERIES = {
     "docs_media_video": docs_media_video,
     "docs_er_clusters": docs_er_clusters,
     "docs_er_clusters_capped": docs_er_clusters_capped,
+    "docs_stratified_folds": docs_stratified_folds,
     "docs_er_golden_records": docs_er_golden_records,
     "events_user_primary_type": events_user_primary_type,
     "events_type_transitions": events_type_transitions,
@@ -9967,6 +10021,48 @@ def _build_epoch_shuffle_oracle(seed: int = 7) -> None:
 
 
 _build_epoch_shuffle_oracle()
+
+
+def _build_stratified_folds_oracle() -> None:
+    """Replay ``docs_stratified_folds``: the un-seeded splitmix64 chain in
+    HUGEINT, the engine's signed int64 view via the two's-complement fold,
+    and (row_number() − 1) % 5 partitioned by source over the identical
+    (sk, doc_id) total order."""
+    m64 = "CAST(18446744073709551616 AS HUGEINT)"
+
+    def mulmod(col: str, c: int) -> str:
+        hi, lo = c >> 32, c & 0xFFFFFFFF
+        return (
+            f"(((({col} % 4294967296) * {hi}) % 4294967296) "
+            f"* 4294967296 + {col} * {lo}) % {m64}"
+        )
+
+    c1 = 0x9E3779B97F4A7C15
+    c2, c3 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    ORACLE_SQL["docs_stratified_folds"] = f"""
+        WITH s1 AS (
+            SELECT doc_id, source,
+                   (CAST(doc_id AS HUGEINT) + {c1}) % {m64} AS x
+            FROM documents
+        ),
+        s2 AS (SELECT doc_id, source, {mulmod("xor(x, x >> 30)", c2)} AS x FROM s1),
+        s3 AS (SELECT doc_id, source, {mulmod("xor(x, x >> 27)", c3)} AS x FROM s2),
+        hashed AS (
+            SELECT doc_id, source,
+                   CASE WHEN xor(x, x >> 31) >= CAST(9223372036854775808 AS HUGEINT)
+                        THEN xor(x, x >> 31) - {m64}
+                        ELSE xor(x, x >> 31) END AS sk
+            FROM s3
+        )
+        SELECT doc_id, source,
+               CAST((row_number() OVER (
+                        PARTITION BY source ORDER BY sk, doc_id) - 1) % 5 AS BIGINT)
+                   AS fold
+        FROM hashed
+    """
+
+
+_build_stratified_folds_oracle()
 
 
 def _build_vocab_growth_oracle() -> None:

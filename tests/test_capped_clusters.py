@@ -42,3 +42,19 @@ def test_cap_property_on_testdata():
     assert (mins.index == mins.values).all()
     # lineage: capped id never crosses original cluster boundaries
     assert (out.groupby("capped_id")["cluster_id"].nunique() == 1).all()
+
+
+def test_stratified_folds_balance():
+    """Within every source stratum, fold sizes differ by at most 1 and the
+    assignment is deterministic across reruns."""
+    from mix_blink_ray.pipelines.queries import docs_stratified_folds
+
+    out = docs_stratified_folds("/root/testdata/sf0.001").to_pandas()
+    assert set(out["fold"].unique()) <= {0, 1, 2, 3, 4}
+    sizes = out.groupby(["source", "fold"]).size().unstack(fill_value=0)
+    assert ((sizes.max(axis=1) - sizes.min(axis=1)) <= 1).all()
+    out2 = docs_stratified_folds("/root/testdata/sf0.001").to_pandas()
+    key = ["doc_id"]
+    assert out.sort_values(key).reset_index(drop=True).equals(
+        out2.sort_values(key).reset_index(drop=True)
+    )
