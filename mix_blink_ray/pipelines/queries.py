@@ -4318,6 +4318,53 @@ def docs_search_top10(sf_dir: str):
     return tfidf_search(ds, "merge window scan", k=10)
 
 
+def docs_search_rrf(sf_dir: str):
+    """Reciprocal-rank fusion of the two retrieval rankings (tf-idf
+    `docs_search_top10` + BM25 `docs_search_bm25`, same 3-term query) — the
+    standard hybrid-search combiner (k = 60): fused = Σ 1/(k + rank) over
+    the lists a document appears in, scaled ×10⁹ with integer floor division
+    so the score replays exactly (ranks ≤ 10 make 10⁹//(60+r) collision-free
+    across distinct rank sets).  Ranks are recomputed from each ranking
+    under the explicit total order (score DESC, doc_id) — never positional
+    trust in block order — and a document absent from one list contributes 0
+    from it (rank reported as 0).  Scale shape: both underlying rankings are
+    the existing stats-pass + shuffle-free-scoring + partial-top-k
+    pipelines; the fusion itself touches ≤ k+k driver rows by construction.
+    Oracle: both ranking CTEs composed verbatim + row_number + FULL OUTER
+    JOIN — generated from the registered oracle strings so the three
+    queries can never drift apart."""
+    a = docs_search_top10(sf_dir).to_pandas()
+    b = docs_search_bm25(sf_dir).to_pandas()
+    K = 60
+
+    def ranks(df) -> dict[int, int]:
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+        return {int(d): i + 1 for i, d in enumerate(df["doc_id"])}
+
+    ra, rb = ranks(a), ranks(b)
+    fused = sorted(
+        (
+            (
+                d,
+                (10**9 // (K + ra[d]) if d in ra else 0)
+                + (10**9 // (K + rb[d]) if d in rb else 0),
+                ra.get(d, 0),
+                rb.get(d, 0),
+            )
+            for d in set(ra) | set(rb)
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    return pa.table(
+        {
+            "doc_id": pa.array([t[0] for t in fused], pa.int64()),
+            "rrf_scaled": pa.array([t[1] for t in fused], pa.int64()),
+            "rank_tfidf": pa.array([t[2] for t in fused], pa.int64()),
+            "rank_bm25": pa.array([t[3] for t in fused], pa.int64()),
+        }
+    )
+
+
 def docs_budget_mix(sf_dir: str):
     """Per-source token-quota mixture sampler: keep each source's docs in
     doc_id order while the source's running token total stays ≤ 1500 — the
@@ -7659,6 +7706,7 @@ QUERIES = {
     "docs_er_clusters": docs_er_clusters,
     "docs_er_clusters_capped": docs_er_clusters_capped,
     "docs_stratified_folds": docs_stratified_folds,
+    "docs_search_rrf": docs_search_rrf,
     "docs_er_golden_records": docs_er_golden_records,
     "events_user_primary_type": events_user_primary_type,
     "events_type_transitions": events_type_transitions,
@@ -10063,6 +10111,35 @@ def _build_stratified_folds_oracle() -> None:
 
 
 _build_stratified_folds_oracle()
+
+
+def _build_rrf_oracle() -> None:
+    """Compose the two registered ranking oracles verbatim (so the fusion
+    can never drift from its inputs), rank each with row_number over the
+    same (score DESC, doc_id) total order, FULL OUTER JOIN, RRF-sum with
+    integer floor division, top-10."""
+    ORACLE_SQL["docs_search_rrf"] = f"""
+        WITH a AS ({ORACLE_SQL["docs_search_top10"]}),
+        b AS ({ORACLE_SQL["docs_search_bm25"]}),
+        ra AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM a),
+        rb AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM b),
+        u AS (
+            SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+                   COALESCE(1000000000 // (60 + ra.r), 0)
+                       + COALESCE(1000000000 // (60 + rb.r), 0) AS rrf_scaled,
+                   COALESCE(ra.r, 0) AS rank_tfidf,
+                   COALESCE(rb.r, 0) AS rank_bm25
+            FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+        )
+        SELECT doc_id,
+               CAST(rrf_scaled AS BIGINT) AS rrf_scaled,
+               CAST(rank_tfidf AS BIGINT) AS rank_tfidf,
+               CAST(rank_bm25 AS BIGINT) AS rank_bm25
+        FROM u ORDER BY rrf_scaled DESC, doc_id LIMIT 10
+    """
+
+
+_build_rrf_oracle()
 
 
 def _build_vocab_growth_oracle() -> None:

@@ -58,3 +58,25 @@ def test_stratified_folds_balance():
     assert out.sort_values(key).reset_index(drop=True).equals(
         out2.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_rrf_fusion_consistency():
+    """docs_search_rrf: the fused score must equal the RRF formula applied
+    to its own reported ranks (rank 0 = absent contributes nothing), ranks
+    stay in [0, 10], and the output is the top-10 by (score desc, doc_id)."""
+    from mix_blink_ray.pipelines.queries import docs_search_rrf
+
+    out = docs_search_rrf("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 10
+    for _, row in out.iterrows():
+        exp = 0
+        if row["rank_tfidf"] > 0:
+            exp += 10**9 // (60 + int(row["rank_tfidf"]))
+        if row["rank_bm25"] > 0:
+            exp += 10**9 // (60 + int(row["rank_bm25"]))
+        assert int(row["rrf_scaled"]) == exp
+    assert out["rank_tfidf"].between(0, 10).all()
+    assert out["rank_bm25"].between(0, 10).all()
+    # sorted by fused score desc, doc_id asc
+    key = list(zip(-out["rrf_scaled"], out["doc_id"]))
+    assert key == sorted(key)
