@@ -2044,6 +2044,105 @@ def docs_near_dup_verified(sf_dir: str):
     return _round(pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"jaccard": 6})
 
 
+def docs_blocking_skew(sf_dir: str):
+    """Blocking-key skew audit: the histogram (block_size → n_blocks,
+    pair_work = n_blocks·C(size,2)) over the word-3-gram blocking keys the
+    meta-blocking stage uses — the diagnostic a linkage engineer reads
+    BEFORE running candidate generation, because pair work is quadratic in
+    block size and one boilerplate key can dominate the whole job (exactly
+    the hot-block failure the salted join and the block purge window guard
+    against; this query tells you where that purge threshold should sit).
+    Scale shape: gram strings never ship — per-batch per-DOC distinct
+    (hash, count) cells (a document is whole within its row, so per-batch
+    cells are globally disjoint per doc), ONE hash-keyed groupby to gram
+    sizes, then a size-keyed groupby over gram-scale rows contracts to the
+    ≤ max-block-size histogram; pair_work is combined driver-side in Python
+    ints and range-checked into int64 where the oracle's HUGEINT→BIGINT
+    cast raises.  Hash-grouping equals string-grouping modulo negligible
+    64-bit collisions (same documented caveat as the LSH band keys and the
+    shingle-overlap matrix)."""
+    from ..functions.hashing import flat_utf8, hash_strings
+
+    ds = _t(sf_dir, "documents", ["text"])
+    empty_cells = pa.table({"h": pa.array([], pa.int64()), "c_p": pa.array([], pa.int64())})
+
+    def gram_cells(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty_cells
+        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(pc.utf8_lower(b["text"])))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        n_sh = np.maximum(np.diff(offs) - 2, 0)
+        total = int(n_sh.sum())
+        if total == 0:
+            return empty_cells
+        local = np.arange(total, dtype=np.int64) - np.repeat(
+            np.r_[np.int64(0), np.cumsum(n_sh)[:-1]], n_sh
+        )
+        i0 = np.repeat(offs[:-1], n_sh) + local
+        sh = pc.binary_join_element_wise(
+            flat.take(pa.array(i0)),
+            flat.take(pa.array(i0 + 1)),
+            flat.take(pa.array(i0 + 2)),
+            " ",
+        )
+        h = hash_strings(*flat_utf8(sh)).view(np.int64)
+        r = np.repeat(np.arange(len(offs) - 1, dtype=np.int64), n_sh)
+        order = np.lexsort((r, h))
+        h, r = h[order], r[order]
+        keep = np.r_[True, (h[1:] != h[:-1]) | (r[1:] != r[:-1])]  # distinct per doc
+        hk = h[keep]
+        uh, inv = np.unique(hk, return_inverse=True)
+        return pa.table(
+            {
+                "h": pa.array(uh, pa.int64()),
+                "c_p": pa.array(np.bincount(inv).astype(np.int64)),
+            }
+        )
+
+    sizes = (
+        ds.map_batches(gram_cells, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("c_p", alias_name="s"))
+    )
+    empty_hist = pa.table(
+        {"block_size": pa.array([], pa.int64()), "n_p": pa.array([], pa.int64())}
+    )
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty_hist
+        s = np.asarray(b["s"], dtype=np.int64)
+        us, inv = np.unique(s, return_inverse=True)
+        return pa.table(
+            {
+                "block_size": pa.array(us, pa.int64()),
+                "n_p": pa.array(np.bincount(inv).astype(np.int64)),
+            }
+        )
+
+    hist = (
+        sizes.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("block_size")
+        .aggregate(Sum("n_p", alias_name="n_blocks"))
+        .to_pandas()
+    )
+    bs = [int(v) for v in hist["block_size"]]
+    nb = [int(v) for v in hist["n_blocks"]]
+    pw = [n * (s * (s - 1) // 2) for s, n in zip(bs, nb)]
+    if any(v >= 2**63 for v in pw):
+        raise ValueError("docs_blocking_skew: pair_work overflows int64 (oracle BIGINT cast would raise)")
+    return pa.table(
+        {
+            "block_size": pa.array(bs, pa.int64()),
+            "n_blocks": pa.array(nb, pa.int64()),
+            "pair_work": pa.array(pw, pa.int64()),
+        }
+    )
+
+
 def sources_shingle_overlap(sf_dir: str):
     """Cross-source contamination matrix: for every source pair, how many
     DISTINCT word-3-shingles appear in BOTH sources — the diagnostic that
@@ -7699,6 +7798,7 @@ QUERIES = {
     "brand_distinct_suppliers": brand_distinct_suppliers,
     "events_retention_cohorts": events_retention_cohorts,
     "docs_meta_blocking": docs_meta_blocking,
+    "docs_blocking_skew": docs_blocking_skew,
     "docs_media_features": docs_media_features,
     "docs_media_dimensions": docs_media_dimensions,
     "docs_media_audio": docs_media_audio,
@@ -8339,6 +8439,21 @@ ORACLE_SQL = {
                CAST(count(*) AS BIGINT) AS n_bytes,
                CAST(sum(code) AS BIGINT) AS byte_sum
         FROM e WHERE code BETWEEN 0 AND 127 GROUP BY doc_id
+    """,
+    "docs_blocking_skew": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents
+        ), g AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+            FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+        ), sz AS (
+            SELECT gram, CAST(count(*) AS HUGEINT) AS s FROM g GROUP BY gram
+        )
+        SELECT CAST(s AS BIGINT) AS block_size,
+               count(*) AS n_blocks,
+               CAST(count(*) * ((s * (s - 1)) // 2) AS BIGINT) AS pair_work
+        FROM sz GROUP BY s
     """,
     "docs_meta_blocking": """
         WITH toks AS (

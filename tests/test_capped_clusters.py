@@ -80,3 +80,29 @@ def test_rrf_fusion_consistency():
     # sorted by fused score desc, doc_id asc
     key = list(zip(-out["rrf_scaled"], out["doc_id"]))
     assert key == sorted(key)
+
+
+def test_blocking_skew_hand_computed(tmp_path):
+    """docs_blocking_skew on a constructed corpus: 'a b c d' x2 and a
+    disjoint 'p q r s' -> grams {'a b c': 2, 'b c d': 2, 'p q r': 1,
+    'q r s': 1} -> histogram {1: (2 blocks, 0 pairs), 2: (2 blocks, 2
+    pairs)}; a 2-token doc contributes no grams."""
+    import pyarrow.parquet as pq2
+
+    from mix_blink_ray.pipelines.queries import docs_blocking_skew
+
+    texts = ["a b c d", "a b c d", "p q r s", "x y"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s"] * 4),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq2.write_table(tbl, tmp_path / "documents.parquet")
+    out = docs_blocking_skew(str(tmp_path)).to_pandas().set_index("block_size").sort_index()
+    assert out.loc[1, "n_blocks"] == 2 and out.loc[1, "pair_work"] == 0
+    assert out.loc[2, "n_blocks"] == 2 and out.loc[2, "pair_work"] == 2
+    assert len(out) == 2
