@@ -2044,6 +2044,61 @@ def docs_near_dup_verified(sf_dir: str):
     return _round(pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"jaccard": 6})
 
 
+def docs_rendezvous_resharding(sf_dir: str):
+    """Rendezvous (highest-random-weight) shard assignment and the 8 → 9
+    rescale diff — the elastic-cluster primitive: shard(d) =
+    argmax_s splitmix64(32·d + s), so when a 9th shard joins, a document
+    either KEEPS its shard or moves to the NEW one (argmax over a superset
+    can only change to the added element) — ~1/9 of keys move, versus ~8/9
+    under mod-hashing.  That minimal-disruption theorem is what makes
+    resharding a 100-TB corpus an incremental copy instead of a full
+    rewrite, and the output contingency (old_shard, new_shard, n_docs)
+    PROVES it: every off-diagonal row has new_shard = 8.  Exact integers
+    end to end: both argmaxes are vectorized per batch over the (rows × 9)
+    hash matrix (ties broken to the smallest shard — numpy's first-argmax,
+    mirrored in SQL by ORDER BY h DESC, s), cells contract map-side via
+    bincount, ONE ≤ 72-cell groupby.  Oracle: the HUGEINT splitmix64 chain
+    over unnested (doc, shard) pairs + row_number argmax replay."""
+    from ..stages.sketches import splitmix64
+
+    OLD_K, NEW_K = 8, 9
+    ds = _t(sf_dir, "documents", ["doc_id"])
+    empty = pa.table(
+        {
+            "old_shard": pa.array([], pa.int64()),
+            "new_shard": pa.array([], pa.int64()),
+            "n_p": pa.array([], pa.int64()),
+        }
+    )
+
+    def cells(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        d = np.asarray(b["doc_id"], dtype=np.int64).view(np.uint64) * np.uint64(32)
+        hm = np.stack([splitmix64(d + np.uint64(s)) for s in range(NEW_K)], axis=1)
+        old = hm[:, :OLD_K].argmax(axis=1).astype(np.int64)
+        new = hm.argmax(axis=1).astype(np.int64)
+        code = old * 16 + new
+        cnt = np.bincount(code, minlength=OLD_K * 16).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "old_shard": pa.array(nz // 16, pa.int64()),
+                "new_shard": pa.array(nz % 16, pa.int64()),
+                "n_p": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["old_shard", "new_shard"])
+        .aggregate(Sum("n_p", alias_name="n_docs"))
+    )
+    return pa.Table.from_pandas(
+        out.to_pandas()[["old_shard", "new_shard", "n_docs"]], preserve_index=False
+    )
+
+
 def docs_blocking_skew(sf_dir: str):
     """Blocking-key skew audit: the histogram (block_size → n_blocks,
     pair_work = n_blocks·C(size,2)) over the word-3-gram blocking keys the
@@ -7799,6 +7854,7 @@ QUERIES = {
     "events_retention_cohorts": events_retention_cohorts,
     "docs_meta_blocking": docs_meta_blocking,
     "docs_blocking_skew": docs_blocking_skew,
+    "docs_rendezvous_resharding": docs_rendezvous_resharding,
     "docs_media_features": docs_media_features,
     "docs_media_dimensions": docs_media_dimensions,
     "docs_media_audio": docs_media_audio,
@@ -10255,6 +10311,59 @@ def _build_rrf_oracle() -> None:
 
 
 _build_rrf_oracle()
+
+
+def _build_rendezvous_oracle() -> None:
+    """Replay ``docs_rendezvous_resharding``: the HUGEINT splitmix64 chain
+    over unnested (doc, shard) inputs 32·d + s, both argmaxes as
+    row_number() OVER (PARTITION BY doc ORDER BY h DESC, s) — unsigned
+    HUGEINT order matches numpy's uint64 comparison, and the s ASC tie-break
+    matches numpy's first-argmax."""
+    m64 = "CAST(18446744073709551616 AS HUGEINT)"
+
+    def mulmod(col: str, c: int) -> str:
+        hi, lo = c >> 32, c & 0xFFFFFFFF
+        return (
+            f"(((({col} % 4294967296) * {hi}) % 4294967296) "
+            f"* 4294967296 + {col} * {lo}) % {m64}"
+        )
+
+    c1 = 0x9E3779B97F4A7C15
+    c2, c3 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    shard_vals = ", ".join(f"({s})" for s in range(9))
+    ORACLE_SQL["docs_rendezvous_resharding"] = f"""
+        WITH ks(s) AS (VALUES {shard_vals}),
+        x0 AS (
+            SELECT doc_id, s,
+                   (CAST(doc_id AS HUGEINT) * 32 + s + {c1}) % {m64} AS x
+            FROM documents, ks
+        ),
+        s2 AS (SELECT doc_id, s, {mulmod("xor(x, x >> 30)", c2)} AS x FROM x0),
+        s3 AS (SELECT doc_id, s, {mulmod("xor(x, x >> 27)", c3)} AS x FROM s2),
+        hashed AS (SELECT doc_id, s, xor(x, x >> 31) AS h FROM s3),
+        old AS (
+            SELECT doc_id, s AS old_shard FROM (
+                SELECT doc_id, s,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s) AS rn
+                FROM hashed WHERE s < 8
+            ) WHERE rn = 1
+        ),
+        neww AS (
+            SELECT doc_id, s AS new_shard FROM (
+                SELECT doc_id, s,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s) AS rn
+                FROM hashed
+            ) WHERE rn = 1
+        )
+        SELECT CAST(o.old_shard AS BIGINT) AS old_shard,
+               CAST(n.new_shard AS BIGINT) AS new_shard,
+               count(*) AS n_docs
+        FROM old o JOIN neww n ON n.doc_id = o.doc_id
+        GROUP BY o.old_shard, n.new_shard
+    """
+
+
+_build_rendezvous_oracle()
 
 
 def _build_vocab_growth_oracle() -> None:

@@ -106,3 +106,19 @@ def test_blocking_skew_hand_computed(tmp_path):
     assert out.loc[1, "n_blocks"] == 2 and out.loc[1, "pair_work"] == 0
     assert out.loc[2, "n_blocks"] == 2 and out.loc[2, "pair_work"] == 2
     assert len(out) == 2
+
+
+def test_rendezvous_minimal_disruption():
+    """The HRW theorem: growing 8 -> 9 shards, a doc either keeps its shard
+    or moves to the NEW shard 8 — never between old shards; moved fraction
+    is ~1/9 (loose bounds)."""
+    from mix_blink_ray.pipelines.queries import docs_rendezvous_resharding
+
+    out = docs_rendezvous_resharding("/root/testdata/sf0.001").to_pandas()
+    moved = out[out["old_shard"] != out["new_shard"]]
+    assert (moved["new_shard"] == 8).all()
+    total = out["n_docs"].sum()
+    frac = moved["n_docs"].sum() / total
+    assert 0.02 < frac < 0.30  # E = 1/9 ≈ 0.111 at n=500
+    assert set(out["old_shard"]) <= set(range(8))
+    assert set(out["new_shard"]) <= set(range(9))
