@@ -5852,6 +5852,75 @@ def users_click_and_purchase(sf_dir: str):
     )
 
 
+def events_table_checksum(sf_dir: str):
+    """Order-independent MULTISET checksum per event_type — the
+    table-equality primitive that verifies a 100-TB copy / resume / migration
+    without sorting either side: each row folds its integer content through
+    a 4-stage splitmix64 chain (event_id → ⊕ts → ⊕user → ⊕cents, each
+    re-mixed so field transpositions change the hash) and the per-type
+    checksum is the SUM of row hashes mod 2⁶⁴ — commutative and
+    associative, so it is invariant to row order, partitioning, and batch
+    boundaries BY CONSTRUCTION (the property the tests pin), while any
+    single-row change flips it.  Strings stay out of the row hash by
+    design: the GROUP BY carries event_type itself, so no string-hash
+    function needs a SQL twin.  Engine shape: map-side per-type partial
+    sums in wrapping uint64 (mod-2⁶⁴ is numpy's native overflow), cells =
+    types × batches rows folded to the final mod-2⁶⁴ sum in Python ints on
+    the driver; emitted as the signed two's-complement int64 view (the
+    epoch-shuffle convention).  Oracle: the same 4-stage HUGEINT chain,
+    sum % 2⁶⁴, signed fold — a 1e12-row sum of 2⁶⁴-bounded terms is
+    ~1.8e31, comfortably inside HUGEINT."""
+    from ..stages.sketches import splitmix64
+
+    ds = _t(sf_dir, "events", ["event_type", "event_id", "ts", "user_id", "value"])
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "sum_p": pa.array([], pa.int64()),
+            "n_p": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        ev = np.asarray(b["event_id"], dtype=np.int64).view(np.uint64)
+        ts = np.asarray(pc.cast(b["ts"], pa.int64()), dtype=np.int64).view(np.uint64)
+        us = np.asarray(b["user_id"], dtype=np.int64).view(np.uint64)
+        ce = np.asarray(_cents(b["value"]), dtype=np.int64).view(np.uint64)
+        h = splitmix64(ev)
+        h = splitmix64(h ^ ts)
+        h = splitmix64(h ^ us)
+        h = splitmix64(h ^ ce)
+        t = b["event_type"].to_numpy(zero_copy_only=False)
+        ut, inv = np.unique(t, return_inverse=True)
+        sums = np.zeros(len(ut), dtype=np.uint64)
+        np.add.at(sums, inv, h)  # wraps mod 2^64 — numpy's native uint64 overflow
+        return pa.table(
+            {
+                "event_type": pa.array(ut, pa.string()),
+                "sum_p": pa.array(sums.view(np.int64)),
+                "n_p": pa.array(np.bincount(inv).astype(np.int64)),
+            }
+        )
+
+    cells = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg: dict[str, list[int]] = {}
+    for t, sp, n in zip(cells["event_type"], cells["sum_p"], cells["n_p"]):
+        cur = agg.setdefault(str(t), [0, 0])
+        cur[0] = (cur[0] + (int(sp) & 0xFFFFFFFFFFFFFFFF)) & 0xFFFFFFFFFFFFFFFF
+        cur[1] += int(n)
+    types = sorted(agg)
+    csums = [agg[t][0] - 2**64 if agg[t][0] >= 2**63 else agg[t][0] for t in types]
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "n_rows": pa.array([agg[t][1] for t in types], pa.int64()),
+            "checksum": pa.array(csums, pa.int64()),
+        }
+    )
+
+
 def events_type_hour_chi2(sf_dir: str):
     """Chi-square independence scan between event_type and hour-of-day —
     the feature-leakage / drift diagnostic run before a column is trusted as
@@ -7880,6 +7949,7 @@ QUERIES = {
     "users_click_and_purchase": users_click_and_purchase,
     "events_value_hour_corr": events_value_hour_corr,
     "events_type_hour_chi2": events_type_hour_chi2,
+    "events_table_checksum": events_table_checksum,
     "events_minute_rate_ewma": events_minute_rate_ewma,
     "events_value_mad": events_value_mad,
     "events_value_hour_regression": events_value_hour_regression,
@@ -10364,6 +10434,59 @@ def _build_rendezvous_oracle() -> None:
 
 
 _build_rendezvous_oracle()
+
+
+def _build_checksum_oracle() -> None:
+    """Replay ``events_table_checksum``: the 4-application splitmix64 chain
+    (event_id → ⊕ts → ⊕user → ⊕cents) generated programmatically in
+    HUGEINT (3 CTEs per application, same multiply-split as every hash
+    oracle), then sum % 2⁶⁴ per type and the signed two's-complement fold.
+    Cents normalize to [0, 2⁶⁴) with the ((c % m)+m) % m idiom because
+    value can be negative."""
+    m64 = "CAST(18446744073709551616 AS HUGEINT)"
+
+    def mulmod(col: str, c: int) -> str:
+        hi, lo = c >> 32, c & 0xFFFFFFFF
+        return (
+            f"(((({col} % 4294967296) * {hi}) % 4294967296) "
+            f"* 4294967296 + {col} * {lo}) % {m64}"
+        )
+
+    c1 = 0x9E3779B97F4A7C15
+    c2, c3 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    carry = "event_type, tsn, usn, cen"
+    ctes = [
+        f"""t0 AS (
+            SELECT event_type,
+                   CAST(event_id AS HUGEINT) AS ev,
+                   CAST(epoch_us(ts) AS HUGEINT) AS tsn,
+                   CAST(user_id AS HUGEINT) AS usn,
+                   ((CAST(round(value * 100) AS HUGEINT) % {m64}) + {m64}) % {m64} AS cen
+            FROM events)"""
+    ]
+    prev = "t0"
+    for i, field in enumerate([None, "tsn", "usn", "cen"]):
+        base = "ev" if i == 0 else "xor(x, x >> 31)"
+        inexpr = base if field is None else f"xor({base}, {field})"
+        ctes.append(f"c{i}a AS (SELECT {carry}, ({inexpr} + {c1}) % {m64} AS x FROM {prev})")
+        ctes.append(f"c{i}b AS (SELECT {carry}, {mulmod('xor(x, x >> 30)', c2)} AS x FROM c{i}a)")
+        ctes.append(f"c{i}c AS (SELECT {carry}, {mulmod('xor(x, x >> 27)', c3)} AS x FROM c{i}b)")
+        prev = f"c{i}c"
+    ORACLE_SQL["events_table_checksum"] = f"""
+        WITH {", ".join(ctes)},
+        agg AS (
+            SELECT event_type, count(*) AS n_rows,
+                   sum(xor(x, x >> 31)) % {m64} AS cs
+            FROM {prev} GROUP BY event_type
+        )
+        SELECT event_type, n_rows,
+               CAST(CASE WHEN cs >= CAST(9223372036854775808 AS HUGEINT)
+                         THEN cs - {m64} ELSE cs END AS BIGINT) AS checksum
+        FROM agg
+    """
+
+
+_build_checksum_oracle()
 
 
 def _build_vocab_growth_oracle() -> None:

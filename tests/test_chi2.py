@@ -94,3 +94,60 @@ def test_active_coverage_hand_computed(tmp_path):
     assert out.loc[1, "n_events"] == 3 and out.loc[1, "n_islands"] == 2
     assert out.loc[2, "covered_us"] == 300 * 1_000_000
     assert out.loc[2, "n_events"] == 1 and out.loc[2, "n_islands"] == 1
+
+
+def _cks_events(tmp_path, rows, name="events.parquet"):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([base + dt.timedelta(seconds=r[1]) for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    tmp_path.mkdir(parents=True, exist_ok=True)
+    pq.write_table(tbl, tmp_path / name)
+    return str(tmp_path)
+
+
+def test_checksum_order_invariant_and_sensitive(tmp_path):
+    """events_table_checksum: permuting rows leaves the checksum identical
+    (mod-2^64 addition is commutative); flipping one value changes it."""
+    from mix_blink_ray.pipelines.queries import events_table_checksum
+
+    rows = [(i, i * 10, i % 3, "click", float(i)) for i in range(50)]
+    a = events_table_checksum(_cks_events(tmp_path / "a", rows)).to_pandas()
+    b = events_table_checksum(_cks_events(tmp_path / "b", rows[::-1])).to_pandas()
+    assert a.equals(b)
+    mutated = rows.copy()
+    mutated[7] = (7, 70, 1, "click", 99.25)
+    c = events_table_checksum(_cks_events(tmp_path / "c", mutated)).to_pandas()
+    assert int(c["checksum"][0]) != int(a["checksum"][0])
+    assert int(c["n_rows"][0]) == int(a["n_rows"][0])  # counts alone can't see it
+
+
+def test_checksum_partition_invariant(tmp_path):
+    """Checksums of two disjoint halves combine (mod-2^64 per type) to the
+    whole table's checksum — the property that lets a copy verify shard by
+    shard without ever co-locating the data."""
+    from mix_blink_ray.pipelines.queries import events_table_checksum
+
+    rows = [(i, i * 7, i % 5, "view" if i % 2 else "click", float(i) / 4) for i in range(60)]
+    single = events_table_checksum(_cks_events(tmp_path / "s", rows)).to_pandas()
+    first = events_table_checksum(_cks_events(tmp_path / "p1", rows[:17])).to_pandas()
+    second = events_table_checksum(_cks_events(tmp_path / "p2", rows[17:])).to_pandas()
+    merged = {}
+    for df in (first, second):
+        for _, r in df.iterrows():
+            cur = merged.setdefault(r["event_type"], [0, 0])
+            cur[0] = (cur[0] + (int(r["checksum"]) & 0xFFFFFFFFFFFFFFFF)) & 0xFFFFFFFFFFFFFFFF
+            cur[1] += int(r["n_rows"])
+    for _, r in single.iterrows():
+        m = merged[r["event_type"]]
+        assert m[1] == int(r["n_rows"])
+        assert m[0] == int(r["checksum"]) & 0xFFFFFFFFFFFFFFFF
