@@ -2044,6 +2044,52 @@ def docs_near_dup_verified(sf_dir: str):
     return _round(pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"jaccard": 6})
 
 
+def docs_weighted_sample(sf_dir: str):
+    """Deterministic weight-proportional sample (k = 20): priority =
+    splitmix64(doc_id) // weight, keep the k SMALLEST — the
+    Efraimidis–Spirakis idea (uniform key raised to 1/w) in pure integers:
+    doubling a document's weight halves its priority, so heavier documents
+    win bottom-k proportionally more often, yet the sample is a PURE
+    FUNCTION of (ids, weights): reruns, retries, and re-partitions return
+    byte-identical samples, and a grown corpus only ever swaps individual
+    members (no global reshuffle of survivors).  Weight = n_chars here (the
+    curation case: prefer substantial documents).  Scale shape: priorities
+    are one vectorized map, the sample is the existing partial-top-k merge
+    (per-batch bottom-k, driver merges batches × k rows — no global sort).
+    Weights < 2 RAISE: with w = 1 the priority can exceed int64 exactly
+    where the oracle's BIGINT cast would fail loudly.  Oracle: the HUGEINT
+    splitmix64 chain + h // w + ORDER BY (priority, doc_id) LIMIT k."""
+    from ..stages.sketches import splitmix64
+    from ..stages.topk import topk_rows
+
+    K = 20
+    ds = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def prio(b: pa.Table) -> pa.Table:
+        d = np.asarray(b["doc_id"], dtype=np.int64)
+        w = np.asarray(b["n_chars"], dtype=np.int64)
+        if b.num_rows and int(w.min()) < 2:
+            raise ValueError(
+                "docs_weighted_sample: weight < 2 — priority could exceed int64 "
+                "(the oracle's BIGINT cast would raise)"
+            )
+        p = (splitmix64(d.view(np.uint64)) // w.astype(np.uint64)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "weight": pa.array(w, pa.int64()),
+                "priority": pa.array(p, pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(prio, batch_format="pyarrow")
+    out = topk_rows(rows, ["priority", "doc_id"], [False, False], K)
+    return pa.Table.from_pandas(
+        out.to_pandas().sort_values(["priority", "doc_id"]).reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
 def docs_rendezvous_resharding(sf_dir: str):
     """Rendezvous (highest-random-weight) shard assignment and the 8 → 9
     rescale diff — the elastic-cluster primitive: shard(d) =
@@ -7924,6 +7970,7 @@ QUERIES = {
     "docs_meta_blocking": docs_meta_blocking,
     "docs_blocking_skew": docs_blocking_skew,
     "docs_rendezvous_resharding": docs_rendezvous_resharding,
+    "docs_weighted_sample": docs_weighted_sample,
     "docs_media_features": docs_media_features,
     "docs_media_dimensions": docs_media_dimensions,
     "docs_media_audio": docs_media_audio,
@@ -10487,6 +10534,42 @@ def _build_checksum_oracle() -> None:
 
 
 _build_checksum_oracle()
+
+
+def _build_weighted_sample_oracle() -> None:
+    """Replay ``docs_weighted_sample``: HUGEINT splitmix64 chain over
+    doc_id, priority = h // weight (unsigned floor division on both sides —
+    all values non-negative), ORDER BY (priority, doc_id) LIMIT 20."""
+    m64 = "CAST(18446744073709551616 AS HUGEINT)"
+
+    def mulmod(col: str, c: int) -> str:
+        hi, lo = c >> 32, c & 0xFFFFFFFF
+        return (
+            f"(((({col} % 4294967296) * {hi}) % 4294967296) "
+            f"* 4294967296 + {col} * {lo}) % {m64}"
+        )
+
+    c1 = 0x9E3779B97F4A7C15
+    c2, c3 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    ORACLE_SQL["docs_weighted_sample"] = f"""
+        WITH x0 AS (
+            SELECT doc_id, n_chars,
+                   (CAST(doc_id AS HUGEINT) + {c1}) % {m64} AS x
+            FROM documents
+        ),
+        s2 AS (SELECT doc_id, n_chars, {mulmod("xor(x, x >> 30)", c2)} AS x FROM x0),
+        s3 AS (SELECT doc_id, n_chars, {mulmod("xor(x, x >> 27)", c3)} AS x FROM s2),
+        pri AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                   xor(x, x >> 31) // CAST(n_chars AS HUGEINT) AS p
+            FROM s3
+        )
+        SELECT doc_id, weight, CAST(p AS BIGINT) AS priority
+        FROM pri ORDER BY p, doc_id LIMIT 20
+    """
+
+
+_build_weighted_sample_oracle()
 
 
 def _build_vocab_growth_oracle() -> None:

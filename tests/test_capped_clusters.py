@@ -122,3 +122,39 @@ def test_rendezvous_minimal_disruption():
     assert 0.02 < frac < 0.30  # E = 1/9 ≈ 0.111 at n=500
     assert set(out["old_shard"]) <= set(range(8))
     assert set(out["new_shard"]) <= set(range(9))
+
+
+def test_weighted_sample_determinism_and_bias(tmp_path):
+    """docs_weighted_sample: deterministic across reruns; a 100x-weight doc
+    set dominates the bottom-k over 1-weight... (weights >= 2 enforced) —
+    heavy docs (w=500) must out-sample light docs (w=2) in expectation, and
+    w < 2 raises."""
+    import pyarrow.parquet as pq2
+    import pytest as _pt
+
+    from mix_blink_ray.pipelines.queries import docs_weighted_sample
+
+    n = 200
+    weights = [500 if i < 100 else 2 for i in range(n)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["x y z"] * n),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["s"] * n),
+            "n_chars": pa.array(weights, pa.int64()),
+        }
+    )
+    pq2.write_table(tbl, tmp_path / "documents.parquet")
+    a = docs_weighted_sample(str(tmp_path)).to_pandas()
+    b = docs_weighted_sample(str(tmp_path)).to_pandas()
+    assert a.equals(b)
+    assert len(a) == 20
+    # 250x weight ratio: heavy docs should take the overwhelming majority
+    heavy = (a["weight"] == 500).sum()
+    assert heavy >= 15
+    # guard: weight < 2 raises
+    bad = tbl.set_column(4, "n_chars", pa.array([1] * n, pa.int64()))
+    pq2.write_table(bad, tmp_path / "documents.parquet")
+    with _pt.raises(Exception, match="weight < 2"):
+        docs_weighted_sample(str(tmp_path))
