@@ -5898,6 +5898,60 @@ def users_click_and_purchase(sf_dir: str):
     )
 
 
+def events_benford_digits(sf_dir: str):
+    """Benford first-significant-digit audit over event values — the
+    data-forensics screen for fabricated or synthetically-clipped numeric
+    columns (organic multi-scale data leads with 1 ~30% of the time;
+    uniform generators lead flat — this corpus's log-scaled value generator
+    happens to land near the law: measured 294‰ leading-1 at sf0.001 vs
+    Benford's 301‰).  Exact integers: the
+    first digit of |cents| comes from repeated floor division by 10 (≤ 19
+    vectorized passes — no float log10, whose boundary rounding misplaces
+    powers of ten; the oracle takes the first VARCHAR character of the same
+    integer, which is the same function on positives), zero cents excluded
+    (no leading digit).  Map-side 9-bucket bincount, ONE ≤ 9-row groupby,
+    shares as 1000·n // total floor division driver-side."""
+    ds = _t(sf_dir, "events", ["value"])
+    empty = pa.table({"digit": pa.array([], pa.int64()), "n_p": pa.array([], pa.int64())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        c = np.abs(np.asarray(_cents(b["value"]), dtype=np.int64))
+        c = c[c > 0]
+        if len(c) == 0:
+            return empty
+        while True:  # ≤ 19 passes: int64 has at most 19 decimal digits
+            m = c >= 10
+            if not m.any():
+                break
+            c[m] //= 10
+        cnt = np.bincount(c, minlength=10).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"digit": pa.array(nz, pa.int64()), "n_p": pa.array(cnt[nz], pa.int64())}
+        )
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n_p", alias_name="n"))
+        .to_pandas()
+    )
+    if len(g) == 0:
+        raise ValueError("events_benford_digits: no positive values")
+    digits = [int(v) for v in g["digit"]]
+    ns = [int(v) for v in g["n"]]
+    total = sum(ns)
+    return pa.table(
+        {
+            "digit": pa.array(digits, pa.int64()),
+            "n": pa.array(ns, pa.int64()),
+            "share_permille": pa.array([1000 * n // total for n in ns], pa.int64()),
+        }
+    )
+
+
 def events_table_checksum(sf_dir: str):
     """Order-independent MULTISET checksum per event_type — the
     table-equality primitive that verifies a 100-TB copy / resume / migration
@@ -7997,6 +8051,7 @@ QUERIES = {
     "events_value_hour_corr": events_value_hour_corr,
     "events_type_hour_chi2": events_type_hour_chi2,
     "events_table_checksum": events_table_checksum,
+    "events_benford_digits": events_benford_digits,
     "events_minute_rate_ewma": events_minute_rate_ewma,
     "events_value_mad": events_value_mad,
     "events_value_hour_regression": events_value_hour_regression,
@@ -8163,6 +8218,18 @@ ORACLE_SQL = {
         SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
         INTERSECT
         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    "events_benford_digits": """
+        WITH c AS (
+            SELECT abs(CAST(round(value * 100) AS BIGINT)) AS v FROM events
+            WHERE CAST(round(value * 100) AS BIGINT) <> 0
+        ),
+        d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM c),
+        g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g)
+        SELECT g.digit, g.n,
+               CAST((1000 * g.n) // t.tot AS BIGINT) AS share_permille
+        FROM g, t
     """,
     "events_type_hour_chi2": """
         WITH cells AS (

@@ -151,3 +151,20 @@ def test_checksum_partition_invariant(tmp_path):
         m = merged[r["event_type"]]
         assert m[1] == int(r["n_rows"])
         assert m[0] == int(r["checksum"]) & 0xFFFFFFFFFFFFFFFF
+
+
+def test_benford_hand_computed(tmp_path):
+    """events_benford_digits: values 1.00, 0.19, 2.50, 95.00, 0.002, -3.00
+    -> cents 100, 19, 250, 9500, 0 (excluded), -300 (abs -> 3) -> first
+    digits {1: 2, 2: 1, 3: 1, 9: 1}."""
+    from mix_blink_ray.pipelines.queries import events_benford_digits
+
+    rows = [(i, i, 0, "click", v) for i, v in enumerate([1.00, 0.19, 2.50, 95.00, 0.002, -3.00])]
+    out = (
+        events_benford_digits(_cks_events(tmp_path, rows))
+        .to_pandas()
+        .set_index("digit")
+        .sort_index()
+    )
+    assert out["n"].to_dict() == {1: 2, 2: 1, 3: 1, 9: 1}
+    assert out["share_permille"].to_dict() == {1: 400, 2: 200, 3: 200, 9: 200}
