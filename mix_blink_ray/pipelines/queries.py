@@ -5952,6 +5952,35 @@ def events_benford_digits(sf_dir: str):
     )
 
 
+def parts_skyline(sf_dir: str):
+    """Distributed 2-D skyline (Pareto frontier) over parts — every part not
+    dominated on (size MAX, price MIN): the multi-objective shortlist
+    primitive (cheapest part at every size level that no bigger part
+    undercuts).  Dominance is ≥/≤ with at least one strict, so exact
+    duplicate points dominate nothing and BOTH survive — pinned by tests and
+    mirrored by the oracle's NOT EXISTS.  Engine shape
+    (``stages/topk.pareto_frontier_2d``): per-batch LOCAL frontier
+    contraction — lossless, since a globally non-dominated row is locally
+    non-dominated — then one exact pass over the concatenated partials; each
+    partial is bounded by the batch's distinct sizes, so the merge sees
+    ≤ blocks × |size domain| rows (50 for TPC-H parts), never row-scale.
+    The mask kernel is one lexsort + two prefix scans (min-d2 of strictly
+    greater sizes; first-in-group strict check) — no pairwise loop."""
+    from ..stages.topk import pareto_frontier_2d
+
+    ds = _t(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"]).map_batches(
+        lambda b: pa.table(
+            {
+                "p_partkey": b["p_partkey"],
+                "p_size": pc.cast(b["p_size"], pa.int64()),
+                "price_c": _cents(b["p_retailprice"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return pareto_frontier_2d(ds, "p_size", "price_c")
+
+
 def events_table_checksum(sf_dir: str):
     """Order-independent MULTISET checksum per event_type — the
     table-equality primitive that verifies a 100-TB copy / resume / migration
@@ -8052,6 +8081,7 @@ QUERIES = {
     "events_type_hour_chi2": events_type_hour_chi2,
     "events_table_checksum": events_table_checksum,
     "events_benford_digits": events_benford_digits,
+    "parts_skyline": parts_skyline,
     "events_minute_rate_ewma": events_minute_rate_ewma,
     "events_value_mad": events_value_mad,
     "events_value_hour_regression": events_value_hour_regression,
@@ -8218,6 +8248,19 @@ ORACLE_SQL = {
         SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
         INTERSECT
         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    "parts_skyline": """
+        WITH p AS (
+            SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
+            FROM part
+        )
+        SELECT a.p_partkey, a.p_size, a.price_c FROM p a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p b
+            WHERE b.p_size >= a.p_size AND b.price_c <= a.price_c
+              AND (b.p_size > a.p_size OR b.price_c < a.price_c)
+        )
     """,
     "events_benford_digits": """
         WITH c AS (

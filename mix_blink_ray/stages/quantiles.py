@@ -9,9 +9,13 @@ value to an integer cell (``round(value * scale)``), build per-batch
 only distinct-cell rows enter the exchange), sum the partials with a small
 ``groupby``, and read the quantiles off the merged weighted histogram.  The
 result is EXACT at the chosen resolution (bit-identical to DuckDB's
-``quantile_disc`` over the same quantized ints), not a sketch; for unbounded
-domains fall back to t-digest-style sketches (not needed for the testdata
-suite, noted here as the documented limitation).
+``quantile_disc`` over the same quantized ints), not a sketch; for
+UNBOUNDED-cardinality domains use the log-histogram quantile sketch
+(``stages/sketches.dd_registers`` / ``dd_quantiles`` and the grouped
+``dd_group_quantiles``): register count bounded by octave span × 2^sub_bits
+regardless of distinct values, merge = counter addition (partition
+invariant), relative error ≤ 2^-sub_bits, registers replayed bit-exact by
+the DuckDB oracle.
 
 Shuffle volume: ``n_groups × n_distinct_cells`` rows of 24 bytes —
 independent of row count.  Driver holds the merged histogram only.

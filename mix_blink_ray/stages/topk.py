@@ -16,7 +16,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
-__all__ = ["topk_rows"]
+__all__ = ["topk_rows", "frontier_mask_2d", "pareto_frontier_2d"]
 
 
 def topk_rows(ds: Dataset, keys: list[str], descending: list[bool], k: int) -> pa.Table:
@@ -44,3 +44,76 @@ def topk_rows(ds: Dataset, keys: list[str], descending: list[bool], k: int) -> p
         return pa.table({f: pa.array([], t) for f, t in zip(base.names, base.types)}) if base else pa.table({})
     full = pa.concat_tables(tables).combine_chunks()
     return full.take(pc.sort_indices(full, sort_keys=sort_keys).slice(0, k))
+
+
+# ── 2-D skyline (Pareto frontier) via the same partial/merge shape ──────────
+
+
+def frontier_mask_2d(d1, d2):
+    """Non-dominated mask over int64 arrays: MAXIMIZE ``d1``, MINIMIZE ``d2``.
+    Row j dominates row i iff d1_j ≥ d1_i ∧ d2_j ≤ d2_i with at least one
+    strict; exact duplicates dominate nothing and both survive.  Vectorized:
+    sort by (d1 desc, d2 asc); a row is dominated iff the min d2 among
+    STRICTLY-greater d1 rows (prefix min up to the previous d1 group) is
+    ≤ its d2, or some same-d1 row has strictly smaller d2 (the group's first
+    element, by the sort).  O(n log n), no pairwise loop."""
+    import numpy as np
+
+    d1 = np.asarray(d1, dtype=np.int64)
+    d2 = np.asarray(d2, dtype=np.int64)
+    n = len(d1)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    if (d1 == np.iinfo(np.int64).min).any():
+        raise ValueError("frontier_mask_2d: INT64_MIN d1 cannot be negated for the sort")
+    order = np.lexsort((d2, -d1))
+    s1, s2 = d1[order], d2[order]
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = s1[1:] != s1[:-1]
+    grp_first = np.maximum.accumulate(np.where(new_grp, np.arange(n), 0))
+    first_d2 = s2[grp_first]
+    cm = np.minimum.accumulate(s2)
+    prev_cm = np.where(
+        grp_first > 0, cm[np.maximum(grp_first - 1, 0)], np.iinfo(np.int64).max
+    )
+    dominated = (prev_cm <= s2) | (s2 > first_d2)
+    mask = np.zeros(n, dtype=bool)
+    mask[order] = ~dominated
+    return mask
+
+
+def pareto_frontier_2d(ds: Dataset, max_col: str, min_col: str) -> pa.Table:
+    """Distributed 2-D skyline: all rows not dominated by any other row
+    (``max_col`` maximized, ``min_col`` minimized, strict-somewhere
+    dominance).  Shape: per-batch LOCAL frontier contraction (any globally
+    non-dominated row is locally non-dominated, so pruning locally is
+    lossless), then one exact frontier pass over the concatenated partials.
+    Each partial is ≤ the batch's distinct ``max_col`` values, so the merge
+    sees ≤ blocks × distinct(max_col) rows — bounded by the DIMENSION, never
+    by row count.  (For an unbounded-cardinality max_col add a tree round:
+    repartition the partials and contract again — same kernel, noted here
+    for the 100-TB reading.)"""
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        import numpy as np
+
+        m = frontier_mask_2d(
+            np.asarray(b[max_col], dtype=np.int64), np.asarray(b[min_col], dtype=np.int64)
+        )
+        return b.take(pa.array(np.flatnonzero(m)))
+
+    refs = ds.map_batches(partial, batch_format="pyarrow").materialize().to_arrow_refs()
+    tables = [t for t in ray.get(refs) if t.num_rows]
+    if not tables:
+        raise ValueError("pareto_frontier_2d: empty input")
+    import numpy as np
+
+    full = pa.concat_tables(tables).combine_chunks()
+    m = frontier_mask_2d(
+        np.asarray(full[max_col], dtype=np.int64), np.asarray(full[min_col], dtype=np.int64)
+    )
+    return full.take(pa.array(np.flatnonzero(m)))
