@@ -5981,6 +5981,159 @@ def parts_skyline(sf_dir: str):
     return pareto_frontier_2d(ds, "p_size", "price_c")
 
 
+def _fs_pattern_weights(n_m: int, n_u: int, am: list, au: list) -> list:
+    """The 8 Fellegi–Sunter pattern weights as exact integers: for pattern
+    bits (lang, source, len) = (bit2, bit1, bit0), weight_ppm =
+    ⌊10⁶ · Π_k term_m(k)·(n_u+2) / Π_k term_u(k)·(n_m+2)⌋ with Laplace
+    term_m = agree ? am_k+1 : n_m−am_k+1 (u likewise).  Every term ≥ 1 even
+    at n_m = 0 or n_u = 0, so the division is always defined.  RAISES
+    exactly where the oracle's HUGEINT intermediate (≥ 2¹²⁷) or BIGINT
+    output cast would — the loud ceiling, never a silent wrap."""
+    weights = []
+    for pat in range(8):
+        num, den = 10**6, 1
+        for k in range(3):
+            agree = (pat >> (2 - k)) & 1
+            num *= (am[k] + 1 if agree else n_m - am[k] + 1) * (n_u + 2)
+            den *= (au[k] + 1 if agree else n_u - au[k] + 1) * (n_m + 2)
+        if num >= 2**127 or den >= 2**127:
+            raise ValueError(
+                "docs_fs_match_weights: HUGEINT overflow in the odds product "
+                f"(pattern {pat:03b}); at this pair count use log-space floats"
+            )
+        w = num // den
+        if w >= 2**63:
+            raise ValueError(
+                f"docs_fs_match_weights: weight_ppm {w} exceeds int64 "
+                "(the oracle's BIGINT cast raises on the same value)"
+            )
+        weights.append(w)
+    return weights
+
+
+def docs_fs_match_weights(sf_dir: str):
+    """Fellegi–Sunter probabilistic match weights (the 1969 record-linkage
+    scorer, naive-Bayes form) over the meta-blocking candidate pairs —
+    calibrate CHEAP field comparisons (lang / source / length-bucket
+    equality) against the EXPENSIVE exact trigram-Jaccard verifier used as
+    supervision (is_match = 10·inter ≥ 7·uni, the 0.7 threshold with no
+    float boundary), then score every pair by its agreement pattern.  For
+    field k, m_k = P(agree | match) and u_k = P(agree | non-match) are
+    Laplace-smoothed exact rationals ((a+1)/(n+2)); the pair's odds
+    Π_k (agree ? m_k/u_k : (1−m_k)/(1−u_k)) ships as weight_ppm =
+    ⌊10⁶·num/den⌋ computed in arbitrary-precision Python ints and
+    range-checked exactly where the oracle's HUGEINT intermediates
+    (< 2¹²⁷) and BIGINT output cast would raise — at which corpus scale the
+    honest escape hatch is log-space floats, documented not silent.
+    Engine shape: candidates and the Jaccard label reuse the existing
+    bucketed meta-blocking + pair-join verify stages (``emit_counts`` keeps
+    every pair with integer inter/uni); fields attach via two partitioned
+    hash joins onto the pair set (the corpus never ships); the 8 sufficient
+    statistics contract map-side to one row per batch; and scoring is a
+    pure 8-entry table lookup by packed agreement pattern — weights depend
+    only on the 3 bits, so the per-pair pass is one vectorized gather."""
+    from ..stages.blocking import meta_blocking_pairs
+    from ..stages.dedup import ngram_jaccard_verify
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
+    texts = docs.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "text": b["text"]}), batch_format="pyarrow"
+    )
+    cands = meta_blocking_pairs(texts, n=3, min_block=2, max_block=20, min_shared=2).map_batches(
+        lambda b: pa.table({"a_id": b["doc_a"], "b_id": b["doc_b"]}), batch_format="pyarrow"
+    )
+    scored = ngram_jaccard_verify(cands, texts, threshold=0.0, emit_counts=True)
+
+    fields_a = docs.map_batches(
+        lambda b: pa.table(
+            {
+                "a_id": b["doc_id"],
+                "a_lang": b["lang"],
+                "a_src": b["source"],
+                "a_lb": pc.divide(pc.cast(b["n_chars"], pa.int64()), pa.scalar(64, pa.int64())),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    fields_b = docs.map_batches(
+        lambda b: pa.table(
+            {
+                "b_id": b["doc_id"],
+                "b_lang": b["lang"],
+                "b_src": b["source"],
+                "b_lb": pc.divide(pc.cast(b["n_chars"], pa.int64()), pa.scalar(64, pa.int64())),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "agree_lang": pa.array([], pa.int64()),
+            "agree_source": pa.array([], pa.int64()),
+            "agree_len": pa.array([], pa.int64()),
+            "is_match": pa.array([], pa.int64()),
+        }
+    )
+    scored = scored.materialize()
+    if scored.count() == 0:
+        return empty.append_column("weight_ppm", pa.array([], pa.int64()))
+    from ..stages.clustering import cpu_scaled_partitions
+
+    n_parts = cpu_scaled_partitions(scored.count())
+    joined = scored.join(fields_a, join_type="inner", num_partitions=n_parts, on=("a_id",)).join(
+        fields_b, join_type="inner", num_partitions=n_parts, on=("b_id",)
+    )
+
+    def compare(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        inter = np.asarray(b["inter"], dtype=np.int64)
+        uni = np.asarray(b["uni"], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_a": b["a_id"],
+                "doc_b": b["b_id"],
+                "agree_lang": pc.cast(pc.equal(b["a_lang"], b["b_lang"]), pa.int64()),
+                "agree_source": pc.cast(pc.equal(b["a_src"], b["b_src"]), pa.int64()),
+                "agree_len": pc.cast(pc.equal(b["a_lb"], b["b_lb"]), pa.int64()),
+                "is_match": pa.array((10 * inter >= 7 * uni).astype(np.int64)),
+            }
+        )
+
+    pairs = joined.map_batches(compare, batch_format="pyarrow").materialize()
+
+    def stat_partial(b: pa.Table) -> pa.Table:
+        m = np.asarray(b["is_match"], dtype=np.int64)
+        cols = {"n_m": int(m.sum()), "n_u": int(len(m) - m.sum())}
+        for k in ("agree_lang", "agree_source", "agree_len"):
+            a = np.asarray(b[k], dtype=np.int64)
+            cols[f"am_{k}"] = int((m * a).sum())
+            cols[f"au_{k}"] = int(((1 - m) * a).sum())
+        return pa.table({c: pa.array([v], pa.int64()) for c, v in cols.items()})
+
+    st = pairs.map_batches(stat_partial, batch_format="pyarrow").to_pandas().sum()
+    n_m, n_u = int(st["n_m"]), int(st["n_u"])
+    fields = ["agree_lang", "agree_source", "agree_len"]
+    am = [int(st[f"am_{k}"]) for k in fields]
+    au = [int(st[f"au_{k}"]) for k in fields]
+
+    wtab = np.array(_fs_pattern_weights(n_m, n_u, am, au), dtype=np.int64)
+
+    def score(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty.append_column("weight_ppm", pa.array([], pa.int64()))
+        idx = (
+            4 * np.asarray(b["agree_lang"], dtype=np.int64)
+            + 2 * np.asarray(b["agree_source"], dtype=np.int64)
+            + np.asarray(b["agree_len"], dtype=np.int64)
+        )
+        return b.append_column("weight_ppm", pa.array(wtab[idx]))
+
+    return pairs.map_batches(score, batch_format="pyarrow")
+
+
 def events_table_checksum(sf_dir: str):
     """Order-independent MULTISET checksum per event_type — the
     table-equality primitive that verifies a 100-TB copy / resume / migration
@@ -8082,6 +8235,7 @@ QUERIES = {
     "events_table_checksum": events_table_checksum,
     "events_benford_digits": events_benford_digits,
     "parts_skyline": parts_skyline,
+    "docs_fs_match_weights": docs_fs_match_weights,
     "events_minute_rate_ewma": events_minute_rate_ewma,
     "events_value_mad": events_value_mad,
     "events_value_hour_regression": events_value_hour_regression,
@@ -8248,6 +8402,68 @@ ORACLE_SQL = {
         SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
         INTERSECT
         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    "docs_fs_match_weights": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents WHERE trim(text) <> ''
+        ), g AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+            FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+        ), blk AS (
+            SELECT gram FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND 20
+        ), cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            JOIN blk ON a.gram = blk.gram
+            GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+        ), cg AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) >= 3
+                        THEN list_distinct(list_transform(
+                                 generate_series(1, length(text) - 2),
+                                 i -> substring(text, i, 3)))
+                        WHEN length(text) > 0 THEN [text]
+                        ELSE CAST([] AS VARCHAR[]) END AS grams
+            FROM documents
+        ), pj AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(len(list_intersect(ca.grams, cb.grams)) AS BIGINT) AS inter,
+                   CAST(len(list_distinct(list_concat(ca.grams, cb.grams))) AS BIGINT) AS uni
+            FROM cand c JOIN cg ca ON ca.doc_id = c.doc_a JOIN cg cb ON cb.doc_id = c.doc_b
+        ), f AS (
+            SELECT p.doc_a, p.doc_b,
+                   CASE WHEN 10 * p.inter >= 7 * p.uni THEN 1 ELSE 0 END AS is_match,
+                   CASE WHEN da.lang = db.lang THEN 1 ELSE 0 END AS agree_lang,
+                   CASE WHEN da.source = db.source THEN 1 ELSE 0 END AS agree_source,
+                   CASE WHEN da.n_chars // 64 = db.n_chars // 64 THEN 1 ELSE 0 END AS agree_len
+            FROM pj p JOIN documents da ON da.doc_id = p.doc_a
+                      JOIN documents db ON db.doc_id = p.doc_b
+        ), s AS (
+            SELECT CAST(sum(is_match) AS HUGEINT) AS n_m,
+                   CAST(count(*) - sum(is_match) AS HUGEINT) AS n_u,
+                   CAST(sum(is_match * agree_lang) AS HUGEINT) AS am1,
+                   CAST(sum((1 - is_match) * agree_lang) AS HUGEINT) AS au1,
+                   CAST(sum(is_match * agree_source) AS HUGEINT) AS am2,
+                   CAST(sum((1 - is_match) * agree_source) AS HUGEINT) AS au2,
+                   CAST(sum(is_match * agree_len) AS HUGEINT) AS am3,
+                   CAST(sum((1 - is_match) * agree_len) AS HUGEINT) AS au3
+            FROM f
+        )
+        SELECT f.doc_a, f.doc_b,
+               CAST(f.agree_lang AS BIGINT) AS agree_lang,
+               CAST(f.agree_source AS BIGINT) AS agree_source,
+               CAST(f.agree_len AS BIGINT) AS agree_len,
+               CAST(f.is_match AS BIGINT) AS is_match,
+               CAST((1000000::HUGEINT
+                     * (CASE WHEN f.agree_lang = 1 THEN s.am1 + 1 ELSE s.n_m - s.am1 + 1 END) * (s.n_u + 2)
+                     * (CASE WHEN f.agree_source = 1 THEN s.am2 + 1 ELSE s.n_m - s.am2 + 1 END) * (s.n_u + 2)
+                     * (CASE WHEN f.agree_len = 1 THEN s.am3 + 1 ELSE s.n_m - s.am3 + 1 END) * (s.n_u + 2))
+                    // ((CASE WHEN f.agree_lang = 1 THEN s.au1 + 1 ELSE s.n_u - s.au1 + 1 END) * (s.n_m + 2)
+                      * (CASE WHEN f.agree_source = 1 THEN s.au2 + 1 ELSE s.n_u - s.au2 + 1 END) * (s.n_m + 2)
+                      * (CASE WHEN f.agree_len = 1 THEN s.au3 + 1 ELSE s.n_u - s.au3 + 1 END) * (s.n_m + 2))
+                    AS BIGINT) AS weight_ppm
+        FROM f, s
     """,
     "parts_skyline": """
         WITH p AS (

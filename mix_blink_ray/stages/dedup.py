@@ -565,9 +565,15 @@ def simhash_near_dup_pairs(
 
 def ngram_jaccard_verify(
     pairs: Dataset, docs: Dataset, threshold: float, ngram: int = 3,
-    id_col: str = "doc_id", text_col: str = "text",
+    id_col: str = "doc_id", text_col: str = "text", emit_counts: bool = False,
 ) -> Dataset:
     """Exact char-n-gram Jaccard verify of candidate pairs.
+
+    ``emit_counts=True`` keeps EVERY pair (no threshold filter) and appends
+    the exact integer sufficient statistics ``inter`` / ``uni`` (gram-set
+    intersection / union sizes) so callers can apply integer-exact decision
+    rules (e.g. ``10·inter ≥ 7·uni`` for a 0.7 threshold with no float
+    boundary) — the Fellegi–Sunter scorer trains on these labels.
 
     Texts are fetched ONTO the (small) pair set via two partitioned hash
     joins — the corpus text column never touches the driver (the same shape
@@ -589,6 +595,9 @@ def ngram_jaccard_verify(
         except Exception:
             cols = {"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())}
         cols["jaccard"] = pa.array([], pa.float64())
+        if emit_counts:
+            cols["inter"] = pa.array([], pa.int64())
+            cols["uni"] = pa.array([], pa.int64())
         return rd_.from_arrow(pa.table(cols))
     n_parts = cpu_scaled_partitions(pairs.count())
     a_texts = docs.map_batches(
@@ -628,6 +637,10 @@ def ngram_jaccard_verify(
         out = batch.drop_columns(["a_text", "b_text"]).append_column(
             "jaccard", pa.array(j.astype(np.float64))
         )
+        if emit_counts:
+            out = out.append_column("inter", pa.array(inter.astype(np.int64)))
+            out = out.append_column("uni", pa.array(union.astype(np.int64)))
+            return out
         return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
     return joined.map_batches(verify, batch_format="pyarrow")
