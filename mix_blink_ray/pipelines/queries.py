@@ -6134,6 +6134,105 @@ def docs_fs_match_weights(sf_dir: str):
     return pairs.map_batches(score, batch_format="pyarrow")
 
 
+def events_user_day_interp(sf_dir: str):
+    """Per-user resampling to a fixed daily grid with EXACT integer linear
+    interpolation — the time-series alignment primitive (join-ready panel
+    from irregular event times): for every midnight g inside a user's
+    [first_ts, last_ts], value = (v0·(t1−g) + v1·(g−t0)) // (t1−t0) between
+    the bracketing observations, in pure int64 µs/cents arithmetic.  The
+    non-negative weighted form keeps numerator ≥ 0, so numpy floor division
+    and DuckDB's truncating ``//`` agree BY CONSTRUCTION — negative cents
+    RAISE (the TWAP convention) and the cents×span product is range-checked
+    where the oracle's BIGINT multiply would raise.  Duplicate (user, ts)
+    observations collapse to the max-event_id row (latest-write-wins,
+    replayed by the oracle's row_number).  Engine: ONE bucketed-run exchange
+    (``grouped_ordered_runs``), grid expansion by cumsum/arange, brackets by
+    ONE composite-key searchsorted across all runs (run_idx·span + t — the
+    segmented-searchsorted trick, bound-checked), zero per-user Python.
+    A grid midnight equal to an observation returns that observation
+    exactly (off = 0); g = last_ts uses the degenerate [t, t+1) interval —
+    same off = 0.  Output rows ∝ users × days, never events."""
+    from ..stages.windows import grouped_ordered_runs
+
+    DAY = 86_400_000_000
+    ds = _t(sf_dir, "events", ["user_id", "ts", "value", "event_id"]).map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"],
+                "t": pc.cast(b["ts"], pa.int64()),
+                "event_id": b["event_id"],
+                "c": _cents(b["value"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "grid_ts": pa.array([], pa.timestamp("us")),
+            "value_c": pa.array([], pa.int64()),
+        }
+    )
+
+    def kernel(g: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        users = np.asarray(g["user_id"], dtype=np.int64)
+        t = np.asarray(g["t"], dtype=np.int64)
+        c = np.asarray(g["c"], dtype=np.int64)
+        if (c < 0).any():
+            raise ValueError(
+                "events_user_day_interp: negative cents — floor/trunc division "
+                "would disagree between engine and oracle (TWAP convention)"
+            )
+        n = len(t)
+        # latest-write-wins per (user, ts): rows are sorted by (user, t,
+        # event_id), so keep the LAST of each equal (user, t) group
+        keep = np.ones(n, dtype=bool)
+        keep[:-1] = (users[1:] != users[:-1]) | (t[1:] != t[:-1])
+        users, t, c = users[keep], t[keep], c[keep]
+        n = len(t)
+        starts = np.flatnonzero(np.r_[True, users[1:] != users[:-1]]).astype(np.int64)
+        ends = np.r_[starts[1:], n].astype(np.int64)
+        lo, hi = t[starts], t[ends - 1]
+        g0 = (lo + DAY - 1) // DAY
+        g1 = hi // DAY
+        counts = np.maximum(g1 - g0 + 1, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        run_of = np.repeat(np.arange(len(starts), dtype=np.int64), counts)
+        offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        gridt = (g0[run_of] + (np.arange(total, dtype=np.int64) - offs[run_of])) * DAY
+        # composite segmented searchsorted: run_idx*span + (t - base)
+        base = int(t.min())
+        span = int(t.max()) - base + 1
+        if len(starts) * span >= 2**63 or int(c.max(initial=0)) * span >= 2**63:
+            raise ValueError(
+                "events_user_day_interp: composite key or lerp product exceeds "
+                "int64 (the oracle's BIGINT arithmetic raises on the same data)"
+            )
+        run_of_row = np.repeat(np.arange(len(starts), dtype=np.int64), ends - starts)
+        comp_t = run_of_row * span + (t - base)
+        comp_g = run_of * span + (gridt - base)
+        pos = np.searchsorted(comp_t, comp_g, side="right") - 1
+        is_last = pos == ends[run_of] - 1
+        t0, v0 = t[pos], c[pos]
+        nxt = np.where(is_last, pos, pos + 1)
+        t1 = np.where(is_last, t0 + 1, t[nxt])
+        v1 = np.where(is_last, v0, c[nxt])
+        val = (v0 * (t1 - gridt) + v1 * (gridt - t0)) // (t1 - t0)
+        return pa.table(
+            {
+                "user_id": pa.array(users[starts][run_of]),
+                "grid_ts": pc.cast(pa.array(gridt), pa.timestamp("us")),
+                "value_c": pa.array(val),
+            }
+        )
+
+    return grouped_ordered_runs(ds, "user_id", ("t", "event_id"), kernel)
+
+
 def events_table_checksum(sf_dir: str):
     """Order-independent MULTISET checksum per event_type — the
     table-equality primitive that verifies a 100-TB copy / resume / migration
@@ -8236,6 +8335,7 @@ QUERIES = {
     "events_benford_digits": events_benford_digits,
     "parts_skyline": parts_skyline,
     "docs_fs_match_weights": docs_fs_match_weights,
+    "events_user_day_interp": events_user_day_interp,
     "events_minute_rate_ewma": events_minute_rate_ewma,
     "events_value_mad": events_value_mad,
     "events_value_hour_regression": events_value_hour_regression,
@@ -8402,6 +8502,31 @@ ORACLE_SQL = {
         SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
         INTERSECT
         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    "events_user_day_interp": """
+        WITH e0 AS (
+            SELECT user_id, epoch_us(ts) AS t,
+                   CAST(round(value * 100) AS BIGINT) AS c,
+                   row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+            FROM events
+        ), ded AS (
+            SELECT user_id, t, c FROM e0 WHERE rn = 1
+        ), spans AS (
+            SELECT user_id, min(t) AS lo, max(t) AS hi FROM ded GROUP BY user_id
+        ), grid AS (
+            SELECT s.user_id, d * 86400000000 AS g
+            FROM spans s, unnest(range((s.lo + 86399999999) // 86400000000,
+                                       s.hi // 86400000000 + 1)) AS r(d)
+        ), iv AS (
+            SELECT user_id, t AS t0, c AS v0,
+                   coalesce(LEAD(t) OVER w, t + 1) AS t1,
+                   coalesce(LEAD(c) OVER w, c) AS v1
+            FROM ded WINDOW w AS (PARTITION BY user_id ORDER BY t)
+        )
+        SELECT g.user_id, make_timestamp(g.g) AS grid_ts,
+               (iv.v0 * (iv.t1 - g.g) + iv.v1 * (g.g - iv.t0)) // (iv.t1 - iv.t0) AS value_c
+        FROM grid g JOIN iv ON iv.user_id = g.user_id
+                           AND g.g >= iv.t0 AND g.g < iv.t1
     """,
     "docs_fs_match_weights": """
         WITH toks AS (
