@@ -6233,6 +6233,27 @@ def events_user_day_interp(sf_dir: str):
     return grouped_ordered_runs(ds, "user_id", ("t", "event_id"), kernel)
 
 
+def docs_canopy_assign(sf_dir: str):
+    """Canopy-clustering assignment (McCallum et al., KDD'00) with a
+    deterministic cheap distance: every document joins the canopy of its
+    RAREST token — min (df, token) — plus the canopy's member count.  Rare
+    terms are discriminative, so canopies are the classic cheap blocking
+    prior for an expensive within-canopy stage (df = 1 ⇒ singleton canopy,
+    no pair work at all); the assignment is a pure function of the corpus,
+    so retries and re-partitions reproduce it exactly.  Engine
+    (``stages/vocab.canopy_assignments``): broadcast df table (counted
+    RAISE above 20M entries — prune by df floor first), per-doc argmin
+    entirely MAP-SIDE (documents are whole rows: no doc-keyed exchange
+    exists), canopy sizes via map-side (token, count) cells into one
+    canopy-scale groupby, sizes gathered back by a second broadcast.  Tie
+    order is binary string order = numpy code-point order on this corpus's
+    ASCII tokens (the band-key caveat class, documented)."""
+    from ..stages.vocab import canopy_assignments
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return canopy_assignments(ds)
+
+
 def events_table_checksum(sf_dir: str):
     """Order-independent MULTISET checksum per event_type — the
     table-equality primitive that verifies a 100-TB copy / resume / migration
@@ -8336,6 +8357,7 @@ QUERIES = {
     "parts_skyline": parts_skyline,
     "docs_fs_match_weights": docs_fs_match_weights,
     "events_user_day_interp": events_user_day_interp,
+    "docs_canopy_assign": docs_canopy_assign,
     "events_minute_rate_ewma": events_minute_rate_ewma,
     "events_value_mad": events_value_mad,
     "events_value_hour_regression": events_value_hour_regression,
@@ -8502,6 +8524,28 @@ ORACLE_SQL = {
         SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
         INTERSECT
         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    "docs_canopy_assign": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents WHERE trim(text) <> ''
+        ), cells AS (
+            SELECT DISTINCT doc_id, t[i] AS w
+            FROM toks, unnest(range(1, len(t) + 1)) AS r(i)
+        ), df AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS df FROM cells GROUP BY w
+        ), ranked AS (
+            SELECT c.doc_id, c.w, d.df,
+                   row_number() OVER (PARTITION BY c.doc_id ORDER BY d.df, c.w) AS rn
+            FROM cells c JOIN df d USING (w)
+        ), pick AS (
+            SELECT doc_id, w AS canopy_token, df AS canopy_df FROM ranked WHERE rn = 1
+        ), sz AS (
+            SELECT canopy_token, CAST(count(*) AS BIGINT) AS canopy_size
+            FROM pick GROUP BY canopy_token
+        )
+        SELECT p.doc_id, p.canopy_token, p.canopy_df, s.canopy_size
+        FROM pick p JOIN sz s USING (canopy_token)
     """,
     "events_user_day_interp": """
         WITH e0 AS (

@@ -41,6 +41,7 @@ __all__ = [
     "tfidf_search",
     "bigram_counts",
     "distinctive_tokens",
+    "canopy_assignments",
 ]
 
 
@@ -527,3 +528,108 @@ def distinctive_tokens(
         .groupby(group_col)
         .map_groups(top_final, batch_format="pyarrow")
     )
+
+
+def canopy_assignments(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lower: bool = True,
+    max_broadcast_vocab: int = 20_000_000,
+) -> Dataset:
+    """Canopy-clustering assignment (McCallum/Nigam/Ungar, KDD'00) with a
+    deterministic cheap distance: every document joins the canopy of its
+    RAREST token — min (df, token) lexicographic, so the canopy key is a
+    pure function of the corpus and replays exactly (ties by token string:
+    binary order, which equals numpy's code-point order on this corpus's
+    ASCII tokens — the band-key caveat class, documented not hidden).
+    Canopies from rarest tokens are the classic blocking prior for an
+    expensive within-canopy comparison stage: rare terms are discriminative,
+    so canopies stay small where it matters (df = 1 ⇒ a singleton canopy).
+
+    Shape: the df table broadcasts ONCE (``ray.put``; above
+    ``max_broadcast_vocab`` this RAISES — prune by df floor first, the
+    ``top_terms_per_doc`` convention), the per-doc argmin is pure map-side
+    numpy (documents are whole rows, so no doc-keyed exchange exists at
+    all), canopy sizes contract map-side to (token, count) cells before one
+    canopy-scale groupby, and sizes gather back onto assignments by a
+    second broadcast.  Output: (doc_id, canopy_token, canopy_df,
+    canopy_size)."""
+    df_tbl = pa.Table.from_pandas(
+        doc_frequencies(ds, id_col, text_col, lower).to_pandas(), preserve_index=False
+    )
+    if df_tbl.num_rows > max_broadcast_vocab:
+        raise ValueError(
+            f"vocabulary {df_tbl.num_rows} exceeds max_broadcast_vocab={max_broadcast_vocab}; "
+            "prune by df floor before canopy assignment"
+        )
+    vocab = pc.cast(df_tbl["token"], pa.string()).combine_chunks()
+    dfs = pc.cast(df_tbl["df"], pa.int64()).combine_chunks()
+    vocab_ref = ray.put(vocab)
+    dfs_ref = ray.put(dfs)
+    empty_assign = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "canopy_token": pa.array([], pa.string()),
+            "canopy_df": pa.array([], pa.int64()),
+        }
+    )
+
+    def assign(b: pa.Table) -> pa.Table:
+        vc = ray.get(vocab_ref)
+        dv = ray.get(dfs_ref)
+        dids, toks = _explode(b, id_col, text_col, lower)
+        if len(toks) == 0:
+            return empty_assign
+        # distinct (doc, token) then argmin by (df, token) per doc run
+        order = np.lexsort((toks, dids))
+        toks, dids = toks[order], dids[order]
+        keep = np.concatenate([[True], (dids[1:] != dids[:-1]) | (toks[1:] != toks[:-1])])
+        toks, dids = toks[keep], dids[keep]
+        df_idx = pc.index_in(pa.array(toks, pa.string()), value_set=vc).to_numpy(
+            zero_copy_only=False
+        )
+        u_df = dv.to_numpy(zero_copy_only=False)[df_idx.astype(np.int64)]
+        sel = np.lexsort((toks, u_df, dids))
+        d_sorted = dids[sel]
+        first = np.concatenate([[True], d_sorted[1:] != d_sorted[:-1]])
+        pick = sel[first]
+        return pa.table(
+            {
+                id_col: pa.array(dids[pick]),
+                "canopy_token": pa.array(toks[pick], pa.string()),
+                "canopy_df": pa.array(u_df[pick]),
+            }
+        )
+
+    assigns = ds.map_batches(assign, batch_format="pyarrow").materialize()
+
+    def size_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"canopy_token": pa.array([], pa.string()), "n_partial": pa.array([], pa.int64())}
+            )
+        u, cnt = np.unique(b["canopy_token"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table(
+            {"canopy_token": pa.array(u, pa.string()), "n_partial": pa.array(cnt.astype(np.int64))}
+        )
+
+    sizes = pa.Table.from_pandas(
+        assigns.map_batches(size_partial, batch_format="pyarrow")
+        .groupby("canopy_token")
+        .aggregate(Sum("n_partial", alias_name="canopy_size"))
+        .to_pandas(),
+        preserve_index=False,
+    )
+    sz_tok = pc.cast(sizes["canopy_token"], pa.string()).combine_chunks()
+    sz_n = pc.cast(sizes["canopy_size"], pa.int64()).combine_chunks()
+    sz_tok_ref, sz_n_ref = ray.put(sz_tok), ray.put(sz_n)
+
+    def attach_size(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("canopy_size", pa.array([], pa.int64()))
+        st, sn = ray.get(sz_tok_ref), ray.get(sz_n_ref)
+        pos = pc.index_in(b["canopy_token"], value_set=st)
+        return b.append_column("canopy_size", pc.take(sn, pos))
+
+    return assigns.map_batches(attach_size, batch_format="pyarrow")
