@@ -3658,6 +3658,134 @@ def customers_pagerank(sf_dir: str):
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+WL_ROUNDS = 2
+WL_OUT_DEG = 3  # same deterministic hash-functional out-edges as PageRank
+
+
+def customers_wl_fingerprint(sf_dir: str):
+    """Weisfeiler–Lehman structural fingerprint (2 refinement rounds) over
+    the deterministic hash-functional customer graph (u → splitmix64(8u+k)
+    mod n, k = 0,1,2 — PageRank's graph): the graph-isomorphism screen that
+    detects structurally-identical neighborhoods, output as the color-class
+    histogram (wl_color, n_nodes).  Colors init to IN-degree, then each
+    round rehashes (own color, MULTISET of in-neighbor colors): the multiset
+    encodes as Σ splitmix64(color(u)) mod 2⁶⁴ — commutative, so the value is
+    independent of edge order, partitioning and batch boundaries BY
+    CONSTRUCTION (the table-checksum trick), and col′ =
+    splitmix64(splitmix64(col) XOR Σ).  One node-scale groupby per round
+    (the north star's iterative shuffle-aggregate loop with multiset-hash
+    semantics); contributions EMIT from color rows by pure arithmetic (an
+    edge-table graph swaps the emit for a join feeding the SAME groupby);
+    zero-in-degree nodes stay alive via a zero self-row that also carries
+    the node's own color through the SAME exchange (one shuffle recovers
+    both Σ and col).  Engine sums wrap exactly: hash halves split 32/32 so
+    partial sums stay < n·2³² < 2⁶³ (n < 2³¹ ASSERTED with the contiguous
+    domain), recombined per node in native-wrapping uint64; the oracle sums
+    whole hashes in HUGEINT and reduces % 2⁶⁴ — identical by construction.
+    Colors ship as the signed two's-complement int64 view (epoch-shuffle
+    convention)."""
+    import ray
+
+    from ..stages.sketches import splitmix64
+
+    ds = _t(sf_dir, "customer", ["c_custkey"])
+    n = ds.count()
+    if n == 0:
+        raise ValueError("customers_wl_fingerprint: empty customer table")
+    if n >= 2**31:
+        raise ValueError(
+            "customers_wl_fingerprint: n >= 2^31 — the 32-bit-half partial "
+            "sums would no longer be provably wrap-free in int64"
+        )
+    mm = ds.aggregate(Min("c_custkey"), Max("c_custkey"))
+    if int(mm["min(c_custkey)"]) != 0 or int(mm["max(c_custkey)"]) != n - 1:
+        raise ValueError("customers_wl_fingerprint: c_custkey domain is not contiguous [0, n-1]")
+    nu = np.uint64(n)
+
+    nodes = ds.map_batches(
+        lambda b: pa.table({"v": pc.cast(b["c_custkey"], pa.int64())}), batch_format="pyarrow"
+    )
+
+    def _dsts(v: np.ndarray) -> np.ndarray:
+        base = v.astype(np.uint64) * np.uint64(8)
+        return np.concatenate(
+            [(splitmix64(base + np.uint64(k)) % nu).astype(np.int64) for k in range(WL_OUT_DEG)]
+        )
+
+    def indeg_emit(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["v"], dtype=np.int64)
+        dst = np.concatenate([_dsts(v), v])
+        d_p = np.concatenate(
+            [np.ones(WL_OUT_DEG * len(v), np.int64), np.zeros(len(v), np.int64)]
+        )
+        t = pa.table({"v": pa.array(dst), "d_p": pa.array(d_p)})
+        return t.group_by("v").aggregate([("d_p", "sum")]).rename_columns(["v", "d_p"])
+
+    colors = (
+        nodes.map_batches(indeg_emit, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("d_p", alias_name="col"))
+    )
+
+    def round_emit(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["v"], dtype=np.int64)
+        col = np.asarray(b["col"], dtype=np.int64).view(np.uint64)
+        h = splitmix64(col)
+        m = len(v)
+        dst = np.concatenate([_dsts(v), v])
+        lo32 = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        hi32 = (h >> np.uint64(32)).astype(np.int64)
+        z = np.zeros(m, np.int64)
+        t = pa.table(
+            {
+                "v": pa.array(dst),
+                "lo_p": pa.array(np.concatenate([lo32] * WL_OUT_DEG + [z])),
+                "hi_p": pa.array(np.concatenate([hi32] * WL_OUT_DEG + [z])),
+                "own_p": pa.array(np.concatenate([z] * WL_OUT_DEG + [col.view(np.int64)])),
+            }
+        )
+        return (
+            t.group_by("v")
+            .aggregate([("lo_p", "sum"), ("hi_p", "sum"), ("own_p", "sum")])
+            .rename_columns(["v", "lo_p", "hi_p", "own_p"])
+        )
+
+    def combine(b: pa.Table) -> pa.Table:
+        s = (np.asarray(b["hi"], dtype=np.int64).view(np.uint64) << np.uint64(32)) + np.asarray(
+            b["lo"], dtype=np.int64
+        ).view(np.uint64)
+        own = np.asarray(b["own"], dtype=np.int64).view(np.uint64)
+        nxt = splitmix64(splitmix64(own) ^ s)
+        return pa.table({"v": b["v"], "col": pa.array(nxt.view(np.int64))})
+
+    for _ in range(WL_ROUNDS):
+        colors = (
+            colors.map_batches(round_emit, batch_format="pyarrow")
+            .groupby("v")
+            .aggregate(
+                Sum("lo_p", alias_name="lo"),
+                Sum("hi_p", alias_name="hi"),
+                Sum("own_p", alias_name="own"),
+            )
+            .map_batches(combine, batch_format="pyarrow")
+        )
+
+    def cells(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"wl_color": pa.array([], pa.int64()), "n_p": pa.array([], pa.int64())}
+            )
+        u, cnt = np.unique(np.asarray(b["col"], dtype=np.int64), return_counts=True)
+        return pa.table({"wl_color": pa.array(u), "n_p": pa.array(cnt.astype(np.int64))})
+
+    hist = (
+        colors.map_batches(cells, batch_format="pyarrow")
+        .groupby("wl_color")
+        .aggregate(Sum("n_p", alias_name="n_nodes"))
+    )
+    return pa.Table.from_pandas(hist.to_pandas(), preserve_index=False)
+
+
 def docs_search_bm25(sf_dir: str):
     """BM25 top-10 retrieval (k1=6/5, b=3/4) in EXACT integer arithmetic:
     with avgdl = T/N folded through, the saturation term becomes
@@ -8422,6 +8550,7 @@ QUERIES = {
     "docs_er_cluster_purity": docs_er_cluster_purity,
     "docs_er_rand_index": docs_er_rand_index,
     "customers_pagerank": customers_pagerank,
+    "customers_wl_fingerprint": customers_wl_fingerprint,
     "docs_search_bm25": docs_search_bm25,
     "sources_lexical_diversity": sources_lexical_diversity,
     "events_top3_values_dense": events_top3_values_dense,
@@ -10664,6 +10793,69 @@ def _build_pagerank_oracle() -> None:
 
 
 _build_pagerank_oracle()
+
+
+def _build_wl_oracle() -> None:
+    """Bit-exact SQL replay of ``customers_wl_fingerprint``: the same
+    HUGEINT splitmix64 multiply-split chain as the PageRank oracle (edges
+    AND every color hash), the multiset sum as ``sum(h) % 2⁶⁴`` (the engine
+    splits each hash into 32-bit halves so int64 partials never wrap — the
+    recombined value is identical by construction), both refinement rounds
+    UNROLLED, signed two's-complement fold on output."""
+    m64 = "CAST(18446744073709551616 AS HUGEINT)"
+
+    def mulmod(col: str, c: int) -> str:
+        hi, lo = c >> 32, c & 0xFFFFFFFF
+        return (
+            f"(((({col} % 4294967296) * {hi}) % 4294967296) "
+            f"* 4294967296 + {col} * {lo}) % {m64}"
+        )
+
+    c1 = 0x9E3779B97F4A7C15
+    c2, c3 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def sm_chain(prefix: str, src: str, in_col: str, out: str) -> list[str]:
+        return [
+            f"{prefix}a AS (SELECT v, ({in_col} + {c1}) % {m64} AS x FROM {src})",
+            f"{prefix}b AS (SELECT v, {mulmod('xor(x, x >> 30)', c2)} AS x FROM {prefix}a)",
+            f"{prefix}c AS (SELECT v, {mulmod('xor(x, x >> 27)', c3)} AS x FROM {prefix}b)",
+            f"{out} AS (SELECT v, xor(x, x >> 31) AS h FROM {prefix}c)",
+        ]
+
+    ctes = [
+        "nodes AS (SELECT CAST(c_custkey AS HUGEINT) AS v FROM customer)",
+        "nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM customer)",
+        "ks(k) AS (VALUES (0), (1), (2))",
+        f"x0 AS (SELECT v, (v * 8 + k) % {m64} AS x FROM nodes, ks)",
+        f"e1 AS (SELECT v, (x + {c1}) % {m64} AS x FROM x0)",
+        f"e2 AS (SELECT v, {mulmod('xor(x, x >> 30)', c2)} AS x FROM e1)",
+        f"e3 AS (SELECT v, {mulmod('xor(x, x >> 27)', c3)} AS x FROM e2)",
+        "edges AS (SELECT v AS src, xor(x, x >> 31) % (SELECT n FROM nn) AS dst FROM e3)",
+        "col0 AS (SELECT n.v, CAST(COALESCE(d.c, 0) AS HUGEINT) AS col FROM nodes n "
+        "LEFT JOIN (SELECT dst AS v, count(*) AS c FROM edges GROUP BY dst) d ON d.v = n.v)",
+    ]
+    for r in range(WL_ROUNDS):
+        ctes += sm_chain(f"o{r}", f"col{r}", "col", f"oh{r}")
+        ctes.append(
+            f"s{r} AS (SELECT e.dst AS v, sum(oh.h) % {m64} AS s "
+            f"FROM edges e JOIN oh{r} oh ON oh.v = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"z{r} AS (SELECT oh.v, xor(oh.h, COALESCE(s.s, 0)) AS zx "
+            f"FROM oh{r} oh LEFT JOIN s{r} s ON s.v = oh.v)"
+        )
+        ctes += sm_chain(f"q{r}", f"z{r}", "zx", f"qq{r}")
+        ctes.append(f"col{r + 1} AS (SELECT v, h AS col FROM qq{r})")
+    ORACLE_SQL["customers_wl_fingerprint"] = f"""
+        WITH {", ".join(ctes)}
+        SELECT CAST(CASE WHEN col >= CAST(9223372036854775808 AS HUGEINT)
+                         THEN col - {m64} ELSE col END AS BIGINT) AS wl_color,
+               CAST(count(*) AS BIGINT) AS n_nodes
+        FROM col{WL_ROUNDS} GROUP BY 1
+    """
+
+
+_build_wl_oracle()
 
 
 def _build_wordpiece_oracle() -> None:
