@@ -6382,6 +6382,149 @@ def docs_canopy_assign(sf_dir: str):
     return canopy_assignments(ds)
 
 
+DBSCAN_MIN_PTS = 5  # core ⟺ |N_eps| ≥ 5 counting itself ⟺ degree ≥ 4
+
+
+def docs_dbscan_clusters(sf_dir: str):
+    """DBSCAN-style density clustering over the candidate graph — the
+    production alternative to plain transitive closure, which over-merges
+    through ONE accidental bridge pair: here only CORE documents (≥
+    ``DBSCAN_MIN_PTS``−1 = 4 eps-neighbors) propagate connectivity, border
+    documents attach to their minimum core-neighbor's cluster without
+    extending it, and everything else is noise.  eps-neighborhood = exact
+    char-trigram Jaccard ≥ 0.5 as the integer rule 2·inter ≥ uni (no float
+    boundary) over the meta-blocking candidate pairs — density over the
+    CANDIDATE graph, the honest production semantics (blocking bounds
+    recall before density does).  Engine: the existing bucketed
+    meta-blocking + pair-join verify produce the edge set; degree is one
+    endpoint-emit groupby; core-core edges feed the existing min-label
+    closure (``cluster_nodes``, so cluster_id = min core doc_id); border
+    labels are one groupby-min over (non-core, core-neighbor) rows with the
+    core label gathered by broadcast; the final role/label assemble is one
+    map over the corpus with the (small, cluster-member-scale) core and
+    border tables broadcast — at web scale those broadcasts become the
+    partitioned joins the linkage pipeline already uses, noted not hidden.
+    Border ties (adjacent to several clusters) break to the MINIMUM label —
+    deterministic where textbook DBSCAN is visit-order dependent.  Output:
+    (doc_id, role ∈ core/border/noise, cluster_id; noise = −1)."""
+    import ray
+
+    from ..stages.blocking import meta_blocking_pairs
+    from ..stages.dedup import ngram_jaccard_verify
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    cands = meta_blocking_pairs(docs, n=3, min_block=2, max_block=20, min_shared=2).map_batches(
+        lambda b: pa.table({"a_id": b["doc_a"], "b_id": b["doc_b"]}), batch_format="pyarrow"
+    )
+    scored = ngram_jaccard_verify(cands, docs, threshold=0.0, emit_counts=True)
+    edges = scored.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(pc.multiply(b["inter"], pa.scalar(2, pa.int64())), b["uni"])
+        ).select(["a_id", "b_id"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def deg_emit(b: pa.Table) -> pa.Table:
+        v = np.concatenate(
+            [np.asarray(b["a_id"], dtype=np.int64), np.asarray(b["b_id"], dtype=np.int64)]
+        )
+        u, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(u), "d_p": pa.array(cnt.astype(np.int64))})
+
+    deg = (
+        edges.map_batches(deg_emit, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("d_p", alias_name="d"))
+        .to_pandas()
+    )
+    if len(deg) and "v" in deg.columns:
+        dv = deg["v"].to_numpy().astype(np.int64)
+        dd = deg["d"].to_numpy().astype(np.int64)
+    else:  # edge-free corpus: no cores, everything is noise
+        dv = dd = np.array([], np.int64)
+    core_ids = np.sort(dv[dd >= DBSCAN_MIN_PTS - 1])
+    core_ref = ray.put(core_ids)
+
+    def _is_core(a: np.ndarray) -> np.ndarray:
+        c = ray.get(core_ref)
+        pos = np.searchsorted(c, a)
+        return (pos < len(c)) & (c[np.minimum(pos, len(c) - 1)] == a)
+
+    cc_edges = edges.map_batches(
+        lambda b: b.filter(
+            pa.array(
+                _is_core(np.asarray(b["a_id"], dtype=np.int64))
+                & _is_core(np.asarray(b["b_id"], dtype=np.int64))
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    core_docs = docs.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"].filter(pa.array(_is_core(np.asarray(b["doc_id"], dtype=np.int64))))}
+        ),
+        batch_format="pyarrow",
+    )
+    clab = pa.Table.from_pandas(
+        _verified_cluster_labels(core_docs, cc_edges).to_pandas(), preserve_index=False
+    )
+    lab_ids = np.asarray(clab["doc_id"], dtype=np.int64)
+    lab_order = np.argsort(lab_ids)
+    lab_ids = lab_ids[lab_order]
+    lab_vals = np.asarray(clab["cluster_id"], dtype=np.int64)[lab_order]
+    lab_ref = ray.put((lab_ids, lab_vals))
+
+    def border_emit(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["a_id"], dtype=np.int64)
+        bb = np.asarray(b["b_id"], dtype=np.int64)
+        u = np.concatenate([a, bb])
+        v = np.concatenate([bb, a])
+        m = ~_is_core(u) & _is_core(v)
+        u, v = u[m], v[m]
+        li, lv = ray.get(lab_ref)
+        lbl = lv[np.searchsorted(li, v)]
+        return pa.table({"doc_id": pa.array(u), "b_p": pa.array(lbl)})
+
+    border = (
+        edges.map_batches(border_emit, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Min("b_p", alias_name="b_lbl"))
+        .to_pandas()
+    )
+    if len(border) and "doc_id" in border.columns:
+        b_ids = border["doc_id"].to_numpy().astype(np.int64)
+        b_order = np.argsort(b_ids)
+        b_ids, b_vals = b_ids[b_order], border["b_lbl"].to_numpy().astype(np.int64)[b_order]
+    else:  # no border docs (e.g. every neighbor of a core is itself core)
+        b_ids = b_vals = np.array([], np.int64)
+    b_ref = ray.put((b_ids, b_vals))
+
+    def assemble(b: pa.Table) -> pa.Table:
+        d = np.asarray(b["doc_id"], dtype=np.int64)
+        li, lv = ray.get(lab_ref)
+        bi, bv = ray.get(b_ref)
+        is_core = _is_core(d)
+        pos_b = np.searchsorted(bi, d)
+        is_border = (pos_b < len(bi)) & (bi[np.minimum(pos_b, max(len(bi) - 1, 0))] == d) if len(bi) else np.zeros(len(d), bool)
+        cluster = np.full(len(d), -1, dtype=np.int64)
+        if len(li):
+            pos_l = np.searchsorted(li, d)
+            hit = (pos_l < len(li)) & (li[np.minimum(pos_l, len(li) - 1)] == d)
+            cluster[hit & is_core] = lv[pos_l[hit & is_core]]
+        if len(bi):
+            cluster[is_border] = bv[pos_b[is_border]]
+        role = np.where(is_core, "core", np.where(is_border, "border", "noise"))
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "role": pa.array(role.astype(object), pa.string()),
+                "cluster_id": pa.array(cluster),
+            }
+        )
+
+    return docs.map_batches(assemble, batch_format="pyarrow")
+
+
 def events_table_checksum(sf_dir: str):
     """Order-independent MULTISET checksum per event_type — the
     table-equality primitive that verifies a 100-TB copy / resume / migration
@@ -8486,6 +8629,7 @@ QUERIES = {
     "docs_fs_match_weights": docs_fs_match_weights,
     "events_user_day_interp": events_user_day_interp,
     "docs_canopy_assign": docs_canopy_assign,
+    "docs_dbscan_clusters": docs_dbscan_clusters,
     "events_minute_rate_ewma": events_minute_rate_ewma,
     "events_value_mad": events_value_mad,
     "events_value_hour_regression": events_value_hour_regression,
@@ -8653,6 +8797,68 @@ ORACLE_SQL = {
         SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
         INTERSECT
         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    "docs_dbscan_clusters": """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents WHERE trim(text) <> ''
+        ), g AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+            FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+        ), blk AS (
+            SELECT gram FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND 20
+        ), cand AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            JOIN blk ON a.gram = blk.gram
+            GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+        ), cg AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) >= 3
+                        THEN list_distinct(list_transform(
+                                 generate_series(1, length(text) - 2),
+                                 i -> substring(text, i, 3)))
+                        WHEN length(text) > 0 THEN [text]
+                        ELSE CAST([] AS VARCHAR[]) END AS grams
+            FROM documents
+        ), p AS (
+            SELECT c.a_id, c.b_id
+            FROM cand c JOIN cg a ON a.doc_id = c.a_id JOIN cg b ON b.doc_id = c.b_id
+            WHERE 2 * len(list_intersect(a.grams, b.grams))
+                  >= len(list_distinct(list_concat(a.grams, b.grams)))
+        ), e AS (
+            SELECT a_id AS u, b_id AS v FROM p UNION ALL SELECT b_id, a_id FROM p
+        ), deg AS (
+            SELECT u AS v, count(*) AS d FROM e GROUP BY u
+        ), core AS (
+            SELECT v FROM deg WHERE d >= 4
+        ), cce AS (
+            SELECT p.a_id, p.b_id FROM p
+            JOIN core c1 ON c1.v = p.a_id JOIN core c2 ON c2.v = p.b_id
+        ), ee AS (
+            SELECT a_id AS src, b_id AS dst FROM cce
+            UNION ALL SELECT b_id, a_id FROM cce
+        ), reach(node, m) AS (
+            SELECT v, v FROM core
+            UNION
+            SELECT ee.dst, r.m FROM reach r JOIN ee ON ee.src = r.node
+        ), clab AS (
+            SELECT node AS v, min(m) AS cluster_id FROM reach GROUP BY node
+        ), border AS (
+            SELECT e.u AS v, min(cl.cluster_id) AS cluster_id
+            FROM e JOIN core c ON c.v = e.v JOIN clab cl ON cl.v = e.v
+            WHERE e.u NOT IN (SELECT v FROM core)
+            GROUP BY e.u
+        )
+        SELECT d.doc_id,
+               CASE WHEN c.v IS NOT NULL THEN 'core'
+                    WHEN b.v IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role,
+               CAST(COALESCE(cl.cluster_id, b.cluster_id, -1) AS BIGINT) AS cluster_id
+        FROM documents d
+        LEFT JOIN core c ON c.v = d.doc_id
+        LEFT JOIN clab cl ON cl.v = d.doc_id
+        LEFT JOIN border b ON b.v = d.doc_id
     """,
     "docs_canopy_assign": """
         WITH toks AS (
