@@ -6525,6 +6525,74 @@ def docs_dbscan_clusters(sf_dir: str):
     return docs.map_batches(assemble, batch_format="pyarrow")
 
 
+def events_user_load_gini(sf_dir: str):
+    """Gini coefficient of per-user event load in exact permille — the
+    load-balance / skew audit a partitioning engineer reads before keying a
+    shuffle by user (G = 0 ⇒ uniform keys; G → 1 ⇒ one hot user dominates,
+    time to salt).  Exact integers throughout: with the per-user counts
+    histogram (count c → m users) sorted by c, the rank-weighted sum over
+    the ascending order telescopes to Σ_c c·(m·P + m(m+1)/2) where P is the
+    cumulative user count below c — so NO row-scale sort exists, the
+    exchange is ∝ distinct count values (the blocking-skew contraction),
+    and G = (2·S1 − (n+1)·S) · 1000 // (n·S) replays exactly (all terms
+    non-negative, floor = trunc on both sides).  Driver math in
+    arbitrary-precision Python ints, range-checked into int64 where the
+    oracle's HUGEINT→BIGINT cast raises.  Output: one row (n_users,
+    total_events, gini_permille)."""
+    ds = _t(sf_dir, "events", ["user_id"])
+    empty_u = pa.table({"user_id": pa.array([], pa.int64()), "c_p": pa.array([], pa.int64())})
+
+    def per_user(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty_u
+        u, cnt = np.unique(np.asarray(b["user_id"], dtype=np.int64), return_counts=True)
+        return pa.table({"user_id": pa.array(u), "c_p": pa.array(cnt.astype(np.int64))})
+
+    counts = (
+        ds.map_batches(per_user, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("c_p", alias_name="c"))
+    )
+    empty_h = pa.table({"c": pa.array([], pa.int64()), "m_p": pa.array([], pa.int64())})
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty_h
+        c, m = np.unique(np.asarray(b["c"], dtype=np.int64), return_counts=True)
+        return pa.table({"c": pa.array(c), "m_p": pa.array(m.astype(np.int64))})
+
+    hist = (
+        counts.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("c")
+        .aggregate(Sum("m_p", alias_name="m"))
+        .to_pandas()
+    )
+    if len(hist) == 0:
+        raise ValueError("events_user_load_gini: empty events table")
+    hist = hist.sort_values("c")
+    s1 = s = n = 0
+    p = 0
+    for c, m in zip(hist["c"].astype(int), hist["m"].astype(int)):
+        s1 += c * (m * p + m * (m + 1) // 2)
+        s += c * m
+        n += m
+        p += m
+    num = 1000 * (2 * s1 - (n + 1) * s)
+    if num >= 2**127 or n * s >= 2**127:
+        raise ValueError(
+            "events_user_load_gini: HUGEINT overflow in the Gini numerator "
+            "(the oracle raises on the same data)"
+        )
+    gini = num // (n * s)
+    return pa.table(
+        {
+            "n_users": pa.array([n], pa.int64()),
+            "total_events": pa.array([s], pa.int64()),
+            "gini_permille": pa.array([gini], pa.int64()),
+        }
+    )
+
+
 def events_table_checksum(sf_dir: str):
     """Order-independent MULTISET checksum per event_type — the
     table-equality primitive that verifies a 100-TB copy / resume / migration
@@ -8630,6 +8698,7 @@ QUERIES = {
     "events_user_day_interp": events_user_day_interp,
     "docs_canopy_assign": docs_canopy_assign,
     "docs_dbscan_clusters": docs_dbscan_clusters,
+    "events_user_load_gini": events_user_load_gini,
     "events_minute_rate_ewma": events_minute_rate_ewma,
     "events_value_mad": events_value_mad,
     "events_value_hour_regression": events_value_hour_regression,
@@ -8797,6 +8866,26 @@ ORACLE_SQL = {
         SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
         INTERSECT
         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    "events_user_load_gini": """
+        WITH pu AS (
+            SELECT user_id, CAST(count(*) AS HUGEINT) AS c FROM events GROUP BY user_id
+        ), h AS (
+            SELECT c, CAST(count(*) AS HUGEINT) AS m FROM pu GROUP BY c
+        ), w AS (
+            SELECT c, m,
+                   COALESCE(sum(m) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+            FROM h
+        ), agg AS (
+            SELECT sum(c * (m * p + (m * (m + 1)) // 2)) AS s1,
+                   sum(c * m) AS s, sum(m) AS n
+            FROM w
+        )
+        SELECT CAST(n AS BIGINT) AS n_users,
+               CAST(s AS BIGINT) AS total_events,
+               CAST((1000 * (2 * s1 - (n + 1) * s)) // (n * s) AS BIGINT) AS gini_permille
+        FROM agg
     """,
     "docs_dbscan_clusters": """
         WITH RECURSIVE toks AS (
