@@ -6593,6 +6593,78 @@ def events_user_load_gini(sf_dir: str):
     )
 
 
+def docs_fold_leakage_audit(sf_dir: str):
+    """Cross-fold contamination audit: the (fold_a, fold_b) contingency of
+    verified near-duplicate pairs over the stratified 5-fold assignment —
+    every off-diagonal cell is LEAKAGE (a near-dup straddling train and
+    eval folds inflates eval), which is precisely what the CLUSTER-level
+    `docs_split_leakage_safe` assignment exists to prevent; this query
+    QUANTIFIES the damage the row-level split does, so the two are the
+    audit and the fix.  Pairs are the ER chain's verified set (meta-blocking
+    candidates, exact trigram Jaccard ≥ 0.7 as the integer rule 10·inter ≥
+    7·uni); folds are `docs_stratified_folds`' pure-function assignment,
+    gathered onto pair endpoints by broadcast (doc-scale table — the
+    partitioned-join fallback is the linkage pipeline's, noted); cells
+    normalize to fold_a ≤ fold_b and contract map-side into ONE ≤ 15-row
+    groupby.  The oracle COMPOSES the registered stratified-folds oracle
+    verbatim (the RRF convention: composed queries cannot drift apart)."""
+    import ray
+
+    from ..stages.blocking import meta_blocking_pairs
+    from ..stages.dedup import ngram_jaccard_verify
+
+    folds_tbl = docs_stratified_folds(sf_dir)
+    f_ids = np.asarray(folds_tbl["doc_id"], dtype=np.int64)
+    f_order = np.argsort(f_ids)
+    f_ids = f_ids[f_order]
+    f_vals = np.asarray(folds_tbl["fold"], dtype=np.int64)[f_order]
+    f_ref = ray.put((f_ids, f_vals))
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    cands = meta_blocking_pairs(docs, n=3, min_block=2, max_block=20, min_shared=2).map_batches(
+        lambda b: pa.table({"a_id": b["doc_a"], "b_id": b["doc_b"]}), batch_format="pyarrow"
+    )
+    scored = ngram_jaccard_verify(cands, docs, threshold=0.0, emit_counts=True)
+    empty = pa.table(
+        {
+            "fold_a": pa.array([], pa.int64()),
+            "fold_b": pa.array([], pa.int64()),
+            "n_p": pa.array([], pa.int64()),
+        }
+    )
+
+    def cells(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        keep = (
+            10 * np.asarray(b["inter"], dtype=np.int64) >= 7 * np.asarray(b["uni"], dtype=np.int64)
+        )
+        a = np.asarray(b["a_id"], dtype=np.int64)[keep]
+        bb = np.asarray(b["b_id"], dtype=np.int64)[keep]
+        if len(a) == 0:
+            return empty
+        fi, fv = ray.get(f_ref)
+        fa = fv[np.searchsorted(fi, a)]
+        fb = fv[np.searchsorted(fi, bb)]
+        lo, hi = np.minimum(fa, fb), np.maximum(fa, fb)
+        key = lo * 8 + hi
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "fold_a": pa.array(u // 8),
+                "fold_b": pa.array(u % 8),
+                "n_p": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    out = (
+        scored.map_batches(cells, batch_format="pyarrow")
+        .groupby(["fold_a", "fold_b"])
+        .aggregate(Sum("n_p", alias_name="n_pairs"))
+    )
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def events_table_checksum(sf_dir: str):
     """Order-independent MULTISET checksum per event_type — the
     table-equality primitive that verifies a 100-TB copy / resume / migration
@@ -8699,6 +8771,7 @@ QUERIES = {
     "docs_canopy_assign": docs_canopy_assign,
     "docs_dbscan_clusters": docs_dbscan_clusters,
     "events_user_load_gini": events_user_load_gini,
+    "docs_fold_leakage_audit": docs_fold_leakage_audit,
     "events_minute_rate_ewma": events_minute_rate_ewma,
     "events_value_mad": events_value_mad,
     "events_value_hour_regression": events_value_hour_regression,
@@ -11381,6 +11454,50 @@ def _build_stratified_folds_oracle() -> None:
 
 
 _build_stratified_folds_oracle()
+
+
+def _build_fold_leakage_oracle() -> None:
+    """Compose the registered stratified-folds oracle verbatim with the ER
+    chain's candidate + trigram-verify CTEs; normalize to fold_a <= fold_b."""
+    ORACLE_SQL["docs_fold_leakage_audit"] = f"""
+        WITH f AS ({ORACLE_SQL["docs_stratified_folds"]}),
+        toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents WHERE trim(text) <> ''
+        ), g AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+            FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+        ), blk AS (
+            SELECT gram FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND 20
+        ), cand AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            JOIN blk ON a.gram = blk.gram
+            GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+        ), cg AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) >= 3
+                        THEN list_distinct(list_transform(
+                                 generate_series(1, length(text) - 2),
+                                 i -> substring(text, i, 3)))
+                        WHEN length(text) > 0 THEN [text]
+                        ELSE CAST([] AS VARCHAR[]) END AS grams
+            FROM documents
+        ), p AS (
+            SELECT c.a_id, c.b_id
+            FROM cand c JOIN cg a ON a.doc_id = c.a_id JOIN cg b ON b.doc_id = c.b_id
+            WHERE 10 * len(list_intersect(a.grams, b.grams))
+                  >= 7 * len(list_distinct(list_concat(a.grams, b.grams)))
+        )
+        SELECT least(fa.fold, fb.fold) AS fold_a,
+               greatest(fa.fold, fb.fold) AS fold_b,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM p JOIN f fa ON fa.doc_id = p.a_id JOIN f fb ON fb.doc_id = p.b_id
+        GROUP BY 1, 2
+    """
+
+
+_build_fold_leakage_oracle()
 
 
 def _build_rrf_oracle() -> None:
