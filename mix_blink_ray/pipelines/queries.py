@@ -1962,6 +1962,36 @@ def emb_knn_lsh_top5(sf_dir: str):
     return knn_lsh(ds, query_ids=[0, 1, 2, 3, 4], cfg=AnnConfig(k=5))
 
 
+def emb_knn_lsh_recall(sf_dir: str):
+    """ANN index-quality audit: recall@5 of the LSH-bucketed k-NN against
+    the exact brute-force top-5, per query — THE production health metric
+    for an approximate index (an ANN setting is only as good as the recall
+    it buys per candidate probed; this query is how that gets measured
+    before anyone trusts the index at 100 TB).  Both rankings are the
+    registered queries run unchanged, so the audit can never drift from
+    what it audits; the intersection touches ≤ queries × k driver rows by
+    construction.  recall_permille = 1000·hits // 5 in floor division.
+    The oracle COMPOSES both registered oracle strings verbatim (the RRF
+    convention) with a LEFT JOIN + count of matched (query_id, vec_id)."""
+    bf = emb_knn_top5(sf_dir)
+    lsh = emb_knn_lsh_top5(sf_dir)
+    bfp = bf.to_pandas()[["query_id", "vec_id"]]
+    lsp = lsh.to_pandas()[["query_id", "vec_id"]]
+    lsh_set = set(map(tuple, np.asarray(lsp, dtype=np.int64)))
+    out_q, out_h = [], []
+    for qid, grp in bfp.groupby("query_id"):
+        hits = sum((int(qid), int(v)) in lsh_set for v in grp["vec_id"])
+        out_q.append(int(qid))
+        out_h.append(hits)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "n_hits": pa.array(out_h, pa.int64()),
+            "recall_permille": pa.array([1000 * h // 5 for h in out_h], pa.int64()),
+        }
+    )
+
+
 def emb_knn_ivf_top5(sf_dir: str):
     """IVF (distributed k-means coarse quantizer + probed exact search) run
     in EXACT mode (n_probes == n_clusters probes every cluster) so the full
@@ -8772,6 +8802,7 @@ QUERIES = {
     "docs_dbscan_clusters": docs_dbscan_clusters,
     "events_user_load_gini": events_user_load_gini,
     "docs_fold_leakage_audit": docs_fold_leakage_audit,
+    "emb_knn_lsh_recall": emb_knn_lsh_recall,
     "events_minute_rate_ewma": events_minute_rate_ewma,
     "events_value_mad": events_value_mad,
     "events_value_hour_regression": events_value_hour_regression,
@@ -12390,6 +12421,24 @@ def _lsh_knn_sql() -> str:
 
 
 ORACLE_SQL["emb_knn_lsh_top5"] = _lsh_knn_sql()
+
+
+def _build_lsh_recall_oracle() -> None:
+    """Compose the registered brute-force and LSH k-NN oracles verbatim;
+    recall@5 per query as a LEFT JOIN + matched count."""
+    ORACLE_SQL["emb_knn_lsh_recall"] = f"""
+        WITH bf AS ({ORACLE_SQL["emb_knn_top5"]}),
+        lsh AS ({ORACLE_SQL["emb_knn_lsh_top5"]})
+        SELECT b.query_id,
+               CAST(count(l.vec_id) AS BIGINT) AS n_hits,
+               CAST(1000 * count(l.vec_id) // 5 AS BIGINT) AS recall_permille
+        FROM bf b LEFT JOIN lsh l
+             ON l.query_id = b.query_id AND l.vec_id = b.vec_id
+        GROUP BY b.query_id
+    """
+
+
+_build_lsh_recall_oracle()
 
 
 def _emb_lsh_scored_cte() -> str:
