@@ -6695,6 +6695,55 @@ def docs_fold_leakage_audit(sf_dir: str):
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
 
 
+def docs_fs_calibration(sf_dir: str):
+    """Reliability table for the Fellegi–Sunter scorer: per distinct
+    weight_ppm (≤ 8 rows — weights are a pure function of the 3 agreement
+    bits) the pair count, verified-match count, and empirical precision in
+    permille — the calibration read a linkage engineer does before picking
+    the review threshold (a well-calibrated scorer has precision rising
+    with weight; this table IS that check).  The engine reruns the
+    registered FS query unchanged and contracts map-side to (weight, n, m)
+    cells into ONE ≤ 8-row groupby; the oracle COMPOSES the registered FS
+    oracle verbatim, so the calibration can never drift from the scorer."""
+    fs = docs_fs_match_weights(sf_dir)
+    empty = pa.table(
+        {
+            "weight_ppm": pa.array([], pa.int64()),
+            "n_p": pa.array([], pa.int64()),
+            "m_p": pa.array([], pa.int64()),
+        }
+    )
+
+    def cells(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        w = np.asarray(b["weight_ppm"], dtype=np.int64)
+        m = np.asarray(b["is_match"], dtype=np.int64)
+        u, inv = np.unique(w, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        mm = np.bincount(inv, weights=m).astype(np.int64)
+        return pa.table({"weight_ppm": pa.array(u), "n_p": pa.array(n), "m_p": pa.array(mm)})
+
+    g = (
+        fs.map_batches(cells, batch_format="pyarrow")
+        .groupby("weight_ppm")
+        .aggregate(Sum("n_p", alias_name="n_pairs"), Sum("m_p", alias_name="n_matches"))
+        .to_pandas()
+    )
+    g = g.sort_values("weight_ppm")
+    return pa.table(
+        {
+            "weight_ppm": pa.array(g["weight_ppm"].astype(int), pa.int64()),
+            "n_pairs": pa.array(g["n_pairs"].astype(int), pa.int64()),
+            "n_matches": pa.array(g["n_matches"].astype(int), pa.int64()),
+            "precision_permille": pa.array(
+                [1000 * int(m) // int(n) for m, n in zip(g["n_matches"], g["n_pairs"])],
+                pa.int64(),
+            ),
+        }
+    )
+
+
 def events_table_checksum(sf_dir: str):
     """Order-independent MULTISET checksum per event_type — the
     table-equality primitive that verifies a 100-TB copy / resume / migration
@@ -8803,6 +8852,7 @@ QUERIES = {
     "events_user_load_gini": events_user_load_gini,
     "docs_fold_leakage_audit": docs_fold_leakage_audit,
     "emb_knn_lsh_recall": emb_knn_lsh_recall,
+    "docs_fs_calibration": docs_fs_calibration,
     "events_minute_rate_ewma": events_minute_rate_ewma,
     "events_value_mad": events_value_mad,
     "events_value_hour_regression": events_value_hour_regression,
@@ -12439,6 +12489,22 @@ def _build_lsh_recall_oracle() -> None:
 
 
 _build_lsh_recall_oracle()
+
+
+def _build_fs_calibration_oracle() -> None:
+    """Compose the registered Fellegi-Sunter oracle verbatim; group by the
+    distinct weights, precision as integer floor permille."""
+    ORACLE_SQL["docs_fs_calibration"] = f"""
+        WITH fs AS ({ORACLE_SQL["docs_fs_match_weights"]})
+        SELECT weight_ppm,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(is_match) AS BIGINT) AS n_matches,
+               CAST(1000 * sum(is_match) // count(*) AS BIGINT) AS precision_permille
+        FROM fs GROUP BY weight_ppm
+    """
+
+
+_build_fs_calibration_oracle()
 
 
 def _emb_lsh_scored_cte() -> str:
