@@ -1683,6 +1683,50 @@ def docs_minhash_near_dup(sf_dir: str):
     return _round(pa.Table.from_pandas(out.to_pandas(), preserve_index=False), {"est_jaccard": 6})
 
 
+def docs_minhash_calibration(sf_dir: str):
+    """MinHash-estimate vs exact-Jaccard calibration for EVERY LSH candidate
+    pair — the dedup-threshold tuning read: sig_agree (matching permutations
+    of 128) and est_permille next to the exact DISTINCT word-3-shingle
+    inter/uni and exact_permille, over the SAME shingle hash space the
+    signatures minimize, so the table shows precisely how tight the 128-perm
+    estimator brackets the truth before anyone picks a near-dup threshold at
+    100 TB.  Engine: the registered MinHash pipeline runs unchanged at
+    threshold 0 (every band-collision candidate survives; sig_agree
+    recovered exactly from the dyadic k/128 estimate), then ONE pair-join
+    verify pass (``word_shingle_jaccard_counts``) appends the exact integer
+    stats — texts ship to the pair set, never the driver.  All outputs are
+    integers; permilles are floor divisions, identical in SQL."""
+    from ..stages.dedup import word_shingle_jaccard_counts
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    cands = minhash_near_dup_pairs(ds, DedupConfig(jaccard_threshold=0.0))
+
+    def with_k(b: pa.Table) -> pa.Table:
+        k = np.rint(np.asarray(b["est_jaccard"], dtype=np.float64) * 128).astype(np.int64)
+        return pa.table({"a_id": b["a_id"], "b_id": b["b_id"], "sig_agree": pa.array(k)})
+
+    pairs = cands.map_batches(with_k, batch_format="pyarrow")
+    counted = word_shingle_jaccard_counts(pairs, ds, shingle_words=3)
+
+    def finish(b: pa.Table) -> pa.Table:
+        k = np.asarray(b["sig_agree"], dtype=np.int64)
+        inter = np.asarray(b["inter"], dtype=np.int64)
+        uni = np.asarray(b["uni"], dtype=np.int64)
+        return pa.table(
+            {
+                "a_id": b["a_id"],
+                "b_id": b["b_id"],
+                "sig_agree": b["sig_agree"],
+                "est_permille": pa.array(1000 * k // 128),
+                "inter": b["inter"],
+                "uni": b["uni"],
+                "exact_permille": pa.array(1000 * inter // np.maximum(uni, 1)),
+            }
+        )
+
+    return counted.map_batches(finish, batch_format="pyarrow")
+
+
 def docs_dedup_corpus(sf_dir: str):
     """Full corpus dedup (exact + verified near-dup + transitive keep/drop
     with reasons) — returns the drop list; kept+dropped partitions the
@@ -8853,6 +8897,7 @@ QUERIES = {
     "docs_fold_leakage_audit": docs_fold_leakage_audit,
     "emb_knn_lsh_recall": emb_knn_lsh_recall,
     "docs_fs_calibration": docs_fs_calibration,
+    "docs_minhash_calibration": docs_minhash_calibration,
     "events_minute_rate_ewma": events_minute_rate_ewma,
     "events_value_mad": events_value_mad,
     "events_value_hour_regression": events_value_hour_regression,
@@ -12294,6 +12339,22 @@ def _build_minhash_oracle() -> None:
         SELECT a_id, b_id,
                CAST(round(k / 128.0 * 1000000) AS BIGINT) / 1000000.0 AS est_jaccard
         FROM cand WHERE k >= 64
+    """
+    ORACLE_SQL["docs_minhash_calibration"] = f"""
+        WITH {make_ctes("documents")},
+        shd AS (SELECT doc_id, list_distinct(list(s)) AS ss FROM sh GROUP BY doc_id),
+        pj AS (
+            SELECT c.a_id, c.b_id, CAST(c.k AS BIGINT) AS sig_agree,
+                   CAST(len(list_intersect(xa.ss, xb.ss)) AS BIGINT) AS inter,
+                   CAST(len(list_distinct(list_concat(xa.ss, xb.ss))) AS BIGINT) AS uni
+            FROM cand c JOIN shd xa ON xa.doc_id = c.a_id
+                        JOIN shd xb ON xb.doc_id = c.b_id
+        )
+        SELECT a_id, b_id, sig_agree,
+               CAST(1000 * sig_agree // 128 AS BIGINT) AS est_permille,
+               inter, uni,
+               CAST(1000 * inter // uni AS BIGINT) AS exact_permille
+        FROM pj
     """
     # Full two-stage pipeline: LSH candidates at est >= 0.3, exact char-3-gram
     # Jaccard verify at 0.4 (gram algebra identical to docs_window_jaccard's

@@ -289,6 +289,77 @@ def _word_shingle_sigs(texts: pa.Array, cfg: DedupConfig) -> np.ndarray:
     return minhash_signatures(sh, sh_rows, len(tokens), num_perms=cfg.num_perms, seed=cfg.seed)
 
 
+def word_shingle_jaccard_counts(
+    pairs: Dataset,
+    docs: Dataset,
+    shingle_words: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Exact DISTINCT word-shingle Jaccard sufficient statistics per
+    candidate pair: appends integer ``inter`` / ``uni`` columns (shingle-set
+    intersection / union sizes) — the ground truth a MinHash estimate is
+    calibrated against, over the SAME shingle hash space the signatures use
+    (token polynomial hash → rolling window, ``_word_shingle_sigs``'s first
+    half).  Join shape identical to :func:`ngram_jaccard_verify`: texts are
+    fetched ONTO the small pair set by two partitioned hash joins; the
+    set algebra is a vectorized sort-merge, no per-pair Python."""
+    from .clustering import cpu_scaled_partitions
+
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        import ray.data as rd_
+
+        sch = pairs.schema()
+        cols = {n: pa.array([], t) for n, t in zip(sch.names, sch.types)}
+        cols["inter"] = pa.array([], pa.int64())
+        cols["uni"] = pa.array([], pa.int64())
+        return rd_.from_arrow(pa.table(cols))
+    n_parts = cpu_scaled_partitions(pairs.count())
+    a_texts = docs.map_batches(
+        lambda b: pa.table({"a_id": b[id_col], "a_text": b[text_col]}), batch_format="pyarrow"
+    )
+    b_texts = docs.map_batches(
+        lambda b: pa.table({"b_id": b[id_col], "b_text": b[text_col]}), batch_format="pyarrow"
+    )
+    joined = pairs.join(a_texts, join_type="inner", num_partitions=n_parts, on=("a_id",)).join(
+        b_texts, join_type="inner", num_partitions=n_parts, on=("b_id",)
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+
+        def row_shingle_sets(col) -> tuple[np.ndarray, np.ndarray]:
+            tokens = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(pc.utf8_lower(col)))
+            tokens = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
+            tok_off = np.asarray(tokens.offsets, dtype=np.int64)
+            tok_hash = hash_strings(*flat_utf8(tokens.flatten()))
+            row_ids = np.repeat(np.arange(n, dtype=np.int64), np.diff(tok_off))
+            sh, rows = rolling_hashes(tok_hash, row_ids, n, w=shingle_words)
+            order = np.lexsort((sh, rows))
+            sh, rows = sh[order], rows[order]
+            keep = np.ones(len(sh), dtype=bool)
+            keep[1:] = (sh[1:] != sh[:-1]) | (rows[1:] != rows[:-1])
+            return sh[keep], rows[keep]
+
+        ga, ra = row_shingle_sets(batch["a_text"])
+        gb, rb = row_shingle_sets(batch["b_text"])
+        na = np.bincount(ra, minlength=n)
+        nb = np.bincount(rb, minlength=n)
+        g = np.concatenate([ga, gb])
+        r = np.concatenate([ra, rb])
+        order = np.lexsort((g, r))
+        g, r = g[order], r[order]
+        dup = (g[1:] == g[:-1]) & (r[1:] == r[:-1])
+        inter = np.bincount(r[1:][dup], minlength=n)
+        union = na + nb - inter
+        out = batch.drop_columns(["a_text", "b_text"])
+        out = out.append_column("inter", pa.array(inter.astype(np.int64)))
+        return out.append_column("uni", pa.array(union.astype(np.int64)))
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
 def exact_dedup(docs: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
     """Exact dedup: one row per distinct text — representative = min id,
     plus the duplicate count.  Hash-partition groupby on a 128-bit FULL-length
