@@ -6788,6 +6788,87 @@ def docs_fs_calibration(sf_dir: str):
     )
 
 
+def docs_nearest_neighbor(sf_dir: str):
+    """Per-document nearest neighbor among its blocking candidates — the ER
+    review-queue primitive (each record's single best match with its exact
+    similarity, the table a human adjudicator or an auto-merge threshold
+    reads).  Ranking key is the exact char-trigram Jaccard as a FLOOR
+    permille (1000·inter // uni) with ties to the smallest neighbor id —
+    the permille IS the declared order (documented: not the infinite-
+    precision rational, whose cross-multiplication compare SQL's
+    row_number cannot replay cheaply), identical on both sides.  Engine:
+    the meta-blocking + pair-join verify pair set emits BOTH orientations
+    with integer (inter, uni), then ONE bucketed-run exchange keyed by
+    doc_id (sorted by (−permille, nbr)) takes each run head — argmax with
+    zero per-doc Python.  Docs with no candidates are absent by design
+    (nothing to review)."""
+    from ..stages.blocking import meta_blocking_pairs
+    from ..stages.dedup import ngram_jaccard_verify
+    from ..stages.windows import grouped_ordered_runs
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    cands = meta_blocking_pairs(docs, n=3, min_block=2, max_block=20, min_shared=2).map_batches(
+        lambda b: pa.table({"a_id": b["doc_a"], "b_id": b["doc_b"]}), batch_format="pyarrow"
+    )
+    scored = ngram_jaccard_verify(cands, docs, threshold=0.0, emit_counts=True)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "nbr": pa.array([], pa.int64()),
+            "neg_p": pa.array([], pa.int64()),
+            "inter": pa.array([], pa.int64()),
+            "uni": pa.array([], pa.int64()),
+        }
+    )
+
+    def orient(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        a = np.asarray(b["a_id"], dtype=np.int64)
+        bb = np.asarray(b["b_id"], dtype=np.int64)
+        inter = np.asarray(b["inter"], dtype=np.int64)
+        uni = np.asarray(b["uni"], dtype=np.int64)
+        p = 1000 * inter // np.maximum(uni, 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([a, bb])),
+                "nbr": pa.array(np.concatenate([bb, a])),
+                "neg_p": pa.array(np.concatenate([-p, -p])),
+                "inter": pa.array(np.concatenate([inter, inter])),
+                "uni": pa.array(np.concatenate([uni, uni])),
+            }
+        )
+
+    both = scored.map_batches(orient, batch_format="pyarrow")
+    out_empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "nbr_id": pa.array([], pa.int64()),
+            "inter": pa.array([], pa.int64()),
+            "uni": pa.array([], pa.int64()),
+            "jaccard_permille": pa.array([], pa.int64()),
+        }
+    )
+
+    def head(g: pa.Table, starts: np.ndarray, ends: np.ndarray) -> pa.Table:
+        if g.num_rows == 0:
+            return out_empty
+        idx = pa.array(starts)
+        return pa.table(
+            {
+                "doc_id": pc.take(g["doc_id"], idx),
+                "nbr_id": pc.take(g["nbr"], idx),
+                "inter": pc.take(g["inter"], idx),
+                "uni": pc.take(g["uni"], idx),
+                "jaccard_permille": pa.array(
+                    -np.asarray(pc.take(g["neg_p"], idx), dtype=np.int64)
+                ),
+            }
+        )
+
+    return grouped_ordered_runs(both, "doc_id", ("neg_p", "nbr"), head)
+
+
 def events_table_checksum(sf_dir: str):
     """Order-independent MULTISET checksum per event_type — the
     table-equality primitive that verifies a 100-TB copy / resume / migration
@@ -8898,6 +8979,7 @@ QUERIES = {
     "emb_knn_lsh_recall": emb_knn_lsh_recall,
     "docs_fs_calibration": docs_fs_calibration,
     "docs_minhash_calibration": docs_minhash_calibration,
+    "docs_nearest_neighbor": docs_nearest_neighbor,
     "events_minute_rate_ewma": events_minute_rate_ewma,
     "events_value_mad": events_value_mad,
     "events_value_hour_regression": events_value_hour_regression,
@@ -9147,6 +9229,47 @@ ORACLE_SQL = {
         LEFT JOIN core c ON c.v = d.doc_id
         LEFT JOIN clab cl ON cl.v = d.doc_id
         LEFT JOIN border b ON b.v = d.doc_id
+    """,
+    "docs_nearest_neighbor": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents WHERE trim(text) <> ''
+        ), g AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+            FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+        ), blk AS (
+            SELECT gram FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND 20
+        ), cand AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            JOIN blk ON a.gram = blk.gram
+            GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+        ), cg AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) >= 3
+                        THEN list_distinct(list_transform(
+                                 generate_series(1, length(text) - 2),
+                                 i -> substring(text, i, 3)))
+                        WHEN length(text) > 0 THEN [text]
+                        ELSE CAST([] AS VARCHAR[]) END AS grams
+            FROM documents
+        ), pj AS (
+            SELECT c.a_id, c.b_id,
+                   CAST(len(list_intersect(ca.grams, cb.grams)) AS BIGINT) AS inter,
+                   CAST(greatest(len(list_distinct(list_concat(ca.grams, cb.grams))), 1)
+                        AS BIGINT) AS uni
+            FROM cand c JOIN cg ca ON ca.doc_id = c.a_id JOIN cg cb ON cb.doc_id = c.b_id
+        ), orient AS (
+            SELECT a_id AS doc_id, b_id AS nbr, inter, uni FROM pj
+            UNION ALL SELECT b_id, a_id, inter, uni FROM pj
+        ), ranked AS (
+            SELECT doc_id, nbr, inter, uni, 1000 * inter // uni AS p,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY 1000 * inter // uni DESC, nbr) AS rn
+            FROM orient
+        )
+        SELECT doc_id, nbr AS nbr_id, inter, uni, p AS jaccard_permille
+        FROM ranked WHERE rn = 1
     """,
     "docs_canopy_assign": """
         WITH toks AS (
