@@ -6869,6 +6869,46 @@ def docs_nearest_neighbor(sf_dir: str):
     return grouped_ordered_runs(both, "doc_id", ("neg_p", "nbr"), head)
 
 
+def docs_best_match_clusters(sf_dir: str):
+    """Best-first matching clusters: connected components of the
+    nearest-neighbor digraph (every doc contributes exactly ONE undirected
+    edge, doc → its best candidate from ``docs_nearest_neighbor``) — the
+    third clustering semantics in the suite, between transitive closure
+    (merges through ANY verified pair, over-merge prone) and DBSCAN (only
+    dense cores merge): best-first merges through strongest-available
+    evidence only, yielding star/chain components whose size is bounded by
+    mutual-best structure rather than by block size — a Borůvka-style
+    first round, the classic ER "best match wins" policy.  Engine: the
+    registered nearest-neighbor query runs unchanged; its ≤ n edges feed
+    the existing min-label closure (``_verified_cluster_labels``), so
+    cluster_id = min member id.  Oracle COMPOSES the nearest-neighbor
+    oracle verbatim into the recursive closure."""
+    nn = docs_nearest_neighbor(sf_dir).materialize()  # consumed twice below
+    edges = nn.map_batches(
+        lambda b: pa.table({"a_id": b["doc_id"], "b_id": b["nbr_id"]}), batch_format="pyarrow"
+    )
+    members = nn.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pa.array(
+                    np.unique(
+                        np.concatenate(
+                            [
+                                np.asarray(b["doc_id"], dtype=np.int64),
+                                np.asarray(b["nbr_id"], dtype=np.int64),
+                            ]
+                        )
+                    )
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return pa.Table.from_pandas(
+        _verified_cluster_labels(members, edges).to_pandas(), preserve_index=False
+    )
+
+
 def events_table_checksum(sf_dir: str):
     """Order-independent MULTISET checksum per event_type — the
     table-equality primitive that verifies a 100-TB copy / resume / migration
@@ -8980,6 +9020,7 @@ QUERIES = {
     "docs_fs_calibration": docs_fs_calibration,
     "docs_minhash_calibration": docs_minhash_calibration,
     "docs_nearest_neighbor": docs_nearest_neighbor,
+    "docs_best_match_clusters": docs_best_match_clusters,
     "events_minute_rate_ewma": events_minute_rate_ewma,
     "events_value_mad": events_value_mad,
     "events_value_hour_regression": events_value_hour_regression,
@@ -12689,6 +12730,29 @@ def _build_fs_calibration_oracle() -> None:
 
 
 _build_fs_calibration_oracle()
+
+
+def _build_best_match_oracle() -> None:
+    """Compose the registered nearest-neighbor oracle verbatim into the
+    recursive min-label closure over its (doc, best-neighbor) edges."""
+    ORACLE_SQL["docs_best_match_clusters"] = f"""
+        WITH RECURSIVE nn AS ({ORACLE_SQL["docs_nearest_neighbor"]}),
+        ee AS (
+            SELECT doc_id AS src, nbr_id AS dst FROM nn
+            UNION SELECT nbr_id, doc_id FROM nn
+        ),
+        nodes AS (SELECT DISTINCT src AS v FROM ee),
+        reach(node, m) AS (
+            SELECT v, v FROM nodes
+            UNION
+            SELECT ee.dst, r.m FROM reach r JOIN ee ON ee.src = r.node
+        )
+        SELECT node AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node
+    """
+
+
+_build_best_match_oracle()
 
 
 def _emb_lsh_scored_cte() -> str:
