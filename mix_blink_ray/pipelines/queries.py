@@ -6909,6 +6909,71 @@ def docs_best_match_clusters(sf_dir: str):
     )
 
 
+def events_survival_curve(sf_dir: str):
+    """Kaplan–Meier retention survival curve in exact integers — the
+    product-analytics primitive for "how long do users stay": a user churns
+    on their LAST event day; at each day t the hazard is churned_t /
+    at_risk_t (at_risk = users whose last day ≥ t, a suffix sum) and the
+    survival estimate is the running product S_t = S_{t−1}·(at_risk −
+    churned) // at_risk, seeded at 10⁶ ppm, with FLOOR at every step — the
+    per-step floor makes the sequential product exactly replayable (a
+    recursive scalar CTE in the oracle; all terms non-negative so floor =
+    trunc).  Engine: ONE user-scale groupby (max ts per user) contracts the
+    corpus to per-user last days, a day-scale histogram groupby follows, and
+    the ≤ distinct-days driver loop (30 here; bounded by the calendar, not
+    the data) runs the product.  Output per day: (day epoch-days, at_risk,
+    churned, survival_ppm)."""
+    DAY = 86_400_000_000
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": b["user_id"], "t": pc.cast(b["ts"], pa.int64())}
+        )
+
+    last = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("t", alias_name="t_max"))
+    )
+    empty_h = pa.table({"d": pa.array([], pa.int64()), "n_p": pa.array([], pa.int64())})
+
+    def day_cells(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty_h
+        d = np.asarray(b["t_max"], dtype=np.int64) // DAY
+        u, cnt = np.unique(d, return_counts=True)
+        return pa.table({"d": pa.array(u), "n_p": pa.array(cnt.astype(np.int64))})
+
+    hist = (
+        last.map_batches(day_cells, batch_format="pyarrow")
+        .groupby("d")
+        .aggregate(Sum("n_p", alias_name="churned"))
+        .to_pandas()
+    )
+    if len(hist) == 0:
+        raise ValueError("events_survival_curve: empty events table")
+    hist = hist.sort_values("d").reset_index(drop=True)
+    churned = hist["churned"].astype(int).tolist()
+    total = sum(churned)
+    at_risk, acc = [], total
+    for c in churned:
+        at_risk.append(acc)
+        acc -= c
+    s, surv = 10**6, []
+    for c, n in zip(churned, at_risk):
+        s = s * (n - c) // n
+        surv.append(s)
+    return pa.table(
+        {
+            "day": pa.array(hist["d"].astype(int), pa.int64()),
+            "at_risk": pa.array(at_risk, pa.int64()),
+            "churned": pa.array(churned, pa.int64()),
+            "survival_ppm": pa.array(surv, pa.int64()),
+        }
+    )
+
+
 def events_table_checksum(sf_dir: str):
     """Order-independent MULTISET checksum per event_type — the
     table-equality primitive that verifies a 100-TB copy / resume / migration
@@ -9021,6 +9086,7 @@ QUERIES = {
     "docs_minhash_calibration": docs_minhash_calibration,
     "docs_nearest_neighbor": docs_nearest_neighbor,
     "docs_best_match_clusters": docs_best_match_clusters,
+    "events_survival_curve": events_survival_curve,
     "events_minute_rate_ewma": events_minute_rate_ewma,
     "events_value_mad": events_value_mad,
     "events_value_hour_regression": events_value_hour_regression,
@@ -9311,6 +9377,26 @@ ORACLE_SQL = {
         )
         SELECT doc_id, nbr AS nbr_id, inter, uni, p AS jaccard_permille
         FROM ranked WHERE rn = 1
+    """,
+    "events_survival_curve": """
+        WITH RECURSIVE lu AS (
+            SELECT user_id, max(epoch_us(ts)) // 86400000000 AS d
+            FROM events GROUP BY user_id
+        ), h AS (
+            SELECT d, CAST(count(*) AS BIGINT) AS churned FROM lu GROUP BY d
+        ), w AS (
+            SELECT d, churned,
+                   CAST(sum(churned) OVER (ORDER BY d DESC) AS BIGINT) AS at_risk,
+                   CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn
+            FROM h
+        ), rec(rn, s) AS (
+            SELECT CAST(0 AS BIGINT), CAST(1000000 AS BIGINT)
+            UNION ALL
+            SELECT w.rn, rec.s * (w.at_risk - w.churned) // w.at_risk
+            FROM rec JOIN w ON w.rn = rec.rn + 1
+        )
+        SELECT w.d AS day, w.at_risk, w.churned, rec.s AS survival_ppm
+        FROM w JOIN rec ON rec.rn = w.rn
     """,
     "docs_canopy_assign": """
         WITH toks AS (
