@@ -186,6 +186,13 @@ def run_bench() -> dict:
         "docs_epoch_shuffle",
         "events_context_window",
         "events_distinct_types_running",
+        # round-5 session additions: Fellegi–Sunter pair scoring (the
+        # pair-join-heavy ER scorer, ~110k candidate pairs at sf0.1), the
+        # daily-grid interpolation (bucketed-run + segmented searchsorted),
+        # and the WL fingerprint (iterative node-scale shuffle-aggregate)
+        "docs_fs_match_weights",
+        "events_user_day_interp",
+        "customers_wl_fingerprint",
     ]
     q_times: dict[str, float] = {}
     if bench_queries:
