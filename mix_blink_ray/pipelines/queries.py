@@ -6244,29 +6244,11 @@ def docs_fs_match_weights(sf_dir: str):
     cands = meta_blocking_pairs(texts, n=3, min_block=2, max_block=20, min_shared=2).map_batches(
         lambda b: pa.table({"a_id": b["doc_a"], "b_id": b["doc_b"]}), batch_format="pyarrow"
     )
-    scored = ngram_jaccard_verify(cands, texts, threshold=0.0, emit_counts=True)
-
-    fields_a = docs.map_batches(
-        lambda b: pa.table(
-            {
-                "a_id": b["doc_id"],
-                "a_lang": b["lang"],
-                "a_src": b["source"],
-                "a_lb": pc.divide(pc.cast(b["n_chars"], pa.int64()), pa.scalar(64, pa.int64())),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    fields_b = docs.map_batches(
-        lambda b: pa.table(
-            {
-                "b_id": b["doc_id"],
-                "b_lang": b["lang"],
-                "b_src": b["source"],
-                "b_lb": pc.divide(pc.cast(b["n_chars"], pa.int64()), pa.scalar(64, pa.int64())),
-            }
-        ),
-        batch_format="pyarrow",
+    # carry_cols rides the comparison fields through the verify's OWN two
+    # hash joins — the pair set is joined exactly once per side, not twice
+    # (measured 15.8 s → the join pair dropped at sf0.1's 110k pairs)
+    scored = ngram_jaccard_verify(
+        cands, docs, threshold=0.0, emit_counts=True, carry_cols=("lang", "source", "n_chars")
     )
     empty = pa.table(
         {
@@ -6278,33 +6260,27 @@ def docs_fs_match_weights(sf_dir: str):
             "is_match": pa.array([], pa.int64()),
         }
     )
-    scored = scored.materialize()
-    if scored.count() == 0:
-        return empty.append_column("weight_ppm", pa.array([], pa.int64()))
-    from ..stages.clustering import cpu_scaled_partitions
-
-    n_parts = cpu_scaled_partitions(scored.count())
-    joined = scored.join(fields_a, join_type="inner", num_partitions=n_parts, on=("a_id",)).join(
-        fields_b, join_type="inner", num_partitions=n_parts, on=("b_id",)
-    )
-
     def compare(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return empty
         inter = np.asarray(b["inter"], dtype=np.int64)
         uni = np.asarray(b["uni"], dtype=np.int64)
+        lb_a = pc.divide(pc.cast(b["a_n_chars"], pa.int64()), pa.scalar(64, pa.int64()))
+        lb_b = pc.divide(pc.cast(b["b_n_chars"], pa.int64()), pa.scalar(64, pa.int64()))
         return pa.table(
             {
                 "doc_a": b["a_id"],
                 "doc_b": b["b_id"],
                 "agree_lang": pc.cast(pc.equal(b["a_lang"], b["b_lang"]), pa.int64()),
-                "agree_source": pc.cast(pc.equal(b["a_src"], b["b_src"]), pa.int64()),
-                "agree_len": pc.cast(pc.equal(b["a_lb"], b["b_lb"]), pa.int64()),
+                "agree_source": pc.cast(pc.equal(b["a_source"], b["b_source"]), pa.int64()),
+                "agree_len": pc.cast(pc.equal(lb_a, lb_b), pa.int64()),
                 "is_match": pa.array((10 * inter >= 7 * uni).astype(np.int64)),
             }
         )
 
-    pairs = joined.map_batches(compare, batch_format="pyarrow").materialize()
+    pairs = scored.map_batches(compare, batch_format="pyarrow").materialize()
+    if pairs.count() == 0:
+        return empty.append_column("weight_ppm", pa.array([], pa.int64()))
 
     def stat_partial(b: pa.Table) -> pa.Table:
         m = np.asarray(b["is_match"], dtype=np.int64)

@@ -637,6 +637,7 @@ def simhash_near_dup_pairs(
 def ngram_jaccard_verify(
     pairs: Dataset, docs: Dataset, threshold: float, ngram: int = 3,
     id_col: str = "doc_id", text_col: str = "text", emit_counts: bool = False,
+    carry_cols: tuple[str, ...] = (),
 ) -> Dataset:
     """Exact char-n-gram Jaccard verify of candidate pairs.
 
@@ -645,6 +646,11 @@ def ngram_jaccard_verify(
     intersection / union sizes) so callers can apply integer-exact decision
     rules (e.g. ``10·inter ≥ 7·uni`` for a 0.7 threshold with no float
     boundary) — the Fellegi–Sunter scorer trains on these labels.
+
+    ``carry_cols`` rides extra document columns through the SAME two hash
+    joins as ``a_<col>`` / ``b_<col>`` — callers that need per-side fields
+    on the pair set (the FS scorer's lang/source/length comparisons) get
+    them for free instead of paying two more pair-scale joins.
 
     Texts are fetched ONTO the (small) pair set via two partitioned hash
     joins — the corpus text column never touches the driver (the same shape
@@ -672,10 +678,16 @@ def ngram_jaccard_verify(
         return rd_.from_arrow(pa.table(cols))
     n_parts = cpu_scaled_partitions(pairs.count())
     a_texts = docs.map_batches(
-        lambda b: pa.table({"a_id": b[id_col], "a_text": b[text_col]}), batch_format="pyarrow"
+        lambda b: pa.table(
+            {"a_id": b[id_col], "a_text": b[text_col], **{f"a_{c}": b[c] for c in carry_cols}}
+        ),
+        batch_format="pyarrow",
     )
     b_texts = docs.map_batches(
-        lambda b: pa.table({"b_id": b[id_col], "b_text": b[text_col]}), batch_format="pyarrow"
+        lambda b: pa.table(
+            {"b_id": b[id_col], "b_text": b[text_col], **{f"b_{c}": b[c] for c in carry_cols}}
+        ),
+        batch_format="pyarrow",
     )
     joined = pairs.join(a_texts, join_type="inner", num_partitions=n_parts, on=("a_id",)).join(
         b_texts, join_type="inner", num_partitions=n_parts, on=("b_id",)
